@@ -1,0 +1,90 @@
+"""Fixture determinism, Lance-like sink/source + resume, OSM XML conformance."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from wrangle_openstreetmap_data_ray import synth
+from wrangle_openstreetmap_data_ray.functions import codecs, geo
+from wrangle_openstreetmap_data_ray.sources import lancelike, osm_xml
+
+
+def test_images_deterministic_and_batch_invariant():
+    a = synth.gen_images_table(0, 50)
+    b = pa.concat_tables([synth.gen_images_table(0, 20), synth.gen_images_table(20, 30)])
+    assert a.equals(b)
+
+
+def test_images_dup_injection_and_phash():
+    t = synth.gen_images_table(90, 20)  # covers idx 99 (dup of 98)
+    d = {r["image_id"]: r for r in t.to_pylist()}
+    assert d["img000000000099"]["phash"] == d["img000000000098"]["phash"]
+    assert d["img000000000099"]["bytes"] == d["img000000000098"]["bytes"]
+
+
+def test_images_decode_all_rows():
+    t = synth.gen_images_table(0, 40)
+    for r in t.to_pylist():
+        img = codecs.decode(r["bytes"], r["fmt"], r["w"], r["h"])
+        assert img.shape == (r["h"], r["w"], 3)
+
+
+def test_geo_skew_and_quarantine_fractions():
+    t = synth.gen_geo_table(0, 5000)
+    m = geo.bbox_contains(t["lon"].to_numpy(), t["lat"].to_numpy())
+    assert 0.85 < m.mean() < 0.95  # ~10% out-of-bbox by construction
+
+
+def test_polygons_valid_rings():
+    t = synth.gen_polygons_table(50)
+    assert t.num_rows == 50
+    for r in t.to_pylist():
+        assert len(r["ring"]) >= 6
+        assert r["bbox_w"] < r["bbox_e"] and r["bbox_s"] < r["bbox_n"]
+
+
+def test_osm_xml_roundtrip():
+    nodes, ways, way_nodes, tags = synth.gen_osm_tables(n_nodes=50, n_ways=10)
+    xml = osm_xml.write_osm_xml(nodes, ways, way_nodes, tags)
+    n2, w2, wn2, t2 = osm_xml.parse_osm_bytes(xml)
+    assert n2.num_rows == nodes.num_rows
+    assert w2.num_rows == ways.num_rows
+    assert wn2.num_rows == way_nodes.num_rows
+    assert t2.num_rows == tags.num_rows
+    # order-significant node_refs preserved
+    assert wn2.sort_by([("way_id", "ascending"), ("position", "ascending")]).equals(
+        way_nodes.sort_by([("way_id", "ascending"), ("position", "ascending")]))
+    counts = osm_xml.count_tags_bytes(xml)
+    assert counts["node"] == 50 and counts["way"] == 10
+
+
+def test_lancelike_write_read_resume(ray_session, tmp_path):
+    import ray.data as rd
+    root = str(tmp_path / "tbl")
+    t = synth.gen_geo_table(0, 1000)
+    ds = rd.from_arrow(t).repartition(4)
+    man1 = lancelike.write_dataset(ds, root, stage="synth", parent=None)
+    assert man1["total_rows"] == 1000
+    assert len(man1["fragments"]) >= 1
+    # resume: same stage+parent → skipped, same manifest version
+    man2 = lancelike.write_dataset(ds, root, stage="synth", parent=None)
+    assert man2["version"] == man1["version"]
+    # new stage → new version
+    man3 = lancelike.write_dataset(ds, root, stage="clean", parent="synth")
+    assert man3["version"] == man1["version"] + 1
+    back = lancelike.read_dataset(root, columns=["image_id", "lon"])
+    assert back.count() == 1000
+    assert set(back.schema().names) == {"image_id", "lon"}
+    assert lancelike.dataset_row_count(root) == 1000
+
+
+def test_systematic_sample(ray_session):
+    import ray.data as rd
+    nodes, *_ = synth.gen_osm_tables(n_nodes=200, n_ways=1)
+    ds = rd.from_arrow(nodes)
+    sampled = osm_xml.systematic_sample(ds, 10, id_col="id")
+    got = sorted(r["id"] for r in sampled.take_all())
+    expect = sorted(i for i in nodes["id"].to_pylist() if i % 10 == 0)
+    assert got == expect

@@ -1,0 +1,259 @@
+"""Pure-numpy geospatial kernels: hierarchical cell index (H3/S2-style
+capability, own scheme — no geo libraries exist in this environment, see
+SURVEY.md §0/§7.5), point-in-polygon ray casting, haversine distance.
+
+Cell scheme ("gq" = graft quadkey), documented per BASELINE.json:north_rule:
+
+- Equirectangular quadtree over the full lon/lat plane
+  (lon ∈ [-180, 180), lat ∈ [-90, 90)).
+- At resolution ``r`` (0..26) each axis is quantized to ``2**r`` steps;
+  the int64 cell id packs resolution and a Morton (bit-interleaved) index::
+
+      cell = (r << 58) | interleave2(qy, qx)      # qx = even bits
+
+- Parent/child = shift the Morton index by 2 bits per level; ring-k
+  neighbors = de-interleave, offset qx/qy by ±k with lon wraparound and
+  lat clamping, re-interleave.
+
+This is the generalization of the reference's bounding-box membership check
+([R:notebook::bbox check], SURVEY.md §2 M7) into a full spatial index:
+a bbox test is exactly "cell prefix ∈ covering set" at r=0..n.
+
+All kernels are vectorized numpy over column arrays; nothing here loops
+over rows in the hot path (polygon edge loops are over polygon vertices,
+which are small, not over points).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 26
+_RES_SHIFT = np.uint64(58)
+_IDX_MASK = np.uint64((1 << 58) - 1)
+
+LON_MIN, LON_MAX = -180.0, 180.0
+LAT_MIN, LAT_MAX = -90.0, 90.0
+
+# Singapore-extract bbox from the reference's audit pass (reconstructed,
+# SURVEY.md §2 M7): the metro extract spills into Johor (MY) / Riau (ID).
+SG_BBOX = (103.6, 1.13, 104.1, 1.47)  # (w, s, e, n)
+
+
+# ------------------------------------------------------------ bit interleave
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 so bit i lands at bit 2i."""
+    x = x.astype(np.uint64, copy=True) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _compact1by1(x: np.ndarray) -> np.ndarray:
+    """Inverse of _part1by1: gather even bits back into the low 32 bits."""
+    x = x.astype(np.uint64, copy=True) & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
+def interleave2(qy: np.ndarray, qx: np.ndarray) -> np.ndarray:
+    return (_part1by1(qy) << np.uint64(1)) | _part1by1(qx)
+
+
+def deinterleave2(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return _compact1by1(m >> np.uint64(1)), _compact1by1(m)
+
+
+# ------------------------------------------------------------------ cell ids
+
+def cell_xy(lon: np.ndarray, lat: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized (qx, qy) grid coordinates at resolution ``res``.
+
+    Mirrorable in plain SQL (``floor((lon - lon_min) / 360 * 2^res)``) —
+    this is the oracle surface for the cell index (see __ray_entry__).
+    """
+    n = np.int64(1) << np.int64(res)
+    fx = (np.asarray(lon, dtype=np.float64) - LON_MIN) / (LON_MAX - LON_MIN)
+    fy = (np.asarray(lat, dtype=np.float64) - LAT_MIN) / (LAT_MAX - LAT_MIN)
+    qx = np.clip(np.floor(fx * n).astype(np.int64), 0, n - 1)
+    qy = np.clip(np.floor(fy * n).astype(np.int64), 0, n - 1)
+    return qx, qy
+
+
+def cell_encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """(lon, lat) arrays → int64 cell ids at resolution ``res``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in 0..{MAX_RES}")
+    qx, qy = cell_xy(lon, lat, res)
+    m = interleave2(qy.astype(np.uint64), qx.astype(np.uint64))
+    return ((np.uint64(res) << _RES_SHIFT) | m).astype(np.int64)
+
+
+def cell_res(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell).astype(np.uint64) >> _RES_SHIFT).astype(np.int64)
+
+
+def cell_decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell ids → (qx, qy, res)."""
+    c = np.asarray(cell).astype(np.uint64)
+    res = (c >> _RES_SHIFT).astype(np.int64)
+    qy, qx = deinterleave2(c & _IDX_MASK)
+    return qx.astype(np.int64), qy.astype(np.int64), res
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    qx, qy, res = cell_decode(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon = LON_MIN + (qx + 0.5) / n * (LON_MAX - LON_MIN)
+    lat = LAT_MIN + (qy + 0.5) / n * (LAT_MAX - LAT_MIN)
+    return lon, lat
+
+
+def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(w, s, e, n) degree bounds per cell."""
+    qx, qy, res = cell_decode(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    w = LON_MIN + qx / n * (LON_MAX - LON_MIN)
+    s = LAT_MIN + qy / n * (LAT_MAX - LAT_MIN)
+    return w, s, w + (LON_MAX - LON_MIN) / n, s + (LAT_MAX - LAT_MIN) / n
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    c = np.asarray(cell).astype(np.uint64)
+    res = (c >> _RES_SHIFT).astype(np.int64)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res must be <= cell res")
+    shift = (np.uint64(2) * (res - parent_res).astype(np.uint64))
+    m = (c & _IDX_MASK) >> shift
+    return ((np.uint64(parent_res) << _RES_SHIFT) | m).astype(np.int64)
+
+
+def cell_children(cell: int) -> np.ndarray:
+    """The 4 direct children of one cell."""
+    c = np.uint64(cell)
+    res = int(c >> _RES_SHIFT)
+    base = (c & _IDX_MASK) << np.uint64(2)
+    kids = base + np.arange(4, dtype=np.uint64)
+    return ((np.uint64(res + 1) << _RES_SHIFT) | kids).astype(np.int64)
+
+
+def cell_ring(cell: np.ndarray, k: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance ``k`` (including the center),
+    per input cell → shape (len(cell), (2k+1)**2). Longitude wraps; latitude
+    rows outside the grid are dropped by duplicating the center (callers
+    dedupe). Used by the kNN ghost-cell expansion (SURVEY.md §2 J4)."""
+    qx, qy, res = cell_decode(np.atleast_1d(np.asarray(cell)))
+    n = np.int64(1) << res  # per-cell grid size
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    ox, oy = np.meshgrid(offs, offs, indexing="xy")
+    ox, oy = ox.ravel(), oy.ravel()
+    gx = (qx[:, None] + ox[None, :]) % n[:, None]          # lon wrap
+    gy = qy[:, None] + oy[None, :]
+    bad = (gy < 0) | (gy >= n[:, None])                     # lat clamp
+    gy = np.where(bad, qy[:, None], gy)
+    gx = np.where(bad, qx[:, None], gx)
+    m = interleave2(gy.astype(np.uint64), gx.astype(np.uint64))
+    return ((res[:, None].astype(np.uint64) << _RES_SHIFT) | m).astype(np.int64)
+
+
+# --------------------------------------------------------------------- bbox
+
+def bbox_contains(lon: np.ndarray, lat: np.ndarray, bbox=SG_BBOX) -> np.ndarray:
+    """Vectorized bounding-box membership ([R:notebook::bbox check], M7)."""
+    w, s, e, n = bbox
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    return (lon >= w) & (lon <= e) & (lat >= s) & (lat <= n)
+
+
+def bbox_cover_cells(w: float, s: float, e: float, n: float, res: int) -> np.ndarray:
+    """All cells at ``res`` whose bounds intersect the bbox (inclusive)."""
+    qx0, qy0 = cell_xy(np.array([w]), np.array([s]), res)
+    qx1, qy1 = cell_xy(np.array([e]), np.array([n]), res)
+    xs = np.arange(qx0[0], qx1[0] + 1, dtype=np.int64)
+    ys = np.arange(qy0[0], qy1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    m = interleave2(gy.ravel().astype(np.uint64), gx.ravel().astype(np.uint64))
+    return ((np.uint64(res) << _RES_SHIFT) | m).astype(np.int64)
+
+
+# ------------------------------------------------------------ point-in-poly
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray,
+                     ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
+    """Even-odd ray casting: M points vs one polygon ring (N vertices).
+
+    Vectorized over points; the loop is over polygon edges (N is small).
+    Points exactly on a horizontal edge follow the half-open convention
+    (y1 <= py < y2), giving consistent assignments for shared borders.
+    Generalizes the reference's bbox membership check into the exact
+    refine step of the cell-prefiltered spatial join (SURVEY.md §2 J3).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1 = np.asarray(ring_x, dtype=np.float64), np.asarray(ring_y, dtype=np.float64)
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(len(x1)):
+        crosses = (y1[i] <= py) != (y2[i] <= py)
+        if not crosses.any():
+            continue
+        # x coordinate where the edge crosses the horizontal line through py
+        t = (py - y1[i]) / (y2[i] - y1[i])
+        xint = x1[i] + t * (x2[i] - x1[i])
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+def polygon_cover_cells(ring_x: np.ndarray, ring_y: np.ndarray, res: int) -> np.ndarray:
+    """Covering-cell set of one polygon at ``res``: bbox cover, refined by
+    dropping cells whose entire cell-box is outside the polygon *and* does
+    not intersect any edge. Conservative (may keep extra boundary cells;
+    never drops a covered one)."""
+    w, s = float(np.min(ring_x)), float(np.min(ring_y))
+    e, n = float(np.max(ring_x)), float(np.max(ring_y))
+    cand = bbox_cover_cells(w, s, e, n, res)
+    cw, cs, ce, cn = cell_bounds(cand)
+    # keep a candidate if any corner or center is inside, or an edge endpoint
+    # falls inside the cell box (cheap conservative test)
+    cx, cy = (cw + ce) / 2, (cs + cn) / 2
+    keep = point_in_polygon(cx, cy, ring_x, ring_y)
+    for px, py in ((cw, cs), (cw, cn), (ce, cs), (ce, cn)):
+        keep |= point_in_polygon(px, py, ring_x, ring_y)
+    # any polygon vertex inside the cell box ⇒ the cell touches the boundary
+    vx = np.asarray(ring_x, dtype=np.float64)
+    vy = np.asarray(ring_y, dtype=np.float64)
+    vin = (
+        (vx[None, :] >= cw[:, None]) & (vx[None, :] <= ce[:, None])
+        & (vy[None, :] >= cs[:, None]) & (vy[None, :] <= cn[:, None])
+    ).any(axis=1)
+    keep |= vin
+    # edges can cross a cell box without endpoints inside — dilate by ring-1
+    kept = cand[keep]
+    if len(kept) == 0:
+        return kept
+    ring = np.unique(cell_ring(kept, 1).ravel())
+    # keep only ring cells that were bbox candidates
+    return np.intersect1d(ring, cand)
+
+
+# ---------------------------------------------------------------- distances
+
+EARTH_R_M = 6_371_008.8
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters; fully broadcastable."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64))
+                              for a in (lon1, lat1, lon2, lat2))
+    dlon, dlat = lon2 - lon1, lat2 - lat1
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_R_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))

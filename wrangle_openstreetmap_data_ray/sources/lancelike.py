@@ -1,0 +1,151 @@
+"""Minimal Lance-like table format: parquet fragments + versioned JSON
+manifest with per-fragment row counts and stage lineage.
+
+Replaces the reference's MongoDB sink ([R:notebook::get_db] /
+``mongoimport`` of the JSONL written by [R:data.py::process_map] — SURVEY.md
+§2 S2/S3/S5) with the checkpointed layout BASELINE.json:north_rule demands:
+*"every stage checkpoints per-partition lineage + row-count metrics ... so
+jobs resume mid-shuffle"*.
+
+Layout::
+
+    <root>/
+      fragments/frag-<task>-<uuid>.parquet     # one per output block
+      _manifest/manifest-v<N>.json             # committed versions, ascending
+
+Manifest schema::
+
+    {"version": N, "stage": str, "parent": str|None, "committed_at": iso,
+     "fragments": [{"path": rel, "rows": int, "bytes": int}],
+     "total_rows": int, "metrics": {...}}
+
+Write protocol (idempotent / resumable):
+1. Each Ray write task writes its block to ``fragments/`` under a temp name
+   and atomically renames — a crashed task leaves only ``*.tmp`` garbage.
+2. The driver collects per-fragment metadata **as the output rows of the
+   write stage** (so the write itself streams through Ray Data with
+   backpressure — no driver-side data movement) and commits a new manifest
+   version LAST. A run that dies before commit is invisible to readers.
+3. ``resume``: if the target already has a committed manifest for the same
+   ``stage`` + ``parent`` lineage, the write is skipped entirely.
+
+At 100 TB scale each fragment is one ~64-128 MB block, the manifest holds
+O(#fragments) small dicts, and readers prune by fragment row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_MANIFEST_DIR = "_manifest"
+_FRAGMENT_DIR = "fragments"
+
+
+def _manifest_paths(root: str) -> list[str]:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    files = [f for f in os.listdir(mdir) if f.startswith("manifest-v") and f.endswith(".json")]
+    return [os.path.join(mdir, f) for f in
+            sorted(files, key=lambda f: int(f[len("manifest-v"):-len(".json")]))]
+
+
+def latest_manifest(root: str) -> dict | None:
+    paths = _manifest_paths(root)
+    if not paths:
+        return None
+    with open(paths[-1]) as f:
+        return json.load(f)
+
+
+def _commit(root: str, stage: str, parent: str | None,
+            fragments: list[dict], metrics: dict | None) -> dict:
+    prev = latest_manifest(root)
+    version = (prev["version"] + 1) if prev else 1
+    man = {
+        "version": version,
+        "stage": stage,
+        "parent": parent,
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+        "fragments": fragments,
+        "total_rows": int(sum(f["rows"] for f in fragments)),
+        "metrics": metrics or {},
+    }
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".manifest-v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(mdir, f"manifest-v{version}.json"))
+    return man
+
+
+class _FragmentWriter:
+    """map_batches callable: writes each batch as one fragment, returns a
+    one-row metadata table (streams through the pipeline; no driver I/O)."""
+
+    def __init__(self, frag_dir: str):
+        self.frag_dir = frag_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        name = f"frag-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.frag_dir, f".{name}.tmp")
+        pq.write_table(batch, tmp, compression="zstd")
+        final = os.path.join(self.frag_dir, name)
+        os.replace(tmp, final)
+        return pa.table({
+            "path": [os.path.join(_FRAGMENT_DIR, name)],
+            "rows": pa.array([batch.num_rows], pa.int64()),
+            "bytes": pa.array([os.path.getsize(final)], pa.int64()),
+        })
+
+
+def write_dataset(ds, root: str, stage: str, parent: str | None = None,
+                  metrics: dict | None = None, resume: bool = True) -> dict:
+    """Write a ``ray.data.Dataset`` as a new committed version of ``root``.
+
+    Returns the committed manifest. If ``resume`` and the latest committed
+    manifest already records this (stage, parent) pair, the write is skipped
+    and the existing manifest returned — the checkpoint/restart contract.
+    """
+    if resume:
+        prev = latest_manifest(root)
+        if prev and prev["stage"] == stage and prev.get("parent") == parent:
+            return prev
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    os.makedirs(frag_dir, exist_ok=True)
+    meta = ds.map_batches(_FragmentWriter(frag_dir), batch_format="pyarrow",
+                          batch_size=None)  # one fragment per input block
+    frags = [{"path": r["path"], "rows": int(r["rows"]), "bytes": int(r["bytes"])}
+             for r in meta.take_all()]
+    return _commit(root, stage, parent, frags, metrics)
+
+
+def read_dataset(root: str, columns: list[str] | None = None, version: int | None = None):
+    """Read the latest (or a pinned) committed version as a Dataset, with
+    column pruning pushed into the parquet read."""
+    import ray.data as rd
+
+    if version is None:
+        man = latest_manifest(root)
+    else:
+        with open(os.path.join(root, _MANIFEST_DIR, f"manifest-v{version}.json")) as f:
+            man = json.load(f)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    paths = [os.path.join(root, f["path"]) for f in man["fragments"]]
+    if not paths:
+        return rd.from_arrow(pa.table({}))
+    return rd.read_parquet(paths, columns=columns)
+
+
+def dataset_row_count(root: str) -> int:
+    """Row count from manifest metadata alone — no data read."""
+    man = latest_manifest(root)
+    return 0 if man is None else man["total_rows"]
