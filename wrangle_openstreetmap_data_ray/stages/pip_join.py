@@ -1,0 +1,111 @@
+"""Spatial join: point-in-polygon with cell prefilter (J3 / T2).
+
+Generalizes the reference's bounding-box membership check
+([R:notebook::bbox check], SURVEY.md §2 M7) per BASELINE.json:north_star:
+*"point-in-polygon tested against OSM admin/neighborhood polygons with a
+cell-prefiltered ray-casting kernel"*.
+
+Design (broadcast, no shuffle — the polygon side is small):
+1. Driver: build a ``PolygonIndex`` — per polygon the ring arrays + its
+   covering-cell set at a prefilter resolution; invert to cell → [polygon].
+   ``ray.put`` the index ONCE.
+2. Actor pool: per batch, vectorized cell encode → bucket points by
+   candidate polygon via the inverted index → ONE ray-cast refine per
+   (polygon, its candidate points) — the loop is over polygons touched by
+   the batch, never over points.
+
+Semantics: inner spatial join — one output row per (point, containing
+polygon); points in N overlapping polygons emit N rows; points in no
+polygon are dropped (use ``pip_tag`` for left-join/quarantine semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import geo
+from ..state.broadcast import BroadcastLookup
+
+DEFAULT_PREFILTER_RES = 13  # ~4.4 km cells at the equator
+
+
+class PolygonIndex:
+    """Driver-built, broadcast-once polygon index."""
+
+    def __init__(self, polygons: pa.Table, res: int = DEFAULT_PREFILTER_RES):
+        self.res = res
+        self.ids: list[str] = polygons["polygon_id"].to_pylist()
+        self.names: list[str] = polygons["name"].to_pylist()
+        self.rings: list[tuple[np.ndarray, np.ndarray]] = []
+        self.cell_to_polys: dict[int, list[int]] = {}
+        for pi, ring in enumerate(polygons["ring"].to_pylist()):
+            rx = np.array([p["lon"] for p in ring])
+            ry = np.array([p["lat"] for p in ring])
+            self.rings.append((rx, ry))
+            for c in geo.polygon_cover_cells(rx, ry, res).tolist():
+                self.cell_to_polys.setdefault(c, []).append(pi)
+
+    def candidates(self, cells: np.ndarray) -> dict[int, np.ndarray]:
+        """cell array → {polygon_idx: point positions with that candidate}."""
+        out: dict[int, list[int]] = {}
+        # group identical cells first: lookups once per distinct cell
+        uniq, inv = np.unique(cells, return_inverse=True)
+        for ui, c in enumerate(uniq.tolist()):
+            polys = self.cell_to_polys.get(c)
+            if not polys:
+                continue
+            pts = np.nonzero(inv == ui)[0]
+            for pi in polys:
+                out.setdefault(pi, []).append(pts)
+        return {pi: np.concatenate(v) for pi, v in out.items()}
+
+
+class PIPJoin(BroadcastLookup):
+    """Actor-pool stage: batch of points → (point cols..., polygon_id, name).
+
+    ``fn_constructor_args=(index_ref, lon_col, lat_col)`` — the index is
+    fetched from the object store once per actor (zero-copy numpy views).
+    """
+
+    def __init__(self, ref, lon_col: str = "lon", lat_col: str = "lat",
+                 keep_cols: list[str] | None = None):
+        super().__init__(ref)
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx: PolygonIndex = self.state
+        lon = batch[self.lon_col].to_numpy()
+        lat = batch[self.lat_col].to_numpy()
+        cells = geo.cell_encode(lon, lat, idx.res)
+        keep = self.keep_cols or [c for c in batch.column_names]
+        take_rows, poly_ids, poly_names = [], [], []
+        for pi, pts in idx.candidates(cells).items():
+            rx, ry = idx.rings[pi]
+            inside = geo.point_in_polygon(lon[pts], lat[pts], rx, ry)
+            hit = pts[inside]
+            if len(hit):
+                take_rows.append(hit)
+                poly_ids.extend([idx.ids[pi]] * len(hit))
+                poly_names.extend([idx.names[pi]] * len(hit))
+        if not take_rows:
+            empty = batch.select(keep).slice(0, 0)
+            return empty.append_column("polygon_id", pa.array([], pa.string())) \
+                        .append_column("polygon_name", pa.array([], pa.string()))
+        rows = np.concatenate(take_rows)
+        out = batch.select(keep).take(pa.array(rows))
+        return out.append_column("polygon_id", pa.array(poly_ids)) \
+                  .append_column("polygon_name", pa.array(poly_names))
+
+
+def pip_join(points_ds, polygons: pa.Table, lon_col: str = "lon",
+             lat_col: str = "lat", res: int = DEFAULT_PREFILTER_RES,
+             keep_cols: list[str] | None = None, concurrency=(2, 8)):
+    """points ⨝ polygons (containment). Broadcast polygon index, actor pool."""
+    import ray
+    ref = ray.put(PolygonIndex(polygons, res))
+    return points_ds.map_batches(
+        PIPJoin, fn_constructor_args=(ref, lon_col, lat_col, keep_cols),
+        batch_format="pyarrow", batch_size=8192, concurrency=concurrency,
+        num_cpus=1)

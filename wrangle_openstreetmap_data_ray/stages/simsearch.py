@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk`` — the exact baseline: broadcast the (small) query
+  matrix ONCE with ``ray.put``; every batch computes a vectorized
+  (batch × queries) cosine matmul and emits only its per-batch top-k
+  partials; a final per-query re-reduce keeps the global top-k. The full
+  corpus is never materialized anywhere — the shuffle carries at most
+  ``k × num_queries × num_blocks`` narrow rows.
+- ``ivf_topk`` — the scale path: deterministic k-means (few Lloyd rounds on
+  a driver-side sample), assign each vector to its nearest centroid in
+  ``map_batches``, then search only the ``nprobe`` closest centroid
+  partitions per query. Recall measured against brute force in tests.
+
+Graft ops (task brief "Similarity search"); no reference analogue.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import pool_spec
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True).clip(1e-12)
+
+
+class _BatchTopK:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast
+    query matrix (fetched once per actor, not per batch)."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        import ray
+        q = ray.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))   # (Q, D)
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        v = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        sim = v @ self.q.T                                     # (B, Q)
+        k = min(self.k, len(ids))
+        # per-query partial top-k (argpartition = O(B) per query)
+        part = np.argpartition(-sim, k - 1, axis=0)[:k]        # (k, Q)
+        qn = self.q.shape[0]
+        qid = np.repeat(np.arange(qn), k)
+        rows = part.T.ravel()
+        return pa.table({
+            "query_id": pa.array(qid, pa.int64()),
+            "vec_id": pa.array(ids[rows]),
+            "score": pa.array(sim[rows, qid], pa.float64()),
+        })
+
+
+def _final_topk(k: int):
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True],
+                             kind="mergesort").head(k)
+    return reduce_group
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency: int = 4):
+    """Exact cosine top-k per query row of ``queries`` (Q × D)."""
+    import ray
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _BatchTopK, fn_constructor_args=(qref, id_col, vec_col, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=pool_spec(concurrency),
+        num_cpus=1)
+    return partials.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pandas")
+
+
+# ----------------------------------------------------------------- IVF path
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized)."""
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = s[rng.choice(len(s), size=min(n_centroids, len(s)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = s[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IVFAssignTopK:
+    """Assign batch vectors to centroids; keep only vectors whose centroid
+    is probed by ≥1 query, then partial top-k as in brute force."""
+
+    def __init__(self, queries_ref, cent_ref, id_col, vec_col, k, nprobe):
+        import ray
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.cent = np.asarray(ray.get(cent_ref), dtype=np.float64)
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        # per-query probed centroid set (computed once per actor)
+        sims = self.q @ self.cent.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]          # (Q, nprobe)
+        self.probe = [set(row.tolist()) for row in order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        v = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        cassign = np.argmax(v @ self.cent.T, axis=1)           # (B,)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.fromiter((c in self.probe[qi] for c in cassign),
+                               dtype=bool, count=len(cassign))
+            if not mask.any():
+                continue
+            sim = v[mask] @ self.q[qi]
+            sel_ids = ids[mask]
+            k = min(self.k, len(sel_ids))
+            top = np.argpartition(-sim, k - 1)[:k] if len(sim) > k else np.arange(len(sim))
+            out_q.extend([qi] * len(top))
+            out_id.extend(sel_ids[top].tolist())
+            out_s.extend(sim[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_rows: int = 2000, concurrency: int = 4):
+    """Approximate cosine top-k: IVF with ``nprobe`` probed lists per query."""
+    import ray
+    sample = np.asarray(
+        [r[vec_col] for r in ds.limit(sample_rows).take_all()], dtype=np.float64)
+    cent = train_centroids(sample, n_centroids)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cref = ray.put(cent)
+    partials = ds.map_batches(
+        _IVFAssignTopK, fn_constructor_args=(qref, cref, id_col, vec_col, k, nprobe),
+        batch_format="pyarrow", batch_size=4096, concurrency=pool_spec(concurrency),
+        num_cpus=1)
+    return partials.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pandas")

@@ -1,0 +1,74 @@
+"""Raster tile materialization (T3) — per BASELINE.json:north_star:
+*"raster tiles materialized per cell from decoded image bytes"*.
+
+Pipeline shape: points (image rows + lon/lat) → tile id = cell at
+``tile_res`` (vectorized) → ``groupby(tile)`` hash shuffle (bytes stay
+ENCODED through the shuffle — SURVEY.md §7.5 memory rule) → per-tile
+render: decode each image, nearest-neighbor thumbnail, paste at its
+pixel position on a ``tile_px``² RGB canvas, PNG-encode the canvas.
+
+Determinism: images paste in ascending image_id order (last-write-wins on
+overlap), so tile bytes are identical at any parallelism — the
+"identical tile assignments" invariant of BASELINE.json.
+
+The renderer needs no loaded state (in-repo codecs are table-free), so a
+plain ``map_groups`` callable is the right tool; a heavyweight codec would
+move decode into a ``map_batches`` actor pool over tile-partitioned blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import codecs, geo
+
+TILE_PX = 256
+THUMB_PX = 16
+
+
+def assign_tiles(ds, tile_res: int, lon_col="lon", lat_col="lat"):
+    """Add the tile cell id column (vectorized; no shuffle)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        tile = geo.cell_encode(batch[lon_col].to_numpy(),
+                               batch[lat_col].to_numpy(), tile_res)
+        return batch.append_column("tile_id", pa.array(tile, pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _render(tile_px: int, thumb_px: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id", kind="mergesort")
+        tile_id = np.int64(g["tile_id"].iloc[0])
+        w, s, e, n = (float(v[0]) for v in geo.cell_bounds(np.array([tile_id])))
+        canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        for r in g.itertuples():
+            img = codecs.decode(r.bytes, r.fmt, r.w, r.h)
+            thumb = codecs.resize_nearest(img, thumb_px, thumb_px)
+            px = int((r.lon - w) / (e - w) * tile_px)
+            py = int((n - r.lat) / (n - s) * tile_px)   # raster y grows down
+            x0, y0 = px - thumb_px // 2, py - thumb_px // 2
+            sx0, sy0 = max(0, -x0), max(0, -y0)
+            dx0, dy0 = max(0, x0), max(0, y0)
+            dx1 = min(tile_px, x0 + thumb_px)
+            dy1 = min(tile_px, y0 + thumb_px)
+            if dx1 > dx0 and dy1 > dy0:
+                canvas[dy0:dy1, dx0:dx1] = thumb[sy0:sy0 + dy1 - dy0,
+                                                 sx0:sx0 + dx1 - dx0]
+        qx, qy, res = (int(v[0]) for v in geo.cell_decode(np.array([tile_id])))
+        return pd.DataFrame({
+            "tile_id": [tile_id], "tile_x": [qx], "tile_y": [qy],
+            "res": np.array([res], dtype=np.int32),
+            "n_images": [len(g)],
+            "png": [codecs.encode_png(canvas)],
+        })
+    return fn
+
+
+def render_tiles(ds, tile_res: int = 12, lon_col="lon", lat_col="lat",
+                 tile_px: int = TILE_PX, thumb_px: int = THUMB_PX):
+    """images+geo Dataset → one PNG tile row per populated cell."""
+    tiled = assign_tiles(ds, tile_res, lon_col, lat_col)
+    return tiled.groupby("tile_id").map_groups(_render(tile_px, thumb_px),
+                                               batch_format="pandas")
