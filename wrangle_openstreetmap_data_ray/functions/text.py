@@ -119,21 +119,44 @@ def fingerprint64(texts, normalize: bool = True) -> np.ndarray:
     return out
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 2_000_000
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable uint64 hash per token, memoized — natural text repeats tokens
+    heavily, so the per-token blake2b runs once per UNIQUE token per worker."""
+    from .hashing import hash64_str
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(tokens), np.uint64)
+    for i, w in enumerate(tokens):
+        h = cache.get(w)
+        if h is None:
+            h = hash64_str(w)
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
-    """Hashes of word n-gram shingles of one doc (uint64, deduped)."""
+    """Hashes of word n-gram shingles of one doc (uint64, deduped).
+
+    Vectorized: token hashes once (memoized), then each shingle is a
+    position-weighted combination of its n token hashes finished with
+    splitmix64 — numpy windows, no Python loop over shingles."""
     if len(tokens) < n:
         tokens = tokens + ["\x00"] * (n - len(tokens))
-    k = len(tokens) - n + 1
-    hs = np.empty(k, np.uint64)
+    th = _token_hashes(tokens)
+    k = len(th) - n + 1
+    # odd position multipliers keep the combination order-sensitive
+    weights = splitmix64(np.arange(1, n + 1, dtype=np.uint64)) | np.uint64(1)
     with np.errstate(over="ignore"):
-        for i in range(k):
-            h = np.uint64(0xCBF29CE484222325)
-            for w in tokens[i:i + n]:
-                for byte in w.encode("utf-8"):
-                    h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-                h = (h ^ np.uint64(0x1F)) * np.uint64(0x100000001B3)
-            hs[i] = h
-    return np.unique(hs)
+        acc = np.zeros(k, np.uint64)
+        for j in range(n):          # loop over n (=2..3), not over shingles
+            acc += th[j:j + k] * weights[j]
+        return np.unique(splitmix64(acc))
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)

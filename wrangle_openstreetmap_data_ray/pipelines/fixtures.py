@@ -1,0 +1,127 @@
+"""Deterministic synthetic-fixture materialization, keyed by the driver's
+``sf_dir`` (e.g. ``/root/testdata/sf0.01``).
+
+The driver's DuckDB oracle can only see parquet files, so every synthetic
+table (images, geo, polygons, OSM element tables — FIXTURES.md) is written
+once to ``/tmp/graft_fixtures/<sftag>/<name>.parquet`` with pure pyarrow
+(no Ray needed: content is a pure function of row index + seed, identical
+at any parallelism). Both the Ray queries and the oracle SQL read the SAME
+files, so the comparison pins the operators, not the data.
+
+Writes are atomic (tmp + rename) and cached: the second caller returns
+instantly — important because the driver calls ``queries()`` callables and
+``oracle_sql()`` in unknown order.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import synth
+
+FIXTURE_ROOT = "/tmp/graft_fixtures"
+
+# scale knobs (rows at sf): chosen so sf0.01 correctness runs in seconds
+# and sf0.1 bench exercises real shuffles; the 10^12 design point scales by
+# fragmenting gen_* over Ray (synth.synth_images_dataset) instead.
+def sizes(sf: float) -> dict[str, int]:
+    return {
+        "n_geo": max(2000, int(1_000_000 * sf)),
+        "n_img": max(400, int(100_000 * sf)),
+        "n_polys": 50,
+        "n_nodes": max(1000, int(500_000 * sf)),
+        "n_ways": max(150, int(500_000 * sf) // 7),
+        "n_knn": min(max(2000, int(1_000_000 * sf)), 2500),
+    }
+
+
+def sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sfx"
+
+
+def sf_value(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_tag(sf_dir))
+    return float(m.group(1)) if m else 0.01
+
+
+def fixture_dir(sf_dir: str) -> str:
+    return os.path.join(FIXTURE_ROOT, sf_tag(sf_dir))
+
+
+def fixture_path(sf_dir: str, name: str) -> str:
+    return os.path.join(fixture_dir(sf_dir), f"{name}.parquet")
+
+
+def _edges_table(polygons: pa.Table) -> pa.Table:
+    """Polygon rings exploded to directed edges — the oracle surface for the
+    even-odd ray-cast (each edge row joins against candidate points in SQL
+    with the *same* float expressions as geo.point_in_polygon)."""
+    pid, x1, y1, x2, y2 = [], [], [], [], []
+    for r in polygons.to_pylist():
+        rx = np.array([p["lon"] for p in r["ring"]])
+        ry = np.array([p["lat"] for p in r["ring"]])
+        nx, ny = np.roll(rx, -1), np.roll(ry, -1)
+        pid += [r["polygon_id"]] * len(rx)
+        x1 += rx.tolist(); y1 += ry.tolist()
+        x2 += nx.tolist(); y2 += ny.tolist()
+    return pa.table({
+        "polygon_id": pa.array(pid, pa.string()),
+        "x1": pa.array(x1, pa.float64()), "y1": pa.array(y1, pa.float64()),
+        "x2": pa.array(x2, pa.float64()), "y2": pa.array(y2, pa.float64()),
+    })
+
+
+def _write_atomic(table: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def materialize(sf_dir: str) -> str:
+    """Ensure every fixture parquet for this sf exists; returns the dir."""
+    d = fixture_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    sz = sizes(sf_value(sf_dir))
+
+    def need(name: str) -> bool:
+        return not os.path.exists(fixture_path(sf_dir, name))
+
+    if need("geo"):
+        _write_atomic(synth.gen_geo_table(0, sz["n_geo"]), fixture_path(sf_dir, "geo"))
+    if need("knn_pts"):
+        geo = pq.read_table(fixture_path(sf_dir, "geo"),
+                            columns=["image_id", "lon", "lat"])
+        _write_atomic(geo.slice(0, sz["n_knn"]), fixture_path(sf_dir, "knn_pts"))
+    if need("images"):
+        _write_atomic(synth.gen_images_table(0, sz["n_img"]),
+                      fixture_path(sf_dir, "images"))
+    if need("polygons") or need("edges"):
+        polys = synth.gen_polygons_table(sz["n_polys"])
+        _write_atomic(polys, fixture_path(sf_dir, "polygons"))
+        _write_atomic(_edges_table(polys), fixture_path(sf_dir, "edges"))
+    if need("nodes") or need("ways") or need("way_nodes") or need("tags"):
+        nodes, ways, way_nodes, tags = synth.gen_osm_tables(sz["n_nodes"], sz["n_ways"])
+        _write_atomic(nodes, fixture_path(sf_dir, "nodes"))
+        _write_atomic(ways, fixture_path(sf_dir, "ways"))
+        _write_atomic(way_nodes, fixture_path(sf_dir, "way_nodes"))
+        _write_atomic(tags, fixture_path(sf_dir, "tags"))
+    return d
+
+
+def read_fixture(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Fixture as a Ray Dataset (materializing first if needed), with column
+    pruning pushed into the parquet read."""
+    import ray.data as rd
+    materialize(sf_dir)
+    return rd.read_parquet(fixture_path(sf_dir, name), columns=columns)
+
+
+def driver_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """One of the driver's own tables (documents, lineitem, …) as a Dataset."""
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)

@@ -1,0 +1,78 @@
+"""The flagship pipeline (E2 generalized per BASELINE.json:north_star):
+
+images ⋈ geo → caption normalize (M5/M11) → postcode clean (M6) + bbox
+flag (M7) → cell encode (M13) → point-in-polygon attach (J3, broadcast
+polygon index actor pool) → Lance-like checkpoint with per-fragment row
+counts → per-polygon summary.
+
+Everything streams: the only materialized results are the (small)
+summary and the write-stage fragment metadata rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import geo, normalize
+from ..sources import lancelike
+from ..stages import pip_join
+from ..util import join_kwargs
+from . import fixtures as fx
+
+CELL_RES = 12
+
+
+def clean_and_encode(batch: pa.Table) -> pa.Table:
+    """Stateless per-batch kernel: normalize caption + street, clean
+    postcode, bbox flag, cell id — all vectorized Arrow/numpy."""
+    lon = batch["lon"].to_numpy()
+    lat = batch["lat"].to_numpy()
+    out = batch.drop_columns(["addr_street", "addr_postcode", "caption"])
+    out = out.append_column("caption_norm",
+                            normalize.normalize_street(batch["caption"]))
+    out = out.append_column("street_norm",
+                            normalize.normalize_street(batch["addr_street"]))
+    out = out.append_column("postcode_clean",
+                            normalize.clean_postcode(batch["addr_postcode"]))
+    out = out.append_column("in_bbox", pa.array(geo.bbox_contains(lon, lat)))
+    out = out.append_column(
+        "cell", pa.array(geo.cell_encode(lon, lat, CELL_RES), pa.int64()))
+    return out
+
+
+def flagship(sf_dir: str, out_root: str | None = None):
+    """Returns the per-polygon summary Dataset (small)."""
+    imgs = fx.read_fixture(sf_dir, "images",
+                           columns=["image_id", "caption", "phash"])
+    g = fx.read_fixture(sf_dir, "geo")
+    joined = imgs.join(g, on=("image_id",), join_type="inner", **join_kwargs())
+    cleaned = joined.map_batches(clean_and_encode, batch_format="pyarrow")
+
+    import pyarrow.parquet as pq
+    polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+    located = pip_join.pip_join(
+        cleaned, polys,
+        keep_cols=["image_id", "caption_norm", "street_norm",
+                   "postcode_clean", "in_bbox", "cell"])
+
+    if out_root:
+        lancelike.write_dataset(located, out_root, stage="flagship",
+                                parent=fx.sf_tag(sf_dir))
+        located = lancelike.read_dataset(out_root)
+
+    from ray.data.aggregate import Count, Sum
+
+    def to_flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "polygon_id": b["polygon_id"],
+            "valid_pc": pc.cast(pc.is_valid(b["postcode_clean"]), pa.int64()),
+            "in_bb": pc.cast(b["in_bbox"], pa.int64()),
+        })
+
+    return (located.map_batches(to_flags, batch_format="pyarrow")
+            .groupby("polygon_id")
+            .aggregate(Count(alias_name="n_images"),
+                       Sum("valid_pc", alias_name="n_valid_postcode"),
+                       Sum("in_bb", alias_name="n_in_bbox")))

@@ -1,0 +1,641 @@
+"""The public operator registry: one ``queries()`` entry per implemented
+operator from SURVEY.md §2 (+ the training-data graft ops), each with a
+DuckDB ``oracle_sql()`` twin where SQL-expressible.
+
+Contract (driver): each callable takes ``sf_dir`` and returns a Dataset /
+pandas DataFrame / pyarrow Table; the oracle SQL runs on DuckDB views of
+the driver parquet tables plus ``read_parquet()`` of our deterministic
+fixture files (same inputs on both sides — the comparison pins the
+OPERATORS). Column names and float rounding match on both sides.
+
+Float discipline: any column produced by ARITHMETIC (sums, ratios,
+distances) is rounded to fixed decimals on BOTH sides, or dropped from the
+output, because distributed summation order and libm differences make raw
+doubles hash-unstable. Columns passed through untouched keep raw values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import geo, normalize
+from ..functions.normalize import (EXPECTED_STREET_TYPES, FIRST_TOKEN_RE,
+                                   MALAY_FIRST_TOKEN_TYPES, STREET_TYPE_RE)
+from ..stages import dedup, knn, multimodal, pip_join, simsearch, textstage, tiles
+from ..util import join_kwargs
+from . import fixtures as fx
+
+# ---------------------------------------------------------------- helpers
+
+CELL_RES = 12        # cell_encode_points resolution
+TILE_RES = 10        # tile_assignments resolution
+KNN_K = 3
+
+_SQL_ORACLE_TAG = "sf0.01"   # driver runs correctness at sf0.01
+
+
+def _fxp(name: str) -> str:
+    """Fixture parquet path as referenced from oracle SQL (sf0.01)."""
+    import os
+    return os.path.join(fx.FIXTURE_ROOT, _SQL_ORACLE_TAG, f"{name}.parquet")
+
+
+def _grid_sql(col: str, res: int, lo: float, span: float) -> str:
+    """SQL twin of geo.cell_xy quantization for one axis — identical float
+    expression ((v - lo) / span * 2^res, floor, clip), IEEE-exact."""
+    n = 1 << res
+    return (f"LEAST(GREATEST(CAST(floor((({col} - {lo}) / {span}) * {n}.0) "
+            f"AS BIGINT), 0), {n - 1})")
+
+
+def _street_type_sql(col: str) -> str:
+    first = f"regexp_extract({col}, '{FIRST_TOKEN_RE}', 1)"
+    last = f"regexp_extract({col}, '{STREET_TYPE_RE}', 1)"
+    malay = ", ".join(f"'{t}'" for t in sorted(MALAY_FIRST_TOKEN_TYPES))
+    return f"CASE WHEN {first} IN ({malay}) THEN {first} ELSE {last} END"
+
+
+def _round(tbl: pa.Table, col: str, ndigits: int) -> pa.Table:
+    i = tbl.column_names.index(col)
+    return tbl.set_column(i, col, pc.round(tbl[col], ndigits=ndigits))
+
+
+# ================================================================ queries
+
+def queries():
+    q = {}
+
+    # ---------------- aggregations over driver tables (A1-A7 analogues)
+
+    def agg_lineitem_pricing(sf_dir):
+        """[R:notebook] A-family flagship groupby-aggregate (TPC-H Q1 shape):
+        partial aggregation inside the hash shuffle via Ray's named aggs."""
+        from ray.data.aggregate import Count, Mean, Sum
+        ds = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_returnflag", "l_linestatus",
+                                      "l_quantity", "l_extendedprice",
+                                      "l_discount"])
+        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="cnt"),
+        ).to_pandas()
+        out["sum_qty"] = out["sum_qty"].round(2)
+        out["sum_price"] = out["sum_price"].round(0)
+        out["avg_disc"] = out["avg_disc"].round(4)
+        return out
+    q["agg_lineitem_pricing"] = agg_lineitem_pricing
+
+    def count_by_event_type(sf_dir):
+        ds = fx.driver_table(sf_dir, "events", columns=["event_type"])
+        return ds.groupby("event_type").count().rename_columns(
+            {"count()": "cnt"})
+    q["count_by_event_type"] = count_by_event_type
+
+    def top_users_by_events(sf_dir):
+        """A4 top-contributors: groupby+count then small global top-k."""
+        ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        counts = ds.groupby("user_id").count().rename_columns({"count()": "cnt"})
+        df = counts.to_pandas().sort_values(["cnt", "user_id"],
+                                            ascending=[False, True]).head(10)
+        return df.reset_index(drop=True)
+    q["top_users_by_events"] = top_users_by_events
+
+    def distinct_event_users(sf_dir):
+        """A3 distinct count: partial unique per batch → tiny final distinct."""
+        ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        partial = ds.map_batches(
+            lambda b: pa.table({"user_id": pc.unique(b["user_id"])}),
+            batch_format="pyarrow")
+        n = partial.groupby("user_id").count().count()
+        return pd.DataFrame({"n_users": [int(n)]})
+    q["distinct_event_users"] = distinct_event_users
+
+    def one_shot_users(sf_dir):
+        """A5 double-group: users with exactly one event."""
+        ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        counts = ds.groupby("user_id").count()
+        n = counts.filter(lambda r: r["count()"] == 1).count()
+        return pd.DataFrame({"n_one_shot": [int(n)]})
+    q["one_shot_users"] = one_shot_users
+
+    def top_parts_by_brand(sf_dir):
+        ds = fx.driver_table(sf_dir, "part", columns=["p_brand"])
+        counts = ds.groupby("p_brand").count().rename_columns({"count()": "cnt"})
+        df = counts.to_pandas().sort_values(["cnt", "p_brand"],
+                                            ascending=[False, True]).head(10)
+        return df.reset_index(drop=True)
+    q["top_parts_by_brand"] = top_parts_by_brand
+
+    def orders_topk_price(sf_dir):
+        """O1 sort-desc + limit via per-block partial top-k, then one small
+        driver-side merge — no global range-partition sort for small k."""
+        ds = fx.driver_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+        def block_topk(b: pa.Table) -> pa.Table:
+            idx = pc.select_k_unstable(
+                b, k=20, sort_keys=[("o_totalprice", "descending"),
+                                    ("o_orderkey", "ascending")])
+            return b.take(idx)
+        parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+        out = parts.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True]).head(20)
+        return out.reset_index(drop=True)
+    q["orders_topk_price"] = orders_topk_price
+
+    # ------------------------------------- documents: dedup + text analysis
+
+    def exact_dedup_docs(sf_dir):
+        """D1 exact dedup on content: one row per distinct text, keep min id."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        kept = dedup.exact_dedup(ds, "text", "doc_id")
+        return kept.select_columns(["doc_id"])
+    q["exact_dedup_docs"] = exact_dedup_docs
+
+    def doc_token_counts(sf_dir):
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        out = textstage.analyze_text(ds, text_col="text")
+        return out.select_columns(["doc_id", "n_tokens_ws"])
+    q["doc_token_counts"] = doc_token_counts
+
+    def doc_lang_breakdown(sf_dir):
+        ds = fx.driver_table(sf_dir, "documents", columns=["lang", "source"])
+        return ds.groupby(["lang", "source"]).count().rename_columns(
+            {"count()": "cnt"})
+    q["doc_lang_breakdown"] = doc_lang_breakdown
+
+    def doc_dup_content_count(sf_dir):
+        """Fingerprint dedup accounting: #docs whose normalized content
+        occurs ≥ 2 times (oracle groups by the normalized text itself)."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        feats = textstage.analyze_text(ds, text_col="text")
+        counts = feats.groupby("fingerprint").count()
+        dups = counts.filter(lambda r: r["count()"] >= 2)
+        n = dups.to_pandas()["count()"].sum() if dups.count() else 0
+        return pd.DataFrame({"n_dup_docs": [int(n)]})
+    q["doc_dup_content_count"] = doc_dup_content_count
+
+    def doc_quality(sf_dir):
+        """Quality scoring + language ID (rows-only: heuristic floats)."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        out = textstage.analyze_text(ds, text_col="text")
+        return out.select_columns(["doc_id", "n_tokens_bpe", "lang_pred",
+                                   "quality_score"])
+    q["doc_quality"] = doc_quality
+
+    def near_dedup_docs_minhash(sf_dir):
+        """MinHash+LSH near-dedup over documents (rows-only check)."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup.near_dedup_minhash(ds, "doc_id", "text", tau=0.8) \
+                    .select_columns(["doc_id"])
+    q["near_dedup_docs_minhash"] = near_dedup_docs_minhash
+
+    def simhash_doc_pairs(sf_dir):
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup.simhash_pairs(ds, "doc_id", "text", max_hamming=3) \
+                    .select_columns(["id_a", "id_b"])
+    q["simhash_doc_pairs"] = simhash_doc_pairs
+
+    def embedding_dup_pairs(sf_dir):
+        ds = fx.driver_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return dedup.embedding_dup_pairs(ds, tau=0.98).select_columns(
+            ["id_a", "id_b"])
+    q["embedding_dup_pairs"] = embedding_dup_pairs
+
+    # --------------------------------------------------- similarity search
+
+    def embedding_topk(sf_dir):
+        """Brute-force cosine top-10: first 3 vectors are the queries, the
+        rest the corpus; query matrix broadcast once via ray.put."""
+        import pyarrow.parquet as pq
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        order = pc.sort_indices(qtbl, sort_keys=[("vec_id", "ascending")])
+        qtbl = qtbl.take(order[:3])
+        qids = qtbl["vec_id"].to_pylist()
+        qmat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+        corpus = fx.driver_table(sf_dir, "embeddings",
+                                 columns=["vec_id", "embedding"]) \
+                   .filter(lambda r: r["vec_id"] not in (0, 1, 2))
+        out = simsearch.brute_force_topk(corpus, qmat, k=10).to_pandas()
+        out["query_id"] = np.asarray(qids, dtype=np.int64)[out["query_id"]]
+        return out[["query_id", "vec_id"]].reset_index(drop=True)
+    q["embedding_topk"] = embedding_topk
+
+    def embedding_topk_ivf(sf_dir):
+        """IVF approximate top-k (rows-only: approximate by design)."""
+        import pyarrow.parquet as pq
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"]).slice(0, 3)
+        qmat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+        corpus = fx.driver_table(sf_dir, "embeddings",
+                                 columns=["vec_id", "embedding"])
+        return simsearch.ivf_topk(corpus, qmat, k=10, n_centroids=8, nprobe=4) \
+                        .select_columns(["query_id", "vec_id"])
+    q["embedding_topk_ivf"] = embedding_topk_ivf
+
+    # ------------------------------ reference kernels over synthetic tables
+
+    def normalize_streets(sf_dir):
+        """[R:audit.py::update_name] M5 — the flagship scalar kernel."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "addr_street"])
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"image_id": b["image_id"],
+                             "street_norm": normalize.normalize_street(b["addr_street"])})
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["normalize_streets"] = normalize_streets
+
+    def caption_normalize(sf_dir):
+        """M11 — same kernel applied to the image caption column."""
+        ds = fx.read_fixture(sf_dir, "images", columns=["image_id", "caption"])
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"image_id": b["image_id"],
+                             "caption_norm": normalize.normalize_street(b["caption"])})
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["caption_normalize"] = caption_normalize
+
+    def audit_street_types(sf_dir):
+        """[R:audit.py::audit] M4 — histogram of street types NOT in the
+        expected list."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["addr_street"])
+
+        def f(b: pa.Table) -> pa.Table:
+            st = normalize.street_type(b["addr_street"])
+            mask = normalize.audit_street_mask(b["addr_street"])
+            return pa.table({"street_type": pc.filter(st, mask)})
+        flagged = ds.map_batches(f, batch_format="pyarrow")
+        return flagged.groupby("street_type").count().rename_columns(
+            {"count()": "cnt"})
+    q["audit_street_types"] = audit_street_types
+
+    def clean_postcodes(sf_dir):
+        """[R:audit.py::update_postcode] M6 — cleaned-or-null per row."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "addr_postcode"])
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"image_id": b["image_id"],
+                             "postcode_clean": normalize.clean_postcode(b["addr_postcode"])})
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["clean_postcodes"] = clean_postcodes
+
+    def postcode_district_histogram(sf_dir):
+        """A7 — valid postcodes grouped by 2-digit district prefix."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["addr_postcode"])
+
+        def f(b: pa.Table) -> pa.Table:
+            clean = normalize.clean_postcode(b["addr_postcode"])
+            clean = pc.drop_null(clean)
+            return pa.table({"district": pc.utf8_slice_codeunits(clean, 0, 2)})
+        return ds.map_batches(f, batch_format="pyarrow") \
+                 .groupby("district").count().rename_columns({"count()": "cnt"})
+    q["postcode_district_histogram"] = postcode_district_histogram
+
+    def bbox_quarantine(sf_dir):
+        """[R:notebook::bbox check] M7/J5 — membership counts in/out."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+
+        def f(b: pa.Table) -> pa.Table:
+            m = geo.bbox_contains(b["lon"].to_numpy(), b["lat"].to_numpy())
+            return pa.table({"in_bbox": pa.array(m)})
+        return ds.map_batches(f, batch_format="pyarrow") \
+                 .groupby("in_bbox").count().rename_columns({"count()": "cnt"})
+    q["bbox_quarantine"] = bbox_quarantine
+
+    def cell_encode_points(sf_dir):
+        """M13 — grid coordinates at res 12 (bijective with the cell id)."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
+
+        def f(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(), CELL_RES)
+            return pa.table({"image_id": b["image_id"],
+                             "qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64())})
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["cell_encode_points"] = cell_encode_points
+
+    def tile_assignments(sf_dir):
+        """north_rule "identical tile assignments": tile grid coords / row."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
+
+        def f(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(), TILE_RES)
+            return pa.table({"image_id": b["image_id"],
+                             "tile_x": pa.array(qx, pa.int64()),
+                             "tile_y": pa.array(qy, pa.int64())})
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["tile_assignments"] = tile_assignments
+
+    def pip_join_pairs(sf_dir):
+        """J3 — cell-prefiltered point-in-polygon spatial join."""
+        import pyarrow.parquet as pq
+        polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+        pts = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
+        out = pip_join.pip_join(pts, polys, keep_cols=["image_id"])
+        return out.select_columns(["image_id", "polygon_id"])
+    q["pip_join_pairs"] = pip_join_pairs
+
+    def knn_pairs(sf_dir):
+        """J4 — exact kNN via compact-cell ring expansion + coarsening."""
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        out = knn.knn_join(pts, k=KNN_K, res=11, id_col="image_id", exact=True)
+        return out.select_columns(["id", "neighbor_id"])
+    q["knn_pairs"] = knn_pairs
+
+    def exact_dedup_images(sf_dir):
+        """D1 — exact dedup by phash, keep min image_id."""
+        ds = fx.read_fixture(sf_dir, "images", columns=["image_id", "phash"])
+        return dedup.exact_dedup(ds, "phash", "image_id") \
+                    .select_columns(["image_id"])
+    q["exact_dedup_images"] = exact_dedup_images
+
+    def way_node_resolution(sf_dir):
+        """J1 — resolve way node_refs to positions (hash join on node id)."""
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        out = wn.join(nodes, on=("node_id",), join_type="inner", **join_kwargs())
+        return out.select_columns(["way_id", "position", "lon", "lat"])
+    q["way_node_resolution"] = way_node_resolution
+
+    def tag_key_classification(sf_dir):
+        """[R:tags.py::process_map] M2 — key-bucket histogram."""
+        ds = fx.read_fixture(sf_dir, "tags", columns=["key"])
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"bucket": normalize.classify_keys(b["key"])})
+        return ds.map_batches(f, batch_format="pyarrow") \
+                 .groupby("bucket").count().rename_columns({"count()": "cnt"})
+    q["tag_key_classification"] = tag_key_classification
+
+    def tag_counts(sf_dir):
+        """[R:mapparser.py::count_tags] M1 — per-key tag counts."""
+        ds = fx.read_fixture(sf_dir, "tags", columns=["key"])
+        return ds.groupby("key").count().rename_columns({"count()": "cnt"})
+    q["tag_counts"] = tag_counts
+
+    def top_amenities(sf_dir):
+        """[R:notebook] A6 — top-10 amenity values."""
+        ds = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
+        am = ds.filter(lambda r: r["key"] == "amenity")
+        counts = am.groupby("value").count().rename_columns({"count()": "cnt"})
+        df = counts.to_pandas().sort_values(["cnt", "value"],
+                                            ascending=[False, True]).head(10)
+        return df.reset_index(drop=True)
+    q["top_amenities"] = top_amenities
+
+    def shape_elements(sf_dir):
+        """[R:data.py::shape_element] M8 — unified node/way document table
+        (flat columns; 'created' fields coerced, timestamps to epoch µs)."""
+        def shape(kind):
+            def f(b: pa.Table) -> pa.Table:
+                n = len(b)
+                out = {
+                    "id": b["id"],
+                    "elem_type": pa.array([kind] * n, pa.string()),
+                    "lon": b["lon"] if kind == "node" else pa.nulls(n, pa.float64()),
+                    "lat": b["lat"] if kind == "node" else pa.nulls(n, pa.float64()),
+                    "user": b["user"],
+                    "uid": b["uid"],
+                    "version": b["version"],
+                    "changeset": b["changeset"],
+                    "ts_us": pc.cast(b["timestamp"], pa.int64()),
+                }
+                return pa.table(out)
+            return f
+        nodes = fx.read_fixture(sf_dir, "nodes").map_batches(
+            shape("node"), batch_format="pyarrow")
+        ways = fx.read_fixture(sf_dir, "ways").map_batches(
+            shape("way"), batch_format="pyarrow")
+        return nodes.union(ways)
+    q["shape_elements"] = shape_elements
+
+    def osm_distinct_users(sf_dir):
+        """[R:users.py] M10/A3 — distinct contributors over nodes+ways."""
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["uid"])
+        ways = fx.read_fixture(sf_dir, "ways", columns=["uid"])
+        n = nodes.union(ways).groupby("uid").count().count()
+        return pd.DataFrame({"n_users": [int(n)]})
+    q["osm_distinct_users"] = osm_distinct_users
+
+    def osm_top_contributors(sf_dir):
+        """A4 — top-10 contributors by element count."""
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["user"])
+        ways = fx.read_fixture(sf_dir, "ways", columns=["user"])
+        counts = nodes.union(ways).groupby("user").count().rename_columns(
+            {"count()": "cnt"})
+        df = counts.to_pandas().sort_values(["cnt", "user"],
+                                            ascending=[False, True]).head(10)
+        return df.reset_index(drop=True)
+    q["osm_top_contributors"] = osm_top_contributors
+
+    def osm_one_shot_users(sf_dir):
+        """A5 — contributors with exactly one element."""
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["uid"])
+        ways = fx.read_fixture(sf_dir, "ways", columns=["uid"])
+        counts = nodes.union(ways).groupby("uid").count()
+        n = counts.filter(lambda r: r["count()"] == 1).count()
+        return pd.DataFrame({"n_one_shot": [int(n)]})
+    q["osm_one_shot_users"] = osm_one_shot_users
+
+    # ------------------------------------------- multimodal / tile stages
+
+    def render_tile_stats(sf_dir):
+        """T3 — per-tile render over images⋈geo (png hashed to a stable
+        crc so the check pins pixel bytes without shipping them)."""
+        import zlib
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "bytes", "w", "h", "fmt"])
+        g = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
+        joined = imgs.join(g, on=("image_id",), join_type="inner", **join_kwargs())
+        out = tiles.render_tiles(joined, tile_res=TILE_RES)
+
+        def crc(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "tile_id": b["tile_id"],
+                "n_images": b["n_images"],
+                "png_crc": pa.array([zlib.crc32(x) for x in b["png"].to_pylist()],
+                                    pa.int64()),
+            })
+        return out.map_batches(crc, batch_format="pyarrow")
+    q["render_tile_stats"] = render_tile_stats
+
+    def decode_image_features(sf_dir):
+        """S6 — decode every stored format, verify stored phash, emit
+        brightness stats (actor pool; rows-only check)."""
+        ds = fx.read_fixture(sf_dir, "images")
+        out = multimodal.decode_features(ds, verify_phash=True)
+        return out.select_columns(["image_id", "phash_ok", "brightness"])
+    q["decode_image_features"] = decode_image_features
+
+    return q
+
+
+# ============================================================= oracle SQL
+
+def oracle_sql():
+    # the oracle reads the same fixture files → make sure they exist for the
+    # sf the driver compares at (cheap + cached; pure pyarrow, no Ray)
+    import os
+    fx.materialize(f"/root/testdata/{_SQL_ORACLE_TAG}")
+
+    geo_p = f"read_parquet('{_fxp('geo')}')"
+    images_p = f"read_parquet('{_fxp('images')}')"
+    edges_p = f"read_parquet('{_fxp('edges')}')"
+    knn_p = f"read_parquet('{_fxp('knn_pts')}')"
+    nodes_p = f"read_parquet('{_fxp('nodes')}')"
+    ways_p = f"read_parquet('{_fxp('ways')}')"
+    way_nodes_p = f"read_parquet('{_fxp('way_nodes')}')"
+    tags_p = f"read_parquet('{_fxp('tags')}')"
+
+    expected = ", ".join(f"'{t}'" for t in EXPECTED_STREET_TYPES)
+    stype = _street_type_sql("addr_street")
+    pc_clean = normalize.clean_postcode_sql("addr_postcode")
+    w, s, e, n = geo.SG_BBOX
+
+    hav = ("2*6371008.8*asin(sqrt(LEAST(GREATEST("
+           "sin((radians(b.lat)-radians(a.lat))/2)^2"
+           " + cos(radians(a.lat))*cos(radians(b.lat))"
+           "*sin((radians(b.lon)-radians(a.lon))/2)^2, 0.0), 1.0)))")
+
+    o = {
+        "agg_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 0) AS sum_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "count_by_event_type": """
+            SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type""",
+        "top_users_by_events": """
+            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+            ORDER BY cnt DESC, user_id LIMIT 10""",
+        "distinct_event_users": """
+            SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
+        "one_shot_users": """
+            SELECT COUNT(*) AS n_one_shot FROM (
+              SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) = 1)""",
+        "top_parts_by_brand": """
+            SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+            ORDER BY cnt DESC, p_brand LIMIT 10""",
+        "orders_topk_price": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "doc_token_counts": r"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens_ws
+            FROM documents""",
+        "doc_lang_breakdown": """
+            SELECT lang, source, COUNT(*) AS cnt FROM documents
+            GROUP BY lang, source""",
+        "doc_dup_content_count": r"""
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs FROM (
+              SELECT COUNT(*) AS c FROM documents
+              GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+              HAVING COUNT(*) >= 2)""",
+        "embedding_topk": """
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                                DESC, c.vec_id) AS rn
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 3 AND c.vec_id >= 3)
+            WHERE rn <= 10""",
+        "normalize_streets": f"""
+            SELECT image_id, {normalize.normalize_street_sql('addr_street')}
+                   AS street_norm
+            FROM {geo_p}""",
+        "caption_normalize": f"""
+            SELECT image_id, {normalize.normalize_street_sql('caption')}
+                   AS caption_norm
+            FROM {images_p}""",
+        "audit_street_types": f"""
+            SELECT street_type, COUNT(*) AS cnt FROM (
+              SELECT {stype} AS street_type FROM {geo_p})
+            WHERE street_type NOT IN ({expected})
+            GROUP BY street_type""",
+        "clean_postcodes": f"""
+            SELECT image_id, {pc_clean} AS postcode_clean FROM {geo_p}""",
+        "postcode_district_histogram": f"""
+            SELECT substr(pcc, 1, 2) AS district, COUNT(*) AS cnt FROM (
+              SELECT {pc_clean} AS pcc FROM {geo_p})
+            WHERE pcc IS NOT NULL GROUP BY substr(pcc, 1, 2)""",
+        "bbox_quarantine": f"""
+            SELECT (lon >= {w} AND lon <= {e} AND lat >= {s} AND lat <= {n})
+                   AS in_bbox, COUNT(*) AS cnt
+            FROM {geo_p} GROUP BY 1""",
+        "cell_encode_points": f"""
+            SELECT image_id,
+                   {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
+                   {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy
+            FROM {geo_p}""",
+        "tile_assignments": f"""
+            SELECT image_id,
+                   {_grid_sql('lon', TILE_RES, -180.0, 360.0)} AS tile_x,
+                   {_grid_sql('lat', TILE_RES, -90.0, 180.0)} AS tile_y
+            FROM {geo_p}""",
+        "pip_join_pairs": f"""
+            SELECT g.image_id, e.polygon_id
+            FROM {geo_p} g JOIN {edges_p} e
+              ON ((e.y1 <= g.lat) != (e.y2 <= g.lat)
+                  AND g.lon < e.x1 + (g.lat - e.y1)/(e.y2 - e.y1)*(e.x2 - e.x1))
+            GROUP BY g.image_id, e.polygon_id
+            HAVING COUNT(*) % 2 = 1""",
+        "knn_pairs": f"""
+            SELECT id, neighbor_id FROM (
+              SELECT a.image_id AS id, b.image_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.image_id
+                       ORDER BY {hav}, b.image_id) AS rn
+              FROM {knn_p} a, {knn_p} b
+              WHERE a.image_id != b.image_id)
+            WHERE rn <= {KNN_K}""",
+        "exact_dedup_images": f"""
+            SELECT MIN(image_id) AS image_id FROM {images_p} GROUP BY phash""",
+        "way_node_resolution": f"""
+            SELECT wn.way_id, wn.position, nd.lon, nd.lat
+            FROM {way_nodes_p} wn JOIN {nodes_p} nd ON wn.node_id = nd.id""",
+        "tag_key_classification": f"""
+            SELECT {normalize.classify_keys_sql('key')} AS bucket,
+                   COUNT(*) AS cnt
+            FROM {tags_p} GROUP BY 1""",
+        "tag_counts": f"""
+            SELECT key, COUNT(*) AS cnt FROM {tags_p} GROUP BY key""",
+        "top_amenities": f"""
+            SELECT value, COUNT(*) AS cnt FROM {tags_p}
+            WHERE key = 'amenity' GROUP BY value
+            ORDER BY cnt DESC, value LIMIT 10""",
+        "shape_elements": f"""
+            SELECT id, 'node' AS elem_type, lon, lat, user, uid,
+                   version, changeset,
+                   CAST(epoch_us(timestamp) AS BIGINT) AS ts_us
+            FROM {nodes_p}
+            UNION ALL
+            SELECT id, 'way' AS elem_type, NULL AS lon, NULL AS lat, user,
+                   uid, version, changeset,
+                   CAST(epoch_us(timestamp) AS BIGINT) AS ts_us
+            FROM {ways_p}""",
+        "osm_distinct_users": f"""
+            SELECT COUNT(DISTINCT uid) AS n_users FROM (
+              SELECT uid FROM {nodes_p} UNION ALL SELECT uid FROM {ways_p})""",
+        "osm_top_contributors": f"""
+            SELECT user, COUNT(*) AS cnt FROM (
+              SELECT user FROM {nodes_p} UNION ALL SELECT user FROM {ways_p})
+            GROUP BY user ORDER BY cnt DESC, user LIMIT 10""",
+        "osm_one_shot_users": f"""
+            SELECT COUNT(*) AS n_one_shot FROM (
+              SELECT uid FROM (
+                SELECT uid FROM {nodes_p} UNION ALL SELECT uid FROM {ways_p})
+              GROUP BY uid HAVING COUNT(*) = 1)""",
+    }
+    return o

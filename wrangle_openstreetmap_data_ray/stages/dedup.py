@@ -24,68 +24,92 @@ from ..util import pool_spec
 # ------------------------------------------------------------------ exact
 
 
-def exact_dedup(ds, key_col: str, tie_col: str):
+def exact_dedup(ds, key_col: str, tie_col: str, n_buckets: int = 1024):
     """D1 — keep exactly one row per ``key_col``: the row with the smallest
     ``tie_col`` (deterministic tie-break; oracle twin =
     ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY tie) = 1``).
 
-    Hash-shuffle on the key, then a per-group head — no global sort.
+    Two-level: per-batch pre-reduce (vectorized pandas groupby — shrinks
+    the shuffle to ≤1 row per key per block), then a bucketed hash shuffle
+    with a bounded group count and one more vectorized reduce per bucket.
     """
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(tie_col, kind="mergesort").head(1)
+    from ..util import bucketed_group_apply
 
-    return ds.groupby(key_col).map_groups(keep_first, batch_format="pandas")
+    def local_first(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(tie_col, kind="mergesort")
+        return b[~b.duplicated(key_col, keep="first")]
+
+    pre = ds.map_batches(local_first, batch_format="pandas")
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(tie_col, kind="mergesort")
+        return g[~g.duplicated(key_col, keep="first")].drop(columns=["_bucket"])
+
+    return bucketed_group_apply(pre, [key_col], bucket_first, n_buckets)
 
 
 # ----------------------------------------------------------- minhash + lsh
 
 
-class _MinHashSig:
-    """Actor-pool stage: per-doc MinHash band hashes (params built once)."""
+def _minhash_sig_fn(id_col: str, text_col: str, num_perm: int, num_bands: int,
+                    shingle_n: int):
+    """Per-batch MinHash band hashes as a PLAIN task fn: the permutation
+    params and token-hash memo live in module-level caches that persist in
+    each long-lived Ray worker process, so tasks get actor-warm state
+    without actor-pool startup latency or CPU pinning."""
 
-    def __init__(self, id_col: str, text_col: str, num_perm: int, num_bands: int,
-                 shingle_n: int):
-        self.id_col, self.text_col = id_col, text_col
-        self.num_perm, self.num_bands, self.shingle_n = num_perm, num_bands, shingle_n
-        # warm the permutation-parameter cache once per actor
-        minhash_signature(["warm"], num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        n_bands = self.num_bands
-        out_id, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        sigs = np.empty((len(ids), num_bands), np.uint64)
+        for i, t in enumerate(texts):
             toks = WS_RE.findall(t.lower())
-            sig = minhash_signature(toks, self.num_perm, self.shingle_n)
-            bh = minhash_bands(sig, n_bands)
-            out_id.extend([i] * n_bands)
-            out_band.extend(range(n_bands))
-            out_hash.extend(bh.astype(np.int64).tolist())
+            sigs[i] = minhash_bands(
+                minhash_signature(toks, num_perm, shingle_n), num_bands)
         return pa.table({
-            "doc_id": pa.array(out_id),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
+            "doc_id": pa.array(np.repeat(np.asarray(ids), num_bands)),
+            "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32),
+                                        len(ids)), pa.int32()),
+            "band_hash": pa.array(sigs.reshape(-1).astype(np.int64), pa.int64()),
         })
+    return fn
 
 
-def _pairs_from_buckets(bucketed, id_col: str = "doc_id"):
-    """groupby (band_id, band_hash) → unique candidate pairs (a < b)."""
+def _pairs_from_buckets(sigs, id_col: str = "doc_id", n_buckets: int = 1024,
+                        hot_cap: int = 1000):
+    """(band_id, band_hash) rows → candidate pairs (a < b).
+
+    One bucketed shuffle on band_hash; within each shuffle bucket, run
+    detection over the sorted rows finds every LSH bucket vectorized, and
+    only multi-member runs (the rare dup candidates) emit pairs. Runs
+    larger than ``hot_cap`` are skipped (hot-bucket guard).
+    """
+    from ..util import bucketed_group_apply
+
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:   # hot-bucket guard (salt-free cap)
-            # empty frames MUST keep the id dtype: a float64/object empty
-            # block poisons the unified schema and breaks downstream joins
+        g = g.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        if len(g) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        counts = np.diff(np.append(np.nonzero(new)[0], len(g)))
+        starts = np.cumsum(np.append(0, counts))[:-1]
+        out_a, out_b = [ids[:0]], [ids[:0]]
+        for r in np.nonzero((counts >= 2) & (counts <= hot_cap))[0]:
+            seg = ids[starts[r]:starts[r] + counts[r]]
+            ia, ib = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    pairs = bucketed.groupby(["band_id", "band_hash"]).map_groups(
-        emit, batch_format="pandas")
-    # same pair can surface from several bands — dedupe
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    # NOTE: the same pair can surface from several bands; downstream
+    # consumers dedupe inside their own per-pair group (saves one shuffle).
+    return bucketed_group_apply(sigs, ["band_hash"], emit, n_buckets)
 
 
 def minhash_candidate_pairs(ds, id_col: str, text_col: str, num_perm: int = 128,
@@ -94,9 +118,8 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str, num_perm: int = 128,
     """docs → unique LSH candidate pairs. Only (doc_id, band_id, band_hash)
     rows cross the shuffle (narrow)."""
     sigs = ds.map_batches(
-        _MinHashSig, fn_constructor_args=(id_col, text_col, num_perm, num_bands, shingle_n),
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=pool_spec(concurrency), num_cpus=1)
+        _minhash_sig_fn(id_col, text_col, num_perm, num_bands, shingle_n),
+        batch_format="pyarrow", batch_size=1024)
     return _pairs_from_buckets(sigs)
 
 
@@ -256,25 +279,41 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3,
 
     bucketed = sigs.map_batches(explode, batch_format="pyarrow")
 
+    from ..util import bucketed_group_apply
+
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 1000:
+        if len(g) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
                                  "hamming": np.empty(0, dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = hamming64(sh[ia], sh[ib])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "hamming": ham[keep]})
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        counts = np.diff(np.append(np.nonzero(new)[0], len(g)))
+        starts = np.cumsum(np.append(0, counts))[:-1]
+        out_a, out_b = [ids[:0]], [ids[:0]]
+        out_h = [np.empty(0, np.int64)]
+        for r in np.nonzero((counts >= 2) & (counts <= 1000))[0]:
+            s0, c = starts[r], counts[r]
+            ia, ib = np.triu_indices(c, k=1)
+            ham = hamming64(sh[s0 + ia], sh[s0 + ib])
+            keep = ham <= max_hamming
+            out_a.append(ids[s0 + ia[keep]])
+            out_b.append(ids[s0 + ib[keep]])
+            out_h.append(ham[keep])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    pairs = bucketed.groupby(["band_id", "band_hash"]).map_groups(
-        emit, batch_format="pandas")
+    pairs = bucketed_group_apply(bucketed, ["band_hash"], emit)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_bucket"])
+    return bucketed_group_apply(pairs, ["id_a"], dedupe, n_buckets=256)
 
 
 # ------------------------------------------------- embedding cosine dedup

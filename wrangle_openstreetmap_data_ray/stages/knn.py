@@ -147,7 +147,7 @@ def _one_pass(ds, k, res, id_col, lon_col, lat_col, salt, home_ids_ref):
 
 def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
              lon_col: str = "lon", lat_col: str = "lat", salt: int = 1,
-             exact: bool = True, res_step: int = 2, min_res: int = 4,
+             exact: bool = True, res_step: int = 3, min_res: int = 4,
              max_rounds: int = 8):
     """Self-kNN join → Dataset (id, neighbor_id, dist_m), exactly k rows per
     point (unless the whole dataset has < k+1 points). ``exact=True`` runs
@@ -163,6 +163,11 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
     for _ in range(max_rounds):
         out = _one_pass(ds, k, cur_res, id_col, lon_col, lat_col, salt,
                         ray.put(target) if target is not None else None)
+        if exact and cur_res > min_res:
+            # the round result feeds BOTH the satisfied-id scan and the
+            # final union; materialize once (small, narrow) so the lazy
+            # pipeline isn't executed twice per round
+            out = out.materialize()
         if not exact or cur_res <= min_res:
             results.append(out.drop_columns(["satisfied"]))
             break

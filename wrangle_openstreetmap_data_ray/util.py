@@ -48,6 +48,46 @@ def pool_size(requested: int, reserve: int = 2) -> int:
     return max(1, min(requested, cluster_cpus() - reserve))
 
 
+def stable_bucket(values, n_buckets: int):
+    """Deterministic bucket id per value (vectorized, process-stable) —
+    NEVER Python ``hash`` (salted per process; breaks shuffles/resume)."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(values)
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()  # uint64, stable
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
+                         n_buckets: int = 1024):
+    """groupby-shuffle with a BOUNDED number of groups.
+
+    ``groupby(keys).map_groups(fn)`` pays per-distinct-key Python overhead
+    (one fn call + frame construction per group) — ruinous when keys are
+    near-unique (LSH buckets, dedup keys). Instead: shuffle on
+    ``hash(keys) % n_buckets`` and hand ``bucket_fn`` the WHOLE bucket,
+    which processes all its key-groups vectorized (pandas groupby /
+    numpy run detection). All rows of a key land in one bucket, so
+    semantics match per-key grouping. Scale ``n_buckets`` with data volume
+    (target ~64-256 MB per bucket at cluster scale).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if len(key_cols) == 1:
+            vals = batch[key_cols[0]].to_pandas()
+        else:
+            vals = pd.Series(list(zip(*[batch[c].to_pylist() for c in key_cols])))
+        return batch.append_column(
+            "_bucket", pa.array(stable_bucket(vals, n_buckets)))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("_bucket").map_groups(bucket_fn,
+                                                  batch_format="pandas")
+
+
 def pool_spec(requested: int, reserve: int = 2) -> tuple[int, int]:
     """Autoscaling actor-pool (min, max) for ``map_batches(Cls, ...)``.
 
