@@ -1,0 +1,206 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the headline spatial pipeline twice in FRESH
+processes at num_cpus=8 and num_cpus=32 on the same input and reports
+both throughputs plus efficiency = T8 / (4 * T32)  (1.0 = perfect
+linear scaling from N to 4N cores; the sandbox stand-in for the
+north_rule's N vs 4N *node* criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HEADLINE = [
+    "flagship",
+    "pip_join_pairs",
+    "knn_pairs",
+    "render_tile_stats",
+    "cell_encode_points",
+    "normalize_streets",
+    "exact_dedup_images",
+    "agg_lineitem_pricing",
+    "doc_token_counts",
+    "near_dedup_docs_minhash",
+    "embedding_topk",
+]
+
+# ---- scaling workload (north-star slice at XL size) ------------------------
+# Sized so per-core work dominates fixed pipeline latency: 20M-point
+# spatial join against 300 high-detail polygons + decode/verify of 50k
+# images. A zlib microbenchmark measures the box's own 8→32-core envelope
+# (per-core turbo/bandwidth loss) — reported alongside, because a single
+# shared-memory node understates what N→4N separate NODES deliver.
+SCALE_N_POINTS = 20_000_000
+SCALE_N_IMAGES = 50_000
+SCALE_N_POLYS = 500
+SCALE_POLY_DETAIL = 16
+
+
+def scaling_workload() -> dict:
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray import synth
+    from wrangle_openstreetmap_data_ray.stages import multimodal, pip_join, tiles
+
+    pts_dir = synth.materialize_fixture("points", SCALE_N_POINTS)
+    img_dir = synth.materialize_fixture("images", SCALE_N_IMAGES)
+    polys = synth.gen_polygons_table(SCALE_N_POLYS, detail=SCALE_POLY_DETAIL)
+    res = {}
+    t0 = time.time()
+    res["pip_rows"] = pip_join.pip_join(
+        rd.read_parquet(pts_dir), polys, keep_cols=["image_id"]).count()
+    res["pip_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    res["decode_rows"] = multimodal.decode_features(
+        rd.read_parquet(img_dir), verify_phash=True).count()
+    res["decode_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    imgs = rd.read_parquet(img_dir).map_batches(synth.attach_lonlat,
+                                                batch_format="pyarrow")
+    res["tiles"] = tiles.render_tiles(imgs, tile_res=14).count()
+    res["tiles_sec"] = round(time.time() - t0, 2)
+    res["total_sec"] = round(res["pip_sec"] + res["decode_sec"] + res["tiles_sec"], 2)
+    return res
+
+
+def cpu_envelope(n_tasks: int = 64) -> float:
+    """Pure-CPU (zlib) makespan at the current cluster size — the box's own
+    parallel-scaling ceiling, independent of this engine."""
+    import os as _os
+    import zlib
+
+    import ray
+
+    @ray.remote
+    def work(i):
+        data = _os.urandom(2_000_000)
+        for _ in range(12):
+            zlib.compress(data, 6)
+        return 0
+
+    t0 = time.time()
+    ray.get([work.remote(i) for i in range(n_tasks)])
+    return round(time.time() - t0, 2)
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; returns its row count."""
+    import pandas as pd
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if hasattr(res, "count") and not isinstance(res, pd.DataFrame):
+        try:
+            return int(res.count())       # ray Dataset: executes the pipeline
+        except TypeError:
+            pass
+    return len(res.to_pandas())
+
+
+def run(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wrangle_openstreetmap_data_ray.pipelines import fixtures, flagship, registry
+    fixtures.materialize(sf_dir)          # cached; excluded from timings
+
+    qs = registry.queries()
+    qs["flagship"] = lambda d: flagship.flagship(d)
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.time()
+        rows[name] = _consume(qs[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+    ray.shutdown()
+    return {"timings": timings, "rows": rows}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--pair", nargs=2, type=int, default=None,
+                    help="scaling CPU pair, default 8 32")
+    ap.add_argument("--inner-scale", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.inner_scale is not None:
+        import ray
+        ray.init(address="local", num_cpus=args.inner_scale,
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        res = scaling_workload()
+        res["envelope_sec"] = cpu_envelope()
+        ray.shutdown()
+        print(json.dumps(res))
+        return
+
+    if args.scaling:
+        # fresh process per parallelism level so Ray state cannot leak; the
+        # XL fixtures are materialized by the first (8-cpu) child and cached
+        def one(cpus: int) -> dict:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--inner-scale", str(cpus)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 env={**os.environ, "GRAFT_SF_DIR": sf_dir})
+            if out.returncode != 0:
+                print(out.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling run at {cpus} cpus failed")
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        lo, hi = (args.pair or (8, 32))
+        rlo, rhi = one(lo), one(hi)
+        ratio = hi // lo
+        eff = rlo["total_sec"] / (ratio * rhi["total_sec"])
+        env_eff = rlo["envelope_sec"] / (ratio * rhi["envelope_sec"])
+        print(json.dumps({
+            "metric": "spatial_join_tiling_scaling", "value": round(eff, 3),
+            "unit": f"efficiency_{lo}to{hi}cpus",
+            "queries": {
+                f"t_{lo}cpus_sec": rlo["total_sec"],
+                f"t_{hi}cpus_sec": rhi["total_sec"],
+                "speedup": round(rlo["total_sec"] / rhi["total_sec"], 2),
+                "hardware_envelope_eff": round(env_eff, 3),
+                "eff_vs_envelope": round(eff / env_eff, 3),
+                "detail": {"lo": rlo, "hi": rhi},
+            },
+            "sf": sf, "num_cpus": hi}))
+        return
+
+    names = args.queries if args.queries else HEADLINE
+    res = run(sf_dir, num_cpus, names)
+    total = round(sum(res["timings"].values()), 3)
+    print(json.dumps({
+        "metric": "headline_pipelines_total_sec", "value": total, "unit": "sec",
+        "queries": res["timings"], "sf": sf, "num_cpus": num_cpus}))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,9 +76,13 @@ def _edges_table(polygons: pa.Table) -> pa.Table:
     })
 
 
-def _write_atomic(table: pa.Table, path: str) -> None:
+def _write_atomic(table: pa.Table, path: str,
+                  row_group_size: int = 100_000) -> None:
+    """Row groups sized so read_parquet yields multiple parallel blocks —
+    a single-row-group file reads as ONE block and serializes the whole
+    downstream pipeline."""
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, compression="zstd")
+    pq.write_table(table, tmp, compression="zstd", row_group_size=row_group_size)
     os.replace(tmp, path)
 
 
@@ -99,7 +103,7 @@ def materialize(sf_dir: str) -> str:
         _write_atomic(geo.slice(0, sz["n_knn"]), fixture_path(sf_dir, "knn_pts"))
     if need("images"):
         _write_atomic(synth.gen_images_table(0, sz["n_img"]),
-                      fixture_path(sf_dir, "images"))
+                      fixture_path(sf_dir, "images"), row_group_size=2048)
     if need("polygons") or need("edges"):
         polys = synth.gen_polygons_table(sz["n_polys"])
         _write_atomic(polys, fixture_path(sf_dir, "polygons"))

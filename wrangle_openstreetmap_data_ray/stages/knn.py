@@ -33,9 +33,10 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import geo
-from ..functions.hashing import hash64_str_array
+from ..functions.hashing import hash64_ints, hash64_str_array
 
 _M_PER_DEG = np.pi * geo.EARTH_R_M / 180.0   # meters per degree of latitude
+_N_BUCKETS = 1024
 
 
 def _guard_m(lat: np.ndarray, res: int) -> np.ndarray:
@@ -83,9 +84,17 @@ def _explode(lon_col, lat_col, id_col, res, salt, home_ids):
             idx_k = idx_r
         else:
             salt_k = np.zeros(len(cell_k), dtype=np.int32)
+        # shuffle bucket straight from (cell, salt): bounded group count AND
+        # each salt of a hot cell lands in its own bucket (the whole point
+        # of salting — spread the hot key over workers)
+        with np.errstate(over="ignore"):
+            bucket = (hash64_ints(cell_k.astype(np.uint64) * np.uint64(1_000_003)
+                                  + salt_k.astype(np.uint64))
+                      % np.uint64(_N_BUCKETS)).astype(np.int32)
         return pa.table({
             "cell": pa.array(cell_k, pa.int64()),
             "salt": pa.array(salt_k, pa.int32()),
+            "_bucket": pa.array(bucket),
             "id": pa.array(ids[idx_k]),
             "lon": pa.array(lon[idx_k], pa.float64()),
             "lat": pa.array(lat[idx_k], pa.float64()),
@@ -94,107 +103,218 @@ def _explode(lon_col, lat_col, id_col, res, salt, home_ids):
     return fn
 
 
-def _group_knn(k):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        home = g[g["is_home"]]
-        if len(home) == 0 or len(g) < 2:
-            return pd.DataFrame({"id": [], "neighbor_id": [], "dist_m": [],
-                                 "home_lat": []})
-        hlon, hlat = home["lon"].to_numpy(), home["lat"].to_numpy()
-        alon, alat = g["lon"].to_numpy(), g["lat"].to_numpy()
-        aids, hids = g["id"].to_numpy(), home["id"].to_numpy()
-        d = geo.haversine_m(hlon[:, None], hlat[:, None], alon[None, :], alat[None, :])
-        d = np.where(hids[:, None] == aids[None, :], np.inf, d)
-        kk = min(k, d.shape[1] - 1)
-        if kk <= 0:
-            return pd.DataFrame({"id": [], "neighbor_id": [], "dist_m": [],
-                                 "home_lat": []})
+def _empty_cand(ids) -> pd.DataFrame:
+    return pd.DataFrame({"id": ids[:0], "neighbor_id": ids[:0],
+                         "dist_m": np.empty(0, np.float64),
+                         "home_lat": np.empty(0, np.float64)})
+
+
+def _one_cell_knn(k, hmask, lon, lat, ids, out, chunk: int = 192):
+    """Per-cell vectorized kNN partial: home rows × all rows of the cell.
+
+    Home rows are processed in chunks so the (chunk × cell_size) distance
+    matrix and its temporaries stay cache-resident — an unchunked hot cell
+    (600 home × 20k candidates) allocates >100 MB per temporary and turns
+    the kernel memory-bound."""
+    if not hmask.any() or len(ids) < 2:
+        return
+    hlon, hlat, hids = lon[hmask], lat[hmask], ids[hmask]
+    kk = min(k, len(ids) - 1)
+    if kk <= 0:
+        return
+    for s in range(0, len(hids), chunk):
+        cl, cla, cid = hlon[s:s + chunk], hlat[s:s + chunk], hids[s:s + chunk]
+        d = geo.haversine_m(cl[:, None], cla[:, None], lon[None, :], lat[None, :])
+        d = np.where(cid[:, None] == ids[None, :], np.inf, d)
         part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(hids)), kk)
+        rows = np.repeat(np.arange(len(cid)), kk)
         cols = part.ravel()
         dist = d[rows, cols]
         ok = np.isfinite(dist)
-        return pd.DataFrame({"id": np.repeat(hids, kk)[ok],
-                             "neighbor_id": aids[cols][ok],
-                             "dist_m": dist[ok],
-                             "home_lat": np.repeat(hlat, kk)[ok]})
+        out[0].append(np.repeat(cid, kk)[ok])
+        out[1].append(ids[cols][ok])
+        out[2].append(dist[ok])
+        out[3].append(np.repeat(cla, kk)[ok])
+
+
+def _bucket_knn(k):
+    """All (cell, salt) groups of one shuffle bucket, vectorized run-by-run
+    (bounded group-call overhead — see util.bucketed_group_apply)."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell", "salt"], kind="mergesort")
+        cell = g["cell"].to_numpy()
+        salt = g["salt"].to_numpy()
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        ids, home = g["id"].to_numpy(), g["is_home"].to_numpy()
+        if len(g) < 2:
+            return _empty_cand(ids)
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (cell[1:] != cell[:-1]) | (salt[1:] != salt[:-1])
+        starts = np.append(np.nonzero(new)[0], len(g))
+        out = ([], [], [], [])
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            _one_cell_knn(k, home[s:e], lon[s:e], lat[s:e], ids[s:e], out)
+        if not out[0]:
+            return _empty_cand(ids)
+        return pd.DataFrame({"id": np.concatenate(out[0]),
+                             "neighbor_id": np.concatenate(out[1]),
+                             "dist_m": np.concatenate(out[2]),
+                             "home_lat": np.concatenate(out[3])})
     return fn
 
 
-def _final_k(k, res):
+def _bucket_final_k(k, res):
+    """Per-id global top-k + satisfaction flag for every id in the bucket,
+    all in vectorized pandas (no per-id group calls)."""
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("neighbor_id")
-        g = g.sort_values(["dist_m", "neighbor_id"], kind="mergesort").head(k)
-        guard = _guard_m(g["home_lat"].to_numpy(), res)
-        satisfied = (len(g) >= k) and bool((g["dist_m"].to_numpy() <= guard).all())
-        out = g[["id", "neighbor_id", "dist_m"]].copy()
-        out["satisfied"] = satisfied
+        g = g.drop_duplicates(["id", "neighbor_id"])
+        g = g.sort_values(["id", "dist_m", "neighbor_id"], kind="mergesort")
+        top = g.groupby("id", sort=False).head(k)
+        grp = top.groupby("id", sort=False)
+        nn = grp["neighbor_id"].transform("size")
+        guard = _guard_m(top["home_lat"].to_numpy(), res)
+        within = pd.Series(top["dist_m"].to_numpy() <= guard, index=top.index)
+        all_within = within.groupby(top["id"], sort=False).transform("all")
+        out = top[["id", "neighbor_id", "dist_m"]].copy()
+        out["satisfied"] = (nn >= k).to_numpy() & all_within.to_numpy()
         return out
     return fn
 
 
 def _one_pass(ds, k, res, id_col, lon_col, lat_col, salt, home_ids_ref):
     import ray
+
+    from ..util import bucketed_group_apply
     home_ids = ray.get(home_ids_ref) if home_ids_ref is not None else None
     exploded = ds.map_batches(
         _explode(lon_col, lat_col, id_col, res, salt, home_ids),
         batch_format="pyarrow", batch_size=16384)
-    candidates = exploded.groupby(["cell", "salt"]).map_groups(
-        _group_knn(k), batch_format="pandas")
-    return candidates.groupby("id").map_groups(_final_k(k, res),
-                                               batch_format="pandas")
+    candidates = exploded.groupby("_bucket").map_groups(
+        _bucket_knn(k), batch_format="pandas")
+    return bucketed_group_apply(candidates, ["id"], _bucket_final_k(k, res))
+
+
+def _laggard_topk(ds, laggards: pd.DataFrame, k, id_col, lon_col, lat_col):
+    """EXACT top-k for the (few) laggard points: broadcast their coordinate
+    matrix once (``ray.put``), every batch of the full dataset computes a
+    vectorized (batch × laggards) haversine and emits per-batch partial
+    top-k; a bucketed re-reduce keeps the global top-k. One pass over the
+    data, no candidate blowup — replaces the old resolution-coarsening
+    retries, whose coarse cells pulled in arbitrarily many candidates."""
+    import ray
+
+    from ..util import bucketed_group_apply
+    lids = laggards["id"].to_numpy()
+    ref = ray.put((lids, laggards["lon"].to_numpy(), laggards["lat"].to_numpy()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lid, llon, llat = ray.get(ref)
+        blon = batch[lon_col].to_numpy()
+        blat = batch[lat_col].to_numpy()
+        bids = np.asarray(batch[id_col].to_pylist())
+        d = geo.haversine_m(blon[:, None], blat[:, None], llon[None, :], llat[None, :])
+        d = np.where(bids[:, None] == lid[None, :], np.inf, d)   # exclude self
+        kk = min(k, d.shape[0])
+        part = np.argpartition(d, kk - 1, axis=0)[:kk]           # (kk, L)
+        cols = np.tile(np.arange(len(lid)), kk)
+        rows = part.ravel()
+        dist = d[rows, cols]
+        ok = np.isfinite(dist)
+        return pa.table({
+            "id": pa.array(lid[cols][ok]),
+            "neighbor_id": pa.array(bids[rows][ok]),
+            "dist_m": pa.array(dist[ok], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["id", "neighbor_id"])
+        g = g.sort_values(["id", "dist_m", "neighbor_id"], kind="mergesort")
+        return g.groupby("id", sort=False).head(k)[["id", "neighbor_id", "dist_m"]]
+
+    return bucketed_group_apply(partials, ["id"], reduce_topk, n_buckets=256)
 
 
 def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
              lon_col: str = "lon", lat_col: str = "lat", salt: int = 1,
-             exact: bool = True, res_step: int = 3, min_res: int = 4,
-             max_rounds: int = 8):
+             exact: bool = True, laggard_cap: int = 200_000):
     """Self-kNN join → Dataset (id, neighbor_id, dist_m), exactly k rows per
-    point (unless the whole dataset has < k+1 points). ``exact=True`` runs
-    the coarsening fallback until every point is satisfied."""
+    point (unless the whole dataset has < k+1 points).
+
+    Three rounds: (1) compact-cell ring-1 pass at ``res`` — resolves every
+    point whose k-th neighbor is within one grid step (the dense bulk);
+    (2) one coarser ring-1 pass at ``res - 3`` for the laggards only
+    (sparse areas — 8× wider guard radius); (3) exact broadcast top-k over
+    the full dataset for any residue (``_laggard_topk``; truly isolated
+    points — should be a trace). Choose ``res`` so cells hold O(100-1000)
+    points in dense areas. ``laggard_cap`` guards the broadcast matrix
+    (cost = n_rows × n_residue)."""
     import ray
-    results = []
-    cur_res = res
     ds = ds.select_columns([id_col, lon_col, lat_col])  # narrow the shuffle
-    # target id set per round. Driver-side sets are fine up to ~10^7 laggards;
-    # at larger scale replace the no-show bookkeeping with an anti-join of
-    # (all ids) against (emitted ids) — same semantics, fully distributed.
-    target: set | None = None  # None = every point (round 0)
-    for _ in range(max_rounds):
-        out = _one_pass(ds, k, cur_res, id_col, lon_col, lat_col, salt,
-                        ray.put(target) if target is not None else None)
-        if exact and cur_res > min_res:
-            # the round result feeds BOTH the satisfied-id scan and the
-            # final union; materialize once (small, narrow) so the lazy
-            # pipeline isn't executed twice per round
-            out = out.materialize()
-        if not exact or cur_res <= min_res:
-            results.append(out.drop_columns(["satisfied"]))
-            break
+    out = _one_pass(ds, k, res, id_col, lon_col, lat_col, salt, None)
+    if not exact:
+        return out.drop_columns(["satisfied"])
+    out = out.materialize()   # feeds both the laggard scan and the union
 
-        def _split(keep_good):
-            def fn(b: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-                mask = b["satisfied"]
-                return b.filter(mask if keep_good else pc.invert(mask))
-            return fn
+    def keep_good(b: pa.Table) -> pa.Table:
+        return b.filter(b["satisfied"])
+    good = out.map_batches(keep_good, batch_format="pyarrow")
 
-        good = out.map_batches(_split(True), batch_format="pyarrow")
-        sat_ids = {r["id"] for r in good.select_columns(["id"]).take_all()}
-        if target is None:
-            target = {r[id_col] for r in ds.select_columns([id_col]).take_all()}
-        # retry both kinds of laggard: unsatisfied AND no-show (points whose
-        # ring-1 group emitted no candidate rows at all — isolated points)
-        bad_ids = target - sat_ids
-        results.append(good.drop_columns(["satisfied"]))
-        if not bad_ids:
-            break
-        target = bad_ids
-        cur_res = max(min_res, cur_res - res_step)
-    final = results[0]
-    for r in results[1:]:
-        final = final.union(r)
-    return final
+    # laggards = points NOT satisfied (incl. no-shows whose ring-1 group had
+    # no candidates at all) — found with a distributed anti-join (bucketed
+    # groupby on id), never by materializing the full point set driver-side
+    from ..util import bucketed_group_apply
+
+    def pts_side(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b[id_col], "lon": b[lon_col], "lat": b[lat_col],
+                         "sat": pa.array(np.zeros(len(b), np.int8))})
+
+    def sat_side(b: pa.Table) -> pa.Table:
+        f = b.filter(b["satisfied"])
+        n = f.num_rows
+        return pa.table({"id": f["id"],
+                         "lon": pa.array(np.zeros(n, np.float64)),
+                         "lat": pa.array(np.zeros(n, np.float64)),
+                         "sat": pa.array(np.ones(n, np.int8))})
+
+    unioned = ds.map_batches(pts_side, batch_format="pyarrow").union(
+        out.map_batches(sat_side, batch_format="pyarrow"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        has_sat = g.groupby("id", sort=False)["sat"].transform("max")
+        keep = g[(has_sat == 0) & (g["sat"] == 0)]
+        return keep[["id", "lon", "lat"]]
+
+    lag = bucketed_group_apply(unioned, ["id"], anti, n_buckets=256).to_pandas()
+    good = good.drop_columns(["satisfied"])
+    if len(lag) == 0:
+        return good
+
+    # round 2: coarser ring-1 pass, home = laggards only (all points still
+    # ghost, so each laggard sees its full 8×-wider neighborhood)
+    lag_ids = set(lag["id"])
+    out2 = _one_pass(ds, k, max(1, res - 3), id_col, lon_col, lat_col, salt,
+                     ray.put(lag_ids)).materialize()
+
+    def keep_good2(b: pa.Table) -> pa.Table:
+        return b.filter(b["satisfied"])
+    good2 = out2.map_batches(keep_good2, batch_format="pyarrow") \
+                .drop_columns(["satisfied"])
+    sat2 = {r["id"] for r in out2.map_batches(
+        lambda b: b.filter(b["satisfied"]).select(["id"]),
+        batch_format="pyarrow").take_all()}
+    residue = lag[~lag["id"].isin(sat2)]
+    result = good.union(good2)
+    if len(residue) == 0:
+        return result
+    if len(residue) > laggard_cap:
+        raise ValueError(
+            f"{len(residue)} residual laggards exceed laggard_cap="
+            f"{laggard_cap}; pick a res that matches the point density")
+    return result.union(_laggard_topk(ds, residue, k, id_col, lon_col, lat_col))
 
 
 def knn_join_exact_small(points: pa.Table, k: int, id_col="image_id",

@@ -56,12 +56,20 @@ class DecodeImageFeatures:
         return out
 
 
-def decode_features(ds, verify_phash: bool = True, concurrency=(2, 8),
+def decode_features(ds, verify_phash: bool = True, concurrency=None,
                     batch_size: int = 256):
-    return ds.map_batches(DecodeImageFeatures,
-                          fn_constructor_kwargs={"verify_phash": verify_phash},
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+    """Stateless decode kernel → TASK-based by default (scales up instantly;
+    autoscaling actor pools ramp too slowly — see pip_join). Pass
+    ``concurrency`` to force an actor pool."""
+    if concurrency is not None:
+        return ds.map_batches(DecodeImageFeatures,
+                              fn_constructor_kwargs={"verify_phash": verify_phash},
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
+
+    def task(batch):
+        return DecodeImageFeatures(verify_phash=verify_phash)(batch)
+    return ds.map_batches(task, batch_format="pyarrow", batch_size=batch_size)
 
 
 class ResizeImages:
@@ -93,10 +101,16 @@ class ResizeImages:
 
 
 def resize_images(ds, out_w: int, out_h: int, out_fmt: str = "png",
-                  concurrency=(2, 8), batch_size: int = 256):
-    return ds.map_batches(ResizeImages, fn_constructor_args=(out_w, out_h, out_fmt),
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                  concurrency=None, batch_size: int = 256):
+    if concurrency is not None:
+        return ds.map_batches(ResizeImages,
+                              fn_constructor_args=(out_w, out_h, out_fmt),
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
+
+    def task(batch):
+        return ResizeImages(out_w, out_h, out_fmt)(batch)
+    return ds.map_batches(task, batch_format="pyarrow", batch_size=batch_size)
 
 
 class AudioFeatures:

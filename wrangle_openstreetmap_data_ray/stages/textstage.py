@@ -39,8 +39,13 @@ class TextAnalyze:
 
 
 def analyze_text(ds, text_col: str = "text", keep_text: bool = False,
-                 concurrency=(2, 8), batch_size: int = 1024):
-    return ds.map_batches(TextAnalyze,
-                          fn_constructor_args=(text_col, keep_text),
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                 concurrency=None, batch_size: int = 1024):
+    if concurrency is not None:
+        return ds.map_batches(TextAnalyze,
+                              fn_constructor_args=(text_col, keep_text),
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
+
+    def task(batch):
+        return TextAnalyze(text_col, keep_text)(batch)
+    return ds.map_batches(task, batch_format="pyarrow", batch_size=batch_size)

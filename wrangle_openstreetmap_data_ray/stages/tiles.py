@@ -67,8 +67,19 @@ def _render(tile_px: int, thumb_px: int):
 
 
 def render_tiles(ds, tile_res: int = 12, lon_col="lon", lat_col="lat",
-                 tile_px: int = TILE_PX, thumb_px: int = THUMB_PX):
-    """images+geo Dataset → one PNG tile row per populated cell."""
+                 tile_px: int = TILE_PX, thumb_px: int = THUMB_PX,
+                 coalesce: bool = True):
+    """images+geo Dataset → one PNG tile row per populated cell.
+
+    ``coalesce`` repartitions to ~2 blocks/CPU first: Ray's sort shuffle
+    on byte-heavy rows is pathological when upstream blocks are tiny and
+    misaligned (measured 21s for 25 × 4 MB gen blocks vs 4.8s after an
+    explicit repartition(64) on the same 100 MB); an explicit repartition
+    also sets the render stage's parallelism.
+    """
+    from ..util import cluster_cpus
     tiled = assign_tiles(ds, tile_res, lon_col, lat_col)
+    if coalesce:
+        tiled = tiled.repartition(2 * cluster_cpus())
     return tiled.groupby("tile_id").map_groups(_render(tile_px, thumb_px),
                                                batch_format="pandas")

@@ -117,27 +117,46 @@ def gen_images_table(start: int, count: int, seed: int = SEED) -> pa.Table:
 
 # ---------------------------------------------------------------------- geo
 
-def gen_geo_table(start: int, count: int, seed: int = SEED) -> pa.Table:
-    """F2 ``geo`` rows — 80% clustered at 3 hotspots (intentional skew),
-    10% uniform in the Singapore bbox, 10% outside (Johor/Riau)."""
-    idx = np.arange(start, start + count, dtype=np.int64)
+def _lonlat(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-index (lon, lat): 80% clustered at 3 hotspots
+    (intentional skew), 10% uniform in the Singapore bbox, 10% outside
+    (Johor/Riau) — fully vectorized."""
     w, s, e, n = SG_BBOX
     u_kind = _u(idx, 21)
     u_lon, u_lat = _u(idx, 22), _u(idx, 23)
     hot = (_u(idx, 24) * len(_HOTSPOTS)).astype(np.int64)
     hx = np.array([p[0] for p in _HOTSPOTS])[hot]
     hy = np.array([p[1] for p in _HOTSPOTS])[hot]
-    # gaussian-ish cluster via sum of uniforms (Irwin-Hall, deterministic)
     gx = (u_lon + _u(idx, 25) + _u(idx, 26) - 1.5) * 0.02
     gy = (u_lat + _u(idx, 27) + _u(idx, 28) - 1.5) * 0.02
     lon = np.where(u_kind < 0.8, np.clip(hx + gx, w, e),
                    np.where(u_kind < 0.9, w + u_lon * (e - w),
-                            np.where(u_lon < 0.5, w - 0.3 + u_lon * 0.25,   # Johor west
-                                     e + 0.05 + u_lon * 0.3)))               # Riau east
+                            np.where(u_lon < 0.5, w - 0.3 + u_lon * 0.25,
+                                     e + 0.05 + u_lon * 0.3)))
     lat = np.where(u_kind < 0.8, np.clip(hy + gy, s, n),
                    np.where(u_kind < 0.9, s + u_lat * (n - s),
                             np.where(u_lat < 0.5, n + 0.05 + u_lat * 0.3,
                                      s - 0.3 + u_lat * 0.25)))
+    return lon, lat
+
+
+def gen_points_table(start: int, count: int, seed: int = SEED) -> pa.Table:
+    """Slim position-only rows (image_id, lon, lat) — NO per-row Python
+    (street/postcode strings), so XL scaling fixtures (10^7+ rows locally,
+    the 10^12 design point on a cluster) generate at memory bandwidth."""
+    idx = np.arange(start, start + count, dtype=np.int64)
+    lon, lat = _lonlat(idx)
+    ids = np.char.add("img", np.char.zfill((idx).astype(str), 12))
+    return pa.table({"image_id": pa.array(ids.tolist(), pa.string()),
+                     "lon": pa.array(lon, pa.float64()),
+                     "lat": pa.array(lat, pa.float64())})
+
+
+def gen_geo_table(start: int, count: int, seed: int = SEED) -> pa.Table:
+    """F2 ``geo`` rows — 80% clustered at 3 hotspots (intentional skew),
+    10% uniform in the Singapore bbox, 10% outside (Johor/Riau)."""
+    idx = np.arange(start, start + count, dtype=np.int64)
+    lon, lat = _lonlat(idx)
     streets = [street_name(int(i)) for i in idx]
     # postcodes: 85% valid 6-digit (prefix 01..82), 10% 5-digit MY, 5% typos
     u_pc = _u(idx, 29)
@@ -159,10 +178,13 @@ def gen_geo_table(start: int, count: int, seed: int = SEED) -> pa.Table:
 
 # ----------------------------------------------------------------- polygons
 
-def gen_polygons_table(n_polys: int = 50, seed: int = SEED) -> pa.Table:
+def gen_polygons_table(n_polys: int = 50, seed: int = SEED,
+                       detail: int = 1) -> pa.Table:
     """F3 polygons tiling the Singapore bbox: mostly convex (perturbed
     regular k-gons on a grid, overlapping), every 7th a concave star —
-    ray-cast edge cases."""
+    ray-cast edge cases. ``detail`` multiplies the vertex count (real
+    admin boundaries run to hundreds of vertices; higher detail also
+    raises the ray-cast's flops-per-point for bench realism)."""
     w, s, e, n = SG_BBOX
     grid = int(np.ceil(np.sqrt(n_polys)))
     rows = []
@@ -171,7 +193,7 @@ def gen_polygons_table(n_polys: int = 50, seed: int = SEED) -> pa.Table:
         gx, gy = p % grid, p // grid
         cx = w + (gx + 0.5) / grid * (e - w) + (_u(i, 41)[0] - 0.5) * 0.02
         cy = s + (gy + 0.5) / grid * (n - s) + (_u(i, 42)[0] - 0.5) * 0.02
-        k = 6 + int(_u(i, 43)[0] * 10)          # 6..15 vertices (×2 for stars)
+        k = (6 + int(_u(i, 43)[0] * 10)) * detail   # base 6..15 vertices (×2 for stars)
         base_r = (0.6 + _u(i, 44)[0]) * 0.6 * max((e - w) / grid, (n - s) / grid)
         ang = np.arange(k) / k * 2 * np.pi + _u(i, 45)[0]
         if p % 7 == 3:  # concave star
@@ -319,6 +341,17 @@ def synth_geo_dataset(n: int, block_rows: int = 50_000):
             .map_batches(gen, batch_format="pyarrow", batch_size=block_rows))
 
 
+def synth_points_dataset(n: int, block_rows: int = 500_000):
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        return gen_points_table(int(ids[0]), len(ids))
+
+    return (rd.range(n, override_num_blocks=max(1, n // block_rows))
+            .map_batches(gen, batch_format="pyarrow", batch_size=block_rows))
+
+
 def materialize_fixture(kind: str, n: int, root: str = "/tmp/graft_synth") -> str:
     """Generate-and-cache a fixture as partitioned parquet under /tmp;
     returns the directory. Skips generation when the cache exists
@@ -330,7 +363,20 @@ def materialize_fixture(kind: str, n: int, root: str = "/tmp/graft_synth") -> st
     if os.path.isdir(tmp):
         import shutil
         shutil.rmtree(tmp)
-    ds = synth_images_dataset(n) if kind == "images" else synth_geo_dataset(n)
+    ds = {"images": synth_images_dataset,
+          "geo": synth_geo_dataset,
+          "points": synth_points_dataset}[kind](n)
     ds.write_parquet(tmp)
     os.rename(tmp, out)
     return out
+
+
+def attach_lonlat(batch: pa.Table, id_col: str = "image_id") -> pa.Table:
+    """M12 geotag attach, derivation form: lon/lat recomputed from the row
+    index encoded in the id (synthetic data is a pure function of index, so
+    the sidecar join is optional — SURVEY.md §2 M12)."""
+    import pyarrow.compute as pc
+    idx = pc.cast(pc.utf8_slice_codeunits(batch[id_col], 3, 15), pa.int64()).to_numpy()
+    lon, lat = _lonlat(idx)
+    return (batch.append_column("lon", pa.array(lon, pa.float64()))
+                 .append_column("lat", pa.array(lat, pa.float64())))

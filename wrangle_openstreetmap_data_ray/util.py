@@ -98,3 +98,11 @@ def pool_spec(requested: int, reserve: int = 2) -> tuple[int, int]:
     a reserve-capped max keeps every topology live while still scaling out.
     """
     return (1, pool_size(requested, reserve))
+
+
+def default_pool() -> tuple[int, int]:
+    """Cluster-sized autoscaling actor pool: min 1 (never deadlocks), max =
+    CPUs minus reserve (fills the node when the stage is the bottleneck).
+    A hardcoded (2, 8) cap silently limits every stage to 8 cores — the
+    single biggest scaling bug found in this sandbox."""
+    return (1, max(2, cluster_cpus() - 2))
