@@ -443,6 +443,134 @@ def queries():
         return pd.DataFrame({"n_one_shot": [int(n)]})
     q["osm_one_shot_users"] = osm_one_shot_users
 
+    def count_by_elem_type(sf_dir):
+        """[R:mapparser.py::count_tags] M1/A2 — node vs way counts."""
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id"])
+        ways = fx.read_fixture(sf_dir, "ways", columns=["id"])
+
+        def tag(kind):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table({"elem_type": pa.array([kind] * len(b))})
+            return f
+        u = nodes.map_batches(tag("node"), batch_format="pyarrow").union(
+            ways.map_batches(tag("way"), batch_format="pyarrow"))
+        return u.groupby("elem_type").count().rename_columns({"count()": "cnt"})
+    q["count_by_elem_type"] = count_by_elem_type
+
+    def systematic_sample_nodes(sf_dir):
+        """[R:sample.py] S4/O2 — every k-th element (k=10), deterministic."""
+        from ..sources import osm_xml
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id"])
+        return osm_xml.systematic_sample(nodes, 10, id_col="id")
+    q["systematic_sample_nodes"] = systematic_sample_nodes
+
+    def quarantine_rows(sf_dir):
+        """J5/D3 — union of quarantines: one row per (row, violation)."""
+        ds = fx.read_fixture(sf_dir, "geo",
+                             columns=["image_id", "lon", "lat", "addr_postcode"])
+
+        def f(b: pa.Table) -> pa.Table:
+            bad_pc = pc.invert(pc.is_valid(normalize.clean_postcode(b["addr_postcode"])))
+            out_bb = ~geo.bbox_contains(b["lon"].to_numpy(), b["lat"].to_numpy())
+            ids_pc = b["image_id"].filter(bad_pc)
+            ids_bb = b["image_id"].filter(pa.array(out_bb))
+            return pa.table({
+                "image_id": pa.concat_arrays(
+                    [ids_pc.combine_chunks(), ids_bb.combine_chunks()]),
+                "reason": pa.array(["postcode"] * len(ids_pc)
+                                   + ["bbox"] * len(ids_bb)),
+            })
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["quarantine_rows"] = quarantine_rows
+
+    def per_cell_counts(sf_dir):
+        """A8 — per-cell row counts (the per-partition metrics the
+        Lance-like manifest checkpoints)."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+
+        def f(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(), CELL_RES)
+            return pa.table({"qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64())})
+        return ds.map_batches(f, batch_format="pyarrow") \
+                 .groupby(["qx", "qy"]).count().rename_columns({"count()": "cnt"})
+    q["per_cell_counts"] = per_cell_counts
+
+    def hot_cells(sf_dir):
+        """A9 — top-20 hottest cells (drives the salt-factor choice)."""
+        counts = per_cell_counts(sf_dir).to_pandas()
+        out = counts.sort_values(["cnt", "qx", "qy"],
+                                 ascending=[False, True, True]).head(20)
+        return out.reset_index(drop=True)
+    q["hot_cells"] = hot_cells
+
+    def events_hourly(sf_dir):
+        """Tumbling-window aggregate (1h) — counts + value sum per window
+        and event type (graft streaming-style op over the events table)."""
+        ds = fx.driver_table(sf_dir, "events",
+                            columns=["ts", "event_type", "value"])
+
+        def f(b: pa.Table) -> pa.Table:
+            us = pc.cast(b["ts"], pa.int64()).to_numpy()
+            return pa.table({"hour_idx": pa.array(us // 3_600_000_000, pa.int64()),
+                             "event_type": b["event_type"],
+                             "value": b["value"]})
+        from ray.data.aggregate import Count, Sum
+        out = (ds.map_batches(f, batch_format="pyarrow")
+                 .groupby(["hour_idx", "event_type"])
+                 .aggregate(Count(alias_name="cnt"),
+                            Sum("value", alias_name="sum_value"))).to_pandas()
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+    q["events_hourly"] = events_hourly
+
+    def sessionize_events(sf_dir):
+        """Sessionization: per-user event runs split at >30 min gaps —
+        total session count (order pinned by (ts, event_id))."""
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "events",
+                            columns=["user_id", "ts", "event_id"])
+
+        def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            us = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            uid = g["user_id"].to_numpy()
+            new_user = np.empty(len(g), bool)
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+            gap = np.empty(len(g), bool)
+            gap[0] = True
+            gap[1:] = (us[1:] - us[:-1]) > 30 * 60 * 1_000_000_000
+            n = int((new_user | gap).sum())
+            return pd.DataFrame({"n_sessions": [n]})
+
+        parts = bucketed_group_apply(ds, ["user_id"], count_sessions,
+                                     n_buckets=64).to_pandas()
+        return pd.DataFrame({"n_sessions": [int(parts["n_sessions"].sum())]})
+    q["sessionize_events"] = sessionize_events
+
+    def way_geometry(sf_dir):
+        """J1 extension — per-way polyline summary from the resolved
+        node positions (order carried by ``position``)."""
+        from ..util import bucketed_group_apply, join_kwargs
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        joined = wn.join(nodes, on=("node_id",), join_type="inner",
+                         **join_kwargs())
+
+        def summarize(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            grp = g.groupby("way_id", sort=False)
+            out = grp.agg(n_points=("position", "size"),
+                          first_lon=("lon", "first"), first_lat=("lat", "first"),
+                          last_lon=("lon", "last"), last_lat=("lat", "last"))
+            return out.reset_index()
+
+        return bucketed_group_apply(joined, ["way_id"], summarize,
+                                    n_buckets=64)
+    q["way_geometry"] = way_geometry
+
     # ------------------------------------------- multimodal / tile stages
 
     def render_tile_stats(sf_dir):
@@ -637,5 +765,54 @@ def oracle_sql():
               SELECT uid FROM (
                 SELECT uid FROM {nodes_p} UNION ALL SELECT uid FROM {ways_p})
               GROUP BY uid HAVING COUNT(*) = 1)""",
+        "count_by_elem_type": f"""
+            SELECT elem_type, COUNT(*) AS cnt FROM (
+              SELECT 'node' AS elem_type FROM {nodes_p}
+              UNION ALL SELECT 'way' AS elem_type FROM {ways_p})
+            GROUP BY elem_type""",
+        "systematic_sample_nodes": f"""
+            SELECT id FROM {nodes_p} WHERE id % 10 = 0""",
+        "quarantine_rows": f"""
+            SELECT image_id, 'postcode' AS reason FROM {geo_p}
+            WHERE {pc_clean} IS NULL
+            UNION ALL
+            SELECT image_id, 'bbox' AS reason FROM {geo_p}
+            WHERE NOT (lon >= {w} AND lon <= {e} AND lat >= {s} AND lat <= {n})""",
+        "per_cell_counts": f"""
+            SELECT {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
+                   {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy,
+                   COUNT(*) AS cnt
+            FROM {geo_p} GROUP BY 1, 2""",
+        "hot_cells": f"""
+            SELECT qx, qy, cnt FROM (
+              SELECT {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
+                     {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy,
+                     COUNT(*) AS cnt
+              FROM {geo_p} GROUP BY 1, 2)
+            ORDER BY cnt DESC, qx, qy LIMIT 20""",
+        "events_hourly": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+                   event_type, COUNT(*) AS cnt,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "sessionize_events": """
+            SELECT COUNT(*) AS n_sessions FROM (
+              SELECT CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+              FROM (SELECT user_id, ts,
+                           LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+            WHERE is_new = 1""",
+        "way_geometry": f"""
+            SELECT wn.way_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   arg_min(nd.lon, wn.position) AS first_lon,
+                   arg_min(nd.lat, wn.position) AS first_lat,
+                   arg_max(nd.lon, wn.position) AS last_lon,
+                   arg_max(nd.lat, wn.position) AS last_lat
+            FROM {way_nodes_p} wn JOIN {nodes_p} nd ON wn.node_id = nd.id
+            GROUP BY wn.way_id""",
     }
     return o
