@@ -202,8 +202,11 @@ def queries():
 
     def embedding_dup_pairs(sf_dir):
         ds = fx.driver_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        return dedup.embedding_dup_pairs(ds, tau=0.98).select_columns(
-            ["id_a", "id_b"])
+        out = dedup.embedding_dup_pairs(ds, tau=0.98).to_pandas()
+        if out.empty:   # an all-empty map_groups result loses its schema
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return out[["id_a", "id_b"]]
     q["embedding_dup_pairs"] = embedding_dup_pairs
 
     # --------------------------------------------------- similarity search
@@ -372,6 +375,20 @@ def queries():
         return ds.map_batches(f, batch_format="pyarrow") \
                  .groupby("bucket").count().rename_columns({"count()": "cnt"})
     q["tag_key_classification"] = tag_key_classification
+
+    def tags_clean(sf_dir):
+        """[R:data.py::shape_element] M3 — tag rows surviving the shaping
+        rules: problem-char keys dropped, two-colon keys skipped."""
+        ds = fx.read_fixture(sf_dir, "tags")
+
+        def f(b: pa.Table) -> pa.Table:
+            bad = normalize.problem_key_mask(b["key"])
+            two_colon = pc.greater_equal(
+                pc.count_substring(b["key"], ":"), 2)
+            keep = pc.invert(pc.or_kleene(bad, two_colon))
+            return b.filter(keep).select(["elem_id", "key", "value"])
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["tags_clean"] = tags_clean
 
     def tag_counts(sf_dir):
         """[R:mapparser.py::count_tags] M1 — per-key tag counts."""
@@ -739,6 +756,11 @@ def oracle_sql():
             FROM {tags_p} GROUP BY 1""",
         "tag_counts": f"""
             SELECT key, COUNT(*) AS cnt FROM {tags_p} GROUP BY key""",
+        "tags_clean": f"""
+            SELECT elem_id, key, value FROM {tags_p}
+            WHERE NOT regexp_matches(key,
+                      '[=\\+/&<>;''"\\?%#$@\\,\\. \\t\\r\\n]')
+              AND length(key) - length(replace(key, ':', '')) < 2""",
         "top_amenities": f"""
             SELECT value, COUNT(*) AS cnt FROM {tags_p}
             WHERE key = 'amenity' GROUP BY value
