@@ -17,6 +17,10 @@ import pandas as pd
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, rows by all columns — order-insensitive form."""
     df = df[sorted(df.columns)].copy()
+    for c in df.columns:   # structs/lists arrive as dicts — stringify to sort
+        if df[c].dtype == object and len(df) and isinstance(
+                df[c].iloc[0], (dict, list)):
+            df[c] = df[c].astype(str)
     # normalize dtypes: ints to int64, floats to float64
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):

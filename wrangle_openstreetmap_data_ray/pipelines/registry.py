@@ -610,6 +610,104 @@ def queries():
         return out.map_batches(crc, batch_format="pyarrow")
     q["render_tile_stats"] = render_tile_stats
 
+    def image_format_histogram(sf_dir):
+        """S6 metadata analytics — row counts per stored image format."""
+        ds = fx.read_fixture(sf_dir, "images", columns=["fmt"])
+        return ds.groupby("fmt").count().rename_columns({"count()": "cnt"})
+    q["image_format_histogram"] = image_format_histogram
+
+    def image_size_stats(sf_dir):
+        """S6 metadata analytics — pixel-count stats per format."""
+        from ray.data.aggregate import Count, Max, Mean
+        ds = fx.read_fixture(sf_dir, "images", columns=["fmt", "w", "h"])
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"fmt": b["fmt"],
+                             "px": pc.multiply(pc.cast(b["w"], pa.int64()),
+                                               pc.cast(b["h"], pa.int64()))})
+        out = (ds.map_batches(f, batch_format="pyarrow")
+                 .groupby("fmt")
+                 .aggregate(Count(alias_name="cnt"),
+                            Mean("px", alias_name="avg_px"),
+                            Max("px", alias_name="max_px"))).to_pandas()
+        out["avg_px"] = out["avg_px"].round(2)
+        return out
+    q["image_size_stats"] = image_size_stats
+
+    def resize_images_thumb(sf_dir):
+        """S6 — decode → nearest-neighbor 16×16 → re-encode raw8; emits
+        (image_id, n_bytes) so the check pins output sizes (rows-only)."""
+        ds = fx.read_fixture(sf_dir, "images",
+                             columns=["image_id", "bytes", "w", "h", "fmt"])
+        out = multimodal.resize_images(ds, 16, 16, "raw8")
+
+        def f(b: pa.Table) -> pa.Table:
+            sizes = pa.array([len(x) for x in b["bytes"].to_pylist()], pa.int64())
+            return pa.table({"image_id": b["image_id"], "n_bytes": sizes})
+        return out.map_batches(f, batch_format="pyarrow")
+    q["resize_images_thumb"] = resize_images_thumb
+
+    def shape_documents_nested(sf_dir):
+        """[R:data.py::shape_element] M8/M9 nested form — the reference's
+        document shape as Arrow structs: created{...}, pos[2] (rows-only;
+        struct columns don't value-hash across engines)."""
+        def shape(kind):
+            def f(b: pa.Table) -> pa.Table:
+                n = len(b)
+                created = pa.StructArray.from_arrays(
+                    [b[c].combine_chunks() for c in
+                     ("version", "changeset", "user")]
+                    + [pc.cast(b["uid"], pa.string()).combine_chunks()],
+                    names=["version", "changeset", "user", "uid"])
+                cols = {
+                    "id": b["id"],
+                    "type": pa.array([kind] * n, pa.string()),
+                    "created": created,
+                }
+                # pos as struct<lat,lon> (not a list: Ray auto-casts
+                # uniform-length lists to its tensor extension, which
+                # chokes on the all-null way blocks)
+                if kind == "node":
+                    cols["pos"] = pa.StructArray.from_arrays(
+                        [pc.cast(b["lat"], pa.float64()).combine_chunks(),
+                         pc.cast(b["lon"], pa.float64()).combine_chunks()],
+                        names=["lat", "lon"])
+                else:
+                    cols["pos"] = pa.nulls(
+                        n, pa.struct([("lat", pa.float64()),
+                                      ("lon", pa.float64())]))
+                return pa.table(cols)
+            return f
+        nodes = fx.read_fixture(sf_dir, "nodes").map_batches(
+            shape("node"), batch_format="pyarrow")
+        ways = fx.read_fixture(sf_dir, "ways").map_batches(
+            shape("way"), batch_format="pyarrow")
+        return nodes.union(ways)
+    q["shape_documents_nested"] = shape_documents_nested
+
+    def top_event_value_per_user(sf_dir):
+        """Window-rank op: each user's single highest-value event
+        (rank-1 per partition; ties broken by event_id)."""
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "events",
+                            columns=["user_id", "event_id", "value"])
+
+        def local_top(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True], kind="mergesort")
+            return b[~b.duplicated("user_id", keep="first")]
+
+        pre = ds.map_batches(local_top, batch_format="pandas")
+
+        def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True], kind="mergesort")
+            g = g[~g.duplicated("user_id", keep="first")]
+            return g[["user_id", "event_id", "value"]]
+
+        return bucketed_group_apply(pre, ["user_id"], bucket_top, n_buckets=64)
+    q["top_event_value_per_user"] = top_event_value_per_user
+
     def decode_image_features(sf_dir):
         """S6 — decode every stored format, verify stored phash, emit
         brightness stats (actor pool; rows-only check)."""
@@ -827,6 +925,20 @@ def oracle_sql():
                                          ORDER BY ts, event_id) AS prev_ts
                     FROM events))
             WHERE is_new = 1""",
+        "image_format_histogram": f"""
+            SELECT fmt, COUNT(*) AS cnt FROM {images_p} GROUP BY fmt""",
+        "image_size_stats": f"""
+            SELECT fmt, COUNT(*) AS cnt,
+                   ROUND(AVG(CAST(w AS BIGINT) * h), 2) AS avg_px,
+                   CAST(MAX(CAST(w AS BIGINT) * h) AS BIGINT) AS max_px
+            FROM {images_p} GROUP BY fmt""",
+        "top_event_value_per_user": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events)
+            WHERE rn = 1""",
         "way_geometry": f"""
             SELECT wn.way_id,
                    CAST(COUNT(*) AS BIGINT) AS n_points,
