@@ -460,6 +460,13 @@ def queries():
         return pd.DataFrame({"n_one_shot": [int(n)]})
     q["osm_one_shot_users"] = osm_one_shot_users
 
+    def sample_docs_seeded(sf_dir):
+        """O3 — seeded random sample (rows-only: sampling is inherently
+        non-SQL-reproducible; the driver records row-count only)."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id"])
+        return ds.random_sample(0.2, seed=42)
+    q["sample_docs_seeded"] = sample_docs_seeded
+
     def count_by_elem_type(sf_dir):
         """[R:mapparser.py::count_tags] M1/A2 — node vs way counts."""
         nodes = fx.read_fixture(sf_dir, "nodes", columns=["id"])
@@ -715,6 +722,47 @@ def queries():
         out = multimodal.decode_features(ds, verify_phash=True)
         return out.select_columns(["image_id", "phash_ok", "brightness"])
     q["decode_image_features"] = decode_image_features
+
+    def lossy_psnr_floor(sf_dir):
+        """BASELINE invariant in-pipeline: decoded pixels vs the ORIGINAL
+        pixel function — lossless formats bit-exact, lossy8 PSNR ≥ 40 dB.
+        Emits one row: counts + the global min PSNR (rows-only)."""
+        from .. import synth
+        from ..functions import codecs
+        ds = fx.read_fixture(sf_dir, "images",
+                             columns=["image_id", "bytes", "w", "h", "fmt"])
+
+        def f(b: pa.Table) -> pa.Table:
+            n_exact = n_lossy = 0
+            min_psnr = np.inf
+            ids = b["image_id"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            ws, hs = b["w"].to_numpy(), b["h"].to_numpy()
+            blobs = b["bytes"]
+            for i in range(len(ids)):
+                idx = int(ids[i][3:])
+                src = idx - 1 if (idx % synth.DUP_RATE == synth.DUP_RATE - 1
+                                  and idx > 0) else idx
+                ref = synth._pixels(src, int(hs[i]), int(ws[i]))
+                img = codecs.decode(blobs[i].as_py(), fmts[i],
+                                    int(ws[i]), int(hs[i]))
+                if fmts[i] == "lossy8":
+                    n_lossy += 1
+                    min_psnr = min(min_psnr, codecs.psnr(ref, img))
+                else:
+                    n_exact += int((ref == img).all())
+            return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
+                             "n_lossy": pa.array([n_lossy], pa.int64()),
+                             "min_psnr": pa.array(
+                                 [min_psnr if np.isfinite(min_psnr) else 1e9],
+                                 pa.float64())})
+        parts = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+        return pd.DataFrame({
+            "n_exact": [int(parts["n_exact"].sum())],
+            "n_lossy": [int(parts["n_lossy"].sum())],
+            "min_psnr_db": [round(float(parts["min_psnr"].min()), 1)],
+        })
+    q["lossy_psnr_floor"] = lossy_psnr_floor
 
     return q
 
