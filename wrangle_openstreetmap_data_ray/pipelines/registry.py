@@ -58,11 +58,6 @@ def _street_type_sql(col: str) -> str:
     return f"CASE WHEN {first} IN ({malay}) THEN {first} ELSE {last} END"
 
 
-def _round(tbl: pa.Table, col: str, ndigits: int) -> pa.Table:
-    i = tbl.column_names.index(col)
-    return tbl.set_column(i, col, pc.round(tbl[col], ndigits=ndigits))
-
-
 # ================================================================ queries
 
 def queries():
