@@ -114,7 +114,11 @@ def run(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # 200 default sort partitions cost ~15ms driver latency each — a 3s
+    # floor per shuffle that dwarfs small/medium stages; scale with CPUs
+    ctx.min_parallelism = max(64, 4 * num_cpus)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from wrangle_openstreetmap_data_ray.pipelines import fixtures, flagship, registry
@@ -154,7 +158,9 @@ def main() -> None:
         ray.init(address="local", num_cpus=args.inner_scale,
                  include_dashboard=False, logging_level="ERROR")
         from ray.data import DataContext
-        DataContext.get_current().enable_progress_bars = False
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.min_parallelism = max(64, 4 * args.inner_scale)
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         res = scaling_workload()
         res["envelope_sec"] = cpu_envelope()

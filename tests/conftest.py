@@ -11,5 +11,6 @@ def ray_session():
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.min_parallelism = 32   # 200 tiny sort partitions → 3s/shuffle floor
     yield
     ray.shutdown()

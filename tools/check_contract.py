@@ -54,7 +54,9 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = 64
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entry_mod

@@ -263,6 +263,18 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
         return b.filter(b["satisfied"])
     good = out.map_batches(keep_good, batch_format="pyarrow")
 
+    # fast path: a satisfied point emits exactly k rows, so if
+    # satisfied_rows == k * n_points, nobody lagged — skip the anti-join
+    # and retry rounds entirely (one cheap metadata count + one map pass)
+    n_pts = ds.count()
+    sat_rows = int(out.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(np.count_nonzero(b["satisfied"].to_numpy(zero_copy_only=False)))],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+    if sat_rows == k * n_pts:
+        return good.drop_columns(["satisfied"])
+
     # laggards = points NOT satisfied (incl. no-shows whose ring-1 group had
     # no candidates at all) — found with a distributed anti-join (bucketed
     # groupby on id), never by materializing the full point set driver-side
