@@ -233,6 +233,22 @@ def test_multimodal_stubs(ray_session):
     assert len(frames) == 3
 
 
+def test_asof_join_last(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.asof import asof_join_last
+    left = pa.table({"key": [1, 1, 2, 3], "lid": [10, 11, 20, 30],
+                     "lts": pa.array([100, 250, 50, 70], pa.int64())})
+    right = pa.table({"key": [1, 1, 2],
+                      "rts": pa.array([100, 200, 60], pa.int64())})
+    out = asof_join_last(rd.from_arrow(left), rd.from_arrow(right),
+                         "key", "lts", "rts", left_keep=["lid"]).take_all()
+    got = {r["lid"]: r["asof_ts"] for r in out}
+    # lid 10: rts 100 <= 100 (inclusive); lid 11: max(100,200)=200;
+    # lid 20: rts 60 > 50 → null; lid 30: no right rows → null
+    assert got == {10: 100, 11: 200, 20: None, 30: None}
+
+
 def test_text_analyze(ray_session):
     import ray.data as rd
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),

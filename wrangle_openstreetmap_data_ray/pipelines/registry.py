@@ -718,6 +718,40 @@ def queries():
         return out.select_columns(["image_id", "phash_ok", "brightness"])
     q["decode_image_features"] = decode_image_features
 
+    def asof_last_order(sf_dir):
+        """As-of join (backward, inclusive): for each event, the latest
+        order date of the same customer at or before the event time."""
+        from ..stages.asof import asof_join_last
+        events = fx.driver_table(sf_dir, "events",
+                                 columns=["event_id", "user_id", "ts"]) \
+                   .rename_columns({"user_id": "key"})
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_custkey", "o_orderdate"]) \
+                   .rename_columns({"o_custkey": "key"})
+        out = asof_join_last(events, orders, "key", "ts", "o_orderdate",
+                             left_keep=["event_id"],
+                             out_col="last_order_us")
+        return out
+    q["asof_last_order"] = asof_last_order
+
+    def range_join_value_brackets(sf_dir):
+        """Range join against a small interval table (broadcast, map-side:
+        the scalable pattern for band joins — no shuffle; np.searchsorted
+        per batch against the sorted bracket bounds)."""
+        brackets = [(0.0, 2.0), (2.0, 5.0), (5.0, 10.0), (10.0, 20.0),
+                    (20.0, 1e18)]
+        lo = np.array([b[0] for b in brackets])
+        ds = fx.driver_table(sf_dir, "events", columns=["value"])
+
+        def f(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy()
+            idx = np.searchsorted(lo, v, side="right") - 1
+            idx = np.clip(idx, 0, len(brackets) - 1)
+            return pa.table({"bracket_lo": pa.array(lo[idx], pa.float64())})
+        return ds.map_batches(f, batch_format="pyarrow") \
+                 .groupby("bracket_lo").count().rename_columns({"count()": "cnt"})
+    q["range_join_value_brackets"] = range_join_value_brackets
+
     def lossy_psnr_floor(sf_dir):
         """BASELINE invariant in-pipeline: decoded pixels vs the ORIGINAL
         pixel function — lossless formats bit-exact, lossy8 PSNR ≥ 40 dB.
@@ -982,6 +1016,21 @@ def oracle_sql():
                                         ORDER BY value DESC, event_id) AS rn
               FROM events)
             WHERE rn = 1""",
+        "range_join_value_brackets": """
+            SELECT b.lo AS bracket_lo, COUNT(*) AS cnt
+            FROM events e
+            JOIN (VALUES (0.0, 2.0), (2.0, 5.0), (5.0, 10.0),
+                         (10.0, 20.0), (20.0, 1e18)) AS b(lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.lo""",
+        "asof_last_order": """
+            SELECT e.event_id,
+                   (SELECT CAST(epoch_us(MAX(o.o_orderdate)) AS BIGINT)
+                    FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND epoch_us(o.o_orderdate) <= epoch_us(e.ts))
+                   AS last_order_us
+            FROM events e""",
         "way_geometry": f"""
             SELECT wn.way_id,
                    CAST(COUNT(*) AS BIGINT) AS n_points,

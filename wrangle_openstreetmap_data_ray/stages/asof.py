@@ -1,0 +1,78 @@
+"""As-of join — for each left row, the most recent right row with the same
+key and right_ts <= left_ts (backward search, inclusive).
+
+Ray Data has no native as-of join (task brief: implement as a composition
+when semantics allow). Composition used here: tag both sides, union, ONE
+bucketed hash shuffle on the key, then a vectorized per-bucket sweep —
+sort by (key, ts, side) with right rows ordered before left rows at equal
+timestamps, take a per-key running max over right timestamps, and read the
+value off at each left row. Only the key, timestamps and the kept left
+columns cross the shuffle.
+
+Partitioning assumption: all rows of one key land in one shuffle bucket
+(the same assumption as any per-key reduce).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import bucketed_group_apply
+
+_NEG = np.iinfo(np.int64).min
+
+
+def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
+                   left_keep: list[str], out_col: str = "asof_ts",
+                   n_buckets: int = 256):
+    """left rows + ``out_col`` = max(right_ts | same key, right_ts <=
+    left_ts) as nullable int64 epoch-µs (null when no right row precedes).
+
+    Both inputs must already expose the join key as ``key_col``."""
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        cols = {"key": b[key_col],
+                "ts": pc.cast(b[left_ts], pa.int64()),
+                "side": pa.array(np.ones(len(b), np.int8))}
+        for c in left_keep:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        cols = {"key": b[key_col],
+                "ts": pc.cast(b[right_ts], pa.int64()),
+                "side": pa.array(np.zeros(len(b), np.int8))}
+        for c in left_keep:
+            cols[c] = pa.nulls(len(b), pa.int64())
+        return pa.table(cols)
+
+    l = left.map_batches(left_rows, batch_format="pyarrow")
+    r = right.map_batches(right_rows, batch_format="pyarrow")
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        # right rows first at equal (key, ts): backward-inclusive semantics
+        g = g.sort_values(["key", "ts", "side"], kind="mergesort")
+        key = g["key"].to_numpy()
+        ts = g["ts"].to_numpy()
+        side = g["side"].to_numpy()
+        rts = np.where(side == 0, ts, _NEG)
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        starts = np.append(np.nonzero(new_key)[0], len(g))
+        run_max = rts.copy()
+        for i in range(len(starts) - 1):       # loop over keys, not rows
+            s, e = starts[i], starts[i + 1]
+            run_max[s:e] = np.maximum.accumulate(rts[s:e])
+        lmask = side == 1
+        out = g.loc[lmask, left_keep].copy()
+        vals = run_max[lmask]
+        col = pd.array(np.where(vals == _NEG, 0, vals), dtype="Int64")
+        col[vals == _NEG] = pd.NA
+        out[out_col] = col
+        return out
+
+    return bucketed_group_apply(l.union(r), ["key"], sweep, n_buckets)
