@@ -89,6 +89,28 @@ def test_flagship_resume_skips_rewrite(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df1, df2)
 
 
+def test_lancelike_partitioned_write_and_prune(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.sources import lancelike
+    root = str(tmp_path / "ptbl")
+    ds = rd.from_arrow(pa.table({
+        "x": list(range(100)),
+        "shard": [i % 4 for i in range(100)],
+    }))
+    man = lancelike.write_dataset_partitioned(ds, root, stage="s1",
+                                              partition_col="shard")
+    assert man["metrics"]["partition_rows"] == {str(i): 25 for i in range(4)}
+    only2 = lancelike.read_dataset(root, partitions=["2"]).take_all()
+    assert len(only2) == 25 and all(r["shard"] == 2 for r in only2)
+    assert lancelike.read_dataset(root).count() == 100
+    # resume: same lineage → same manifest, nothing rewritten
+    man2 = lancelike.write_dataset_partitioned(ds, root, stage="s1",
+                                               partition_col="shard")
+    assert man2["version"] == man["version"]
+
+
 def test_lancelike_crash_leaves_no_committed_garbage(ray_session, tmp_path):
     """A fragment written without a manifest commit is invisible to readers
     (the crash-mid-write story)."""

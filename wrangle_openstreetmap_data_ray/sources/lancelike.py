@@ -127,7 +127,67 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
     return _commit(root, stage, parent, frags, metrics)
 
 
-def read_dataset(root: str, columns: list[str] | None = None, version: int | None = None):
+class _PartitionedFragmentWriter:
+    """Like ``_FragmentWriter`` but splits each batch by a partition column
+    (key-range/shard layout: ``fragments/<col>=<value>/frag-*.parquet``) so
+    a failed run can resume per partition and readers can prune by it."""
+
+    def __init__(self, frag_dir: str, partition_col: str):
+        self.frag_dir = frag_dir
+        self.col = partition_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        paths, rows, sizes, parts = [], [], [], []
+        for v in pc.unique(batch[self.col]).to_pylist():
+            sub = batch.filter(pc.equal(batch[self.col], v))
+            pdir = os.path.join(self.frag_dir, f"{self.col}={v}")
+            os.makedirs(pdir, exist_ok=True)
+            name = f"frag-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(pdir, f".{name}.tmp")
+            pq.write_table(sub, tmp, compression="zstd")
+            final = os.path.join(pdir, name)
+            os.replace(tmp, final)
+            paths.append(os.path.join(_FRAGMENT_DIR, f"{self.col}={v}", name))
+            rows.append(sub.num_rows)
+            sizes.append(os.path.getsize(final))
+            parts.append(str(v))
+        return pa.table({
+            "path": pa.array(paths, pa.string()),
+            "rows": pa.array(rows, pa.int64()),
+            "bytes": pa.array(sizes, pa.int64()),
+            "partition": pa.array(parts, pa.string()),
+        })
+
+
+def write_dataset_partitioned(ds, root: str, stage: str, partition_col: str,
+                              parent: str | None = None,
+                              metrics: dict | None = None,
+                              resume: bool = True) -> dict:
+    """Partitioned variant of ``write_dataset``: one fragment subdir per
+    partition value, per-partition row counts in the manifest."""
+    if resume:
+        prev = latest_manifest(root)
+        if prev and prev["stage"] == stage and prev.get("parent") == parent:
+            return prev
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    os.makedirs(frag_dir, exist_ok=True)
+    meta = ds.map_batches(_PartitionedFragmentWriter(frag_dir, partition_col),
+                          batch_format="pyarrow", batch_size=None)
+    frags = [{"path": r["path"], "rows": int(r["rows"]),
+              "bytes": int(r["bytes"]), "partition": r["partition"]}
+             for r in meta.take_all()]
+    per_part: dict[str, int] = {}
+    for f in frags:
+        per_part[f["partition"]] = per_part.get(f["partition"], 0) + f["rows"]
+    m = dict(metrics or {})
+    m["partition_col"] = partition_col
+    m["partition_rows"] = per_part
+    return _commit(root, stage, parent, frags, m)
+
+
+def read_dataset(root: str, columns: list[str] | None = None, version: int | None = None,
+                 partitions: list[str] | None = None):
     """Read the latest (or a pinned) committed version as a Dataset, with
     column pruning pushed into the parquet read."""
     import ray.data as rd
@@ -139,7 +199,11 @@ def read_dataset(root: str, columns: list[str] | None = None, version: int | Non
             man = json.load(f)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
-    paths = [os.path.join(root, f["path"]) for f in man["fragments"]]
+    frags = man["fragments"]
+    if partitions is not None:   # partition pruning from manifest metadata
+        want = set(partitions)
+        frags = [f for f in frags if f.get("partition") in want]
+    paths = [os.path.join(root, f["path"]) for f in frags]
     if not paths:
         return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths, columns=columns)
