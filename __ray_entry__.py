@@ -13,8 +13,15 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the package importable regardless of the driver's cwd/sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from wrangle_openstreetmap_data_ray.pipelines import flagship as _flagship
 from wrangle_openstreetmap_data_ray.pipelines import registry as _registry
