@@ -142,6 +142,45 @@ def queries():
         return out.reset_index(drop=True)
     q["orders_topk_price"] = orders_topk_price
 
+    def nations_per_region(sf_dir):
+        """Dimension join: nation ⋈ region → nations per region name."""
+        nation = fx.driver_table(sf_dir, "nation",
+                                 columns=["n_nationkey", "n_regionkey"])
+        region = fx.driver_table(sf_dir, "region")
+        out = nation.join(region.rename_columns({"r_regionkey": "n_regionkey"}),
+                          on=("n_regionkey",), join_type="inner", **join_kwargs())
+        return out.groupby("r_name").count().rename_columns(
+            {"count()": "n_nations"})
+    q["nations_per_region"] = nations_per_region
+
+    def orders_by_segment(sf_dir):
+        """Fact⋈dim join + aggregate: order counts and revenue per market
+        segment (partial aggregation inside the hash shuffle)."""
+        from ray.data.aggregate import Count, Sum
+        cust = fx.driver_table(sf_dir, "customer",
+                               columns=["c_custkey", "c_mktsegment"])
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_custkey", "o_totalprice"]) \
+                   .rename_columns({"o_custkey": "c_custkey"})
+        joined = orders.join(cust, on=("c_custkey",), join_type="inner",
+                             **join_kwargs())
+        out = joined.groupby("c_mktsegment").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue")).to_pandas()
+        out["revenue"] = out["revenue"].round(0)
+        return out
+    q["orders_by_segment"] = orders_by_segment
+
+    def top_cuisines(sf_dir):
+        """[R:notebook] A6 family — top-10 cuisine values."""
+        ds = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
+        am = ds.filter(lambda r: r["key"] == "cuisine")
+        counts = am.groupby("value").count().rename_columns({"count()": "cnt"})
+        df = counts.to_pandas().sort_values(["cnt", "value"],
+                                            ascending=[False, True]).head(10)
+        return df.reset_index(drop=True)
+    q["top_cuisines"] = top_cuisines
+
     # ------------------------------------- documents: dedup + text analysis
 
     def exact_dedup_docs(sf_dir):
@@ -847,6 +886,19 @@ def oracle_sql():
         "orders_topk_price": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "nations_per_region": """
+            SELECT r.r_name, COUNT(*) AS n_nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 0) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
+        "top_cuisines": f"""
+            SELECT value, COUNT(*) AS cnt FROM {tags_p}
+            WHERE key = 'cuisine' GROUP BY value
+            ORDER BY cnt DESC, value LIMIT 10""",
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
         "doc_token_counts": r"""
