@@ -112,7 +112,7 @@ def _consume(res) -> int:
 def run(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -156,7 +156,8 @@ def main() -> None:
     if args.inner_scale is not None:
         import ray
         ray.init(address="local", num_cpus=args.inner_scale,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
         from ray.data import DataContext
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
