@@ -25,7 +25,7 @@ from ..functions import geo, normalize
 from ..functions.normalize import (EXPECTED_STREET_TYPES, FIRST_TOKEN_RE,
                                    MALAY_FIRST_TOKEN_TYPES, STREET_TYPE_RE)
 from ..stages import dedup, knn, multimodal, pip_join, simsearch, textstage, tiles
-from ..util import join_kwargs
+from ..util import distributed_topk, join_kwargs
 from . import fixtures as fx
 
 # ---------------------------------------------------------------- helpers
@@ -92,12 +92,13 @@ def queries():
     q["count_by_event_type"] = count_by_event_type
 
     def top_users_by_events(sf_dir):
-        """A4 top-contributors: groupby+count then small global top-k."""
+        """A4 top-contributors: groupby+count then DISTRIBUTED top-k (per-
+        block select_k partials + tiny merge; the counts table never
+        materializes on the driver)."""
         ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
         counts = ds.groupby("user_id").count().rename_columns({"count()": "cnt"})
-        df = counts.to_pandas().sort_values(["cnt", "user_id"],
-                                            ascending=[False, True]).head(10)
-        return df.reset_index(drop=True)
+        return distributed_topk(counts, 10, [("cnt", "descending"),
+                                             ("user_id", "ascending")])
     q["top_users_by_events"] = top_users_by_events
 
     def distinct_event_users(sf_dir):
@@ -113,33 +114,24 @@ def queries():
     def one_shot_users(sf_dir):
         """A5 double-group: users with exactly one event."""
         ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
-        counts = ds.groupby("user_id").count()
-        n = counts.filter(lambda r: r["count()"] == 1).count()
+        counts = ds.groupby("user_id").count().rename_columns({"count()": "cnt"})
+        n = counts.filter(expr="cnt == 1").count()
         return pd.DataFrame({"n_one_shot": [int(n)]})
     q["one_shot_users"] = one_shot_users
 
     def top_parts_by_brand(sf_dir):
         ds = fx.driver_table(sf_dir, "part", columns=["p_brand"])
         counts = ds.groupby("p_brand").count().rename_columns({"count()": "cnt"})
-        df = counts.to_pandas().sort_values(["cnt", "p_brand"],
-                                            ascending=[False, True]).head(10)
-        return df.reset_index(drop=True)
+        return distributed_topk(counts, 10, [("cnt", "descending"),
+                                             ("p_brand", "ascending")])
     q["top_parts_by_brand"] = top_parts_by_brand
 
     def orders_topk_price(sf_dir):
         """O1 sort-desc + limit via per-block partial top-k, then one small
         driver-side merge — no global range-partition sort for small k."""
         ds = fx.driver_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-
-        def block_topk(b: pa.Table) -> pa.Table:
-            idx = pc.select_k_unstable(
-                b, k=20, sort_keys=[("o_totalprice", "descending"),
-                                    ("o_orderkey", "ascending")])
-            return b.take(idx)
-        parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
-        out = parts.sort_values(["o_totalprice", "o_orderkey"],
-                                ascending=[False, True]).head(20)
-        return out.reset_index(drop=True)
+        return distributed_topk(ds, 20, [("o_totalprice", "descending"),
+                                         ("o_orderkey", "ascending")])
     q["orders_topk_price"] = orders_topk_price
 
     def nations_per_region(sf_dir):
@@ -174,11 +166,10 @@ def queries():
     def top_cuisines(sf_dir):
         """[R:notebook] A6 family — top-10 cuisine values."""
         ds = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
-        am = ds.filter(lambda r: r["key"] == "cuisine")
+        am = ds.filter(expr="key == 'cuisine'")
         counts = am.groupby("value").count().rename_columns({"count()": "cnt"})
-        df = counts.to_pandas().sort_values(["cnt", "value"],
-                                            ascending=[False, True]).head(10)
-        return df.reset_index(drop=True)
+        return distributed_topk(counts, 10, [("cnt", "descending"),
+                                             ("value", "ascending")])
     q["top_cuisines"] = top_cuisines
 
     # ------------------------------------- documents: dedup + text analysis
@@ -207,9 +198,10 @@ def queries():
         occurs ≥ 2 times (oracle groups by the normalized text itself)."""
         ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
         feats = textstage.analyze_text(ds, text_col="text")
-        counts = feats.groupby("fingerprint").count()
-        dups = counts.filter(lambda r: r["count()"] >= 2)
-        n = dups.to_pandas()["count()"].sum() if dups.count() else 0
+        counts = feats.groupby("fingerprint").count() \
+                      .rename_columns({"count()": "cnt"})
+        dups = counts.filter(expr="cnt >= 2")
+        n = dups.to_pandas()["cnt"].sum() if dups.count() else 0
         return pd.DataFrame({"n_dup_docs": [int(n)]})
     q["doc_dup_content_count"] = doc_dup_content_count
 
@@ -255,9 +247,11 @@ def queries():
         qtbl = qtbl.take(order[:3])
         qids = qtbl["vec_id"].to_pylist()
         qmat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+        # exclude exactly the rows used as queries (shared definition with
+        # the oracle's vec_id < 3 / >= 3 because qids are the 3 smallest)
         corpus = fx.driver_table(sf_dir, "embeddings",
                                  columns=["vec_id", "embedding"]) \
-                   .filter(lambda r: r["vec_id"] not in (0, 1, 2))
+                   .filter(expr=f"vec_id not in {[int(i) for i in qids]}")
         out = simsearch.brute_force_topk(corpus, qmat, k=10).to_pandas()
         out["query_id"] = np.asarray(qids, dtype=np.int64)[out["query_id"]]
         return out[["query_id", "vec_id"]].reset_index(drop=True)
@@ -433,11 +427,10 @@ def queries():
     def top_amenities(sf_dir):
         """[R:notebook] A6 — top-10 amenity values."""
         ds = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
-        am = ds.filter(lambda r: r["key"] == "amenity")
+        am = ds.filter(expr="key == 'amenity'")
         counts = am.groupby("value").count().rename_columns({"count()": "cnt"})
-        df = counts.to_pandas().sort_values(["cnt", "value"],
-                                            ascending=[False, True]).head(10)
-        return df.reset_index(drop=True)
+        return distributed_topk(counts, 10, [("cnt", "descending"),
+                                             ("value", "ascending")])
     q["top_amenities"] = top_amenities
 
     def shape_elements(sf_dir):
@@ -480,17 +473,17 @@ def queries():
         ways = fx.read_fixture(sf_dir, "ways", columns=["user"])
         counts = nodes.union(ways).groupby("user").count().rename_columns(
             {"count()": "cnt"})
-        df = counts.to_pandas().sort_values(["cnt", "user"],
-                                            ascending=[False, True]).head(10)
-        return df.reset_index(drop=True)
+        return distributed_topk(counts, 10, [("cnt", "descending"),
+                                             ("user", "ascending")])
     q["osm_top_contributors"] = osm_top_contributors
 
     def osm_one_shot_users(sf_dir):
         """A5 — contributors with exactly one element."""
         nodes = fx.read_fixture(sf_dir, "nodes", columns=["uid"])
         ways = fx.read_fixture(sf_dir, "ways", columns=["uid"])
-        counts = nodes.union(ways).groupby("uid").count()
-        n = counts.filter(lambda r: r["count()"] == 1).count()
+        counts = nodes.union(ways).groupby("uid").count() \
+                      .rename_columns({"count()": "cnt"})
+        n = counts.filter(expr="cnt == 1").count()
         return pd.DataFrame({"n_one_shot": [int(n)]})
     q["osm_one_shot_users"] = osm_one_shot_users
 
@@ -555,11 +548,11 @@ def queries():
     q["per_cell_counts"] = per_cell_counts
 
     def hot_cells(sf_dir):
-        """A9 — top-20 hottest cells (drives the salt-factor choice)."""
-        counts = per_cell_counts(sf_dir).to_pandas()
-        out = counts.sort_values(["cnt", "qx", "qy"],
-                                 ascending=[False, True, True]).head(20)
-        return out.reset_index(drop=True)
+        """A9 — top-20 hottest cells (drives the salt-factor choice);
+        distributed top-k so the full cell histogram stays on-cluster."""
+        return distributed_topk(per_cell_counts(sf_dir), 20,
+                                [("cnt", "descending"), ("qx", "ascending"),
+                                 ("qy", "ascending")])
     q["hot_cells"] = hot_cells
 
     def events_hourly(sf_dir):

@@ -88,6 +88,33 @@ def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
                                                   batch_format="pandas")
 
 
+def distributed_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
+    """Global top-k WITHOUT materializing the input on the driver.
+
+    Each block emits its own top-k (``pc.select_k_unstable``); only the
+    tiny partials (≤ k rows × n_blocks) reach the driver for one final
+    merge. This is the scale-safe replacement for
+    ``groupby().count().to_pandas().sort_values().head(k)`` — at 100 TB the
+    distinct-key table (users/cells) can be billions of rows; here at most
+    k rows per block ever leave the cluster. ``sort_keys`` must impose a
+    total order (include tie-break columns). Returns a pandas DataFrame.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.take(pc.select_k_unstable(b, k=k, sort_keys=sort_keys))
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    cols = [c for c, _ in sort_keys]
+    asc = [o == "ascending" for _, o in sort_keys]
+    return parts.sort_values(cols, ascending=asc, kind="mergesort") \
+                .head(k).reset_index(drop=True)
+
+
 def pool_spec(requested: int, reserve: int = 2) -> tuple[int, int]:
     """Autoscaling actor-pool (min, max) for ``map_batches(Cls, ...)``.
 
