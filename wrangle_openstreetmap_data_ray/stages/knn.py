@@ -42,14 +42,26 @@ _N_BUCKETS = 1024
 def _guard_m(lat: np.ndarray, res: int) -> np.ndarray:
     """Ring-1 guaranteed coverage radius at each latitude: one grid step in
     the tighter axis (lat step, or lon step shrunk by cos(lat)), with a
-    safety margin for the point sitting at a cell edge."""
-    lat_step = 180.0 / (1 << res) * _M_PER_DEG
-    lon_step = 360.0 / (1 << res) * _M_PER_DEG * np.cos(np.radians(lat))
+    safety margin for the point sitting at a cell edge.
+
+    The meridian spacing is evaluated at the maximum |lat| reachable
+    within ring-1 (home lat + 2 lat-steps poleward: cell edge + one
+    neighbor cell), not at the home point itself — a candidate sitting
+    poleward of home sees tighter meridians, and evaluating at home lat
+    would overstate coverage at high latitudes (exactness hole flagged in
+    round-1 review)."""
+    lat_step_deg = 180.0 / (1 << res)
+    lat_step = lat_step_deg * _M_PER_DEG
+    wlat = np.minimum(np.abs(lat) + 2.0 * lat_step_deg, 90.0)
+    lon_step = 360.0 / (1 << res) * _M_PER_DEG * np.cos(np.radians(wlat))
     return np.minimum(lat_step, lon_step) * 0.999
 
 
 def _explode(lon_col, lat_col, id_col, res, salt, home_ids):
     """Emit (cell, salt, id, lon, lat, is_home) rows; ghosts into ring-1."""
+    home_arr = (np.sort(np.asarray(list(home_ids)))
+                if home_ids is not None else None)
+
     def fn(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy()
         lat = batch[lat_col].to_numpy()
@@ -68,8 +80,8 @@ def _explode(lon_col, lat_col, id_col, res, salt, home_ids):
         dup[1:] = (so_i[1:] == so_i[:-1]) & (so_c[1:] == so_c[:-1])
         keep = np.sort(order[~dup])
         cell_k, idx_k, home_k = cell_flat[keep], idx_flat[keep], is_home[keep]
-        if home_ids is not None:    # retry round: only laggards are home
-            is_target = np.fromiter((i in home_ids for i in ids), bool, n)
+        if home_arr is not None:    # retry round: only laggards are home
+            is_target = np.isin(ids, home_arr)
             home_k = home_k & is_target[idx_k]
         if salt > 1:
             # every (point, cell) row goes to ALL salt sub-groups as a
@@ -137,9 +149,22 @@ def _one_cell_knn(k, hmask, lon, lat, ids, out, chunk: int = 192):
         out[3].append(np.repeat(cla, kk)[ok])
 
 
-def _bucket_knn(k):
+def _empty_final(ids) -> pd.DataFrame:
+    return pd.DataFrame({"id": ids[:0], "neighbor_id": ids[:0],
+                         "dist_m": np.empty(0, np.float64),
+                         "satisfied": np.empty(0, bool)})
+
+
+def _bucket_knn(k, res):
     """All (cell, salt) groups of one shuffle bucket, vectorized run-by-run
-    (bounded group-call overhead — see util.bucketed_group_apply)."""
+    (bounded group-call overhead — see util.bucketed_group_apply).
+
+    FINALIZES per point in the same pass: every home point appears in
+    exactly one (cell, salt) group, and its ghosts bring the whole ring-1
+    neighborhood into that group — so the per-cell partial top-k IS the
+    global ring-1 top-k, and the satisfaction flag can be computed here.
+    This removes the per-id re-reduce shuffle the round-1 design paid
+    (half the fixed latency of every kNN pass)."""
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cell", "salt"], kind="mergesort")
         cell = g["cell"].to_numpy()
@@ -147,7 +172,7 @@ def _bucket_knn(k):
         lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
         ids, home = g["id"].to_numpy(), g["is_home"].to_numpy()
         if len(g) < 2:
-            return _empty_cand(ids)
+            return _empty_final(ids)
         new = np.empty(len(g), bool)
         new[0] = True
         new[1:] = (cell[1:] != cell[:-1]) | (salt[1:] != salt[:-1])
@@ -157,43 +182,34 @@ def _bucket_knn(k):
             s, e = starts[i], starts[i + 1]
             _one_cell_knn(k, home[s:e], lon[s:e], lat[s:e], ids[s:e], out)
         if not out[0]:
-            return _empty_cand(ids)
-        return pd.DataFrame({"id": np.concatenate(out[0]),
-                             "neighbor_id": np.concatenate(out[1]),
-                             "dist_m": np.concatenate(out[2]),
-                             "home_lat": np.concatenate(out[3])})
-    return fn
-
-
-def _bucket_final_k(k, res):
-    """Per-id global top-k + satisfaction flag for every id in the bucket,
-    all in vectorized pandas (no per-id group calls)."""
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["id", "neighbor_id"])
-        g = g.sort_values(["id", "dist_m", "neighbor_id"], kind="mergesort")
-        top = g.groupby("id", sort=False).head(k)
-        grp = top.groupby("id", sort=False)
-        nn = grp["neighbor_id"].transform("size")
+            return _empty_final(ids)
+        df = pd.DataFrame({"id": np.concatenate(out[0]),
+                           "neighbor_id": np.concatenate(out[1]),
+                           "dist_m": np.concatenate(out[2]),
+                           "home_lat": np.concatenate(out[3])})
+        df = df.sort_values(["id", "dist_m", "neighbor_id"], kind="mergesort")
+        top = df.groupby("id", sort=False).head(k)
+        nn = top.groupby("id", sort=False)["neighbor_id"].transform("size")
         guard = _guard_m(top["home_lat"].to_numpy(), res)
         within = pd.Series(top["dist_m"].to_numpy() <= guard, index=top.index)
         all_within = within.groupby(top["id"], sort=False).transform("all")
-        out = top[["id", "neighbor_id", "dist_m"]].copy()
-        out["satisfied"] = (nn >= k).to_numpy() & all_within.to_numpy()
-        return out
+        fin = top[["id", "neighbor_id", "dist_m"]].copy()
+        fin["satisfied"] = (nn >= k).to_numpy() & all_within.to_numpy()
+        return fin
     return fn
 
 
 def _one_pass(ds, k, res, id_col, lon_col, lat_col, salt, home_ids_ref):
+    """ONE hash shuffle: explode (with precomputed bucket ids) →
+    groupby(bucket) → per-group kNN + finalize."""
     import ray
 
-    from ..util import bucketed_group_apply
     home_ids = ray.get(home_ids_ref) if home_ids_ref is not None else None
     exploded = ds.map_batches(
         _explode(lon_col, lat_col, id_col, res, salt, home_ids),
         batch_format="pyarrow", batch_size=16384)
-    candidates = exploded.groupby("_bucket").map_groups(
-        _bucket_knn(k), batch_format="pandas")
-    return bucketed_group_apply(candidates, ["id"], _bucket_final_k(k, res))
+    return exploded.groupby("_bucket").map_groups(
+        _bucket_knn(k, res), batch_format="pandas")
 
 
 def _laggard_topk(ds, laggards: pd.DataFrame, k, id_col, lon_col, lat_col):
