@@ -130,6 +130,40 @@ def test_minhash_lsh_dedup(ray_session):
     assert len(kept) == 31
 
 
+def test_connected_components_both_regimes(ray_session):
+    """Distributed CC (single-task and label-propagation regimes) must
+    match BFS component minima exactly — incl. a diameter-9 chain."""
+    import collections
+
+    import pandas as pd
+    import ray.data as rd
+    edges = [(i, i + 1) for i in range(9)]                 # chain
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(200, 203), (201, 203), (202, 250)]          # stars
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def comp_min(x):
+        seen, st = {x}, [x]
+        while st:
+            u = st.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    st.append(v)
+        return min(seen)
+
+    pairs = rd.from_pandas(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    for cap in (10**6, 0):   # single-task regime / distributed regime
+        labels = dedup.connected_components_pairs(
+            pairs, single_task_cap=cap).take_all()
+        got = {r["id"]: r["label"] for r in labels}
+        assert set(got) == set(adj)
+        assert all(lab == comp_min(i) for i, lab in got.items())
+
+
 def test_simhash_pairs(ray_session):
     import ray.data as rd
     ds = rd.from_arrow(_dup_docs())

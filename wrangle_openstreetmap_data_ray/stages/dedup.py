@@ -207,7 +207,8 @@ def _attach_pair_texts(pairs, docs, id_col: str, text_col: str):
 
 def drop_set_from_pairs(pairs_rows, id_a="id_a", id_b="id_b") -> set:
     """Union-find over verified dup pairs (a SMALL driver-side list):
-    every component keeps its minimum id; the rest go into the drop set."""
+    every component keeps its minimum id; the rest go into the drop set.
+    Kept as the exact reference for ``connected_components_pairs``."""
     parent: dict = {}
 
     def find(x):
@@ -225,15 +226,173 @@ def drop_set_from_pairs(pairs_rows, id_a="id_a", id_b="id_b") -> set:
     return drops
 
 
-def near_dedup_minhash(ds, id_col: str, text_col: str, tau: float = 0.8, **kw):
-    """End-to-end near-dedup: docs → verified pairs → broadcast drop set →
-    filtered docs (keeps the min-id representative of each dup cluster)."""
-    pairs = minhash_verified_pairs(ds, id_col, text_col, tau, **kw).take_all()
-    drops = drop_set_from_pairs(pairs)
+# row side markers for the label-propagation rounds
+_CC_EDGE, _CC_LABEL, _CC_MSG = 0, 1, 2
+
+
+def _cc_round(g: pd.DataFrame) -> pd.DataFrame:
+    """One min-label-propagation round over one shuffle bucket.
+
+    Input rows (key, other, label, side): side 0 = directed edge
+    (other = neighbor, label = filler), side 1 = the key's current label,
+    side 2 = a label candidate messaged from a neighbor. Fillers equal the
+    row's own key so no column is ever null (schema-stable, no float
+    coercion of int ids).
+    Output: one side-1 row per key (its new label + changed flag) and one
+    side-2 message per incident edge carrying the new label to `other`.
+    """
+    grp = g.groupby("key", sort=False)
+    min_lab = grp["label"].min()
+    min_oth = grp["other"].min()     # neighbor ids = their initial labels
+    keys = min_lab.index.to_series(index=min_lab.index)
+    m = pd.concat([min_lab, min_oth, keys], axis=1).min(axis=1)
+    prev = g[g["side"] == _CC_LABEL].groupby("key", sort=False)["label"].min()
+    prev = prev.reindex(m.index).fillna(keys)
+    changed = (m < prev).to_numpy()
+    lab = pd.DataFrame({"key": m.index.to_numpy(), "other": m.index.to_numpy(),
+                        "label": m.to_numpy(),
+                        "side": np.full(len(m), _CC_LABEL, np.int8),
+                        "changed": changed})
+    e = g[g["side"] == _CC_EDGE]
+    msg = pd.DataFrame({"key": e["other"].to_numpy(),
+                        "other": e["other"].to_numpy(),
+                        "label": m.loc[e["key"]].to_numpy(),
+                        "side": np.full(len(e), _CC_MSG, np.int8),
+                        "changed": np.zeros(len(e), bool)})
+    return pd.concat([lab, msg], ignore_index=True)
+
+
+def _unionfind_labels(aa, bb) -> dict:
+    """Exact union-find over an edge list; returns {id: component_min_id}
+    for every incident id."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(aa, bb):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def connected_components_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                               max_iters: int = 12, n_buckets: int = 512,
+                               single_task_cap: int = 5_000_000):
+    """Connected components over a pair/edge Dataset → Dataset
+    (id, label) for every id incident to a pair, where label is the
+    component's minimum id. Nothing ever materializes on the driver
+    (replaces the round-1 driver-side union-find — VERDICT.md r1 item 5).
+
+    Two regimes:
+    - pairs ≤ ``single_task_cap``: consolidate to one block and run exact
+      union-find inside ONE Ray task (pairs are the rare dup edges — tiny
+      next to the corpus — so this is the common case and costs no
+      shuffle rounds).
+    - beyond the cap: iterated min-label propagation — each round is ONE
+      bucketed hash shuffle over (static edges ∪ labels ∪ messages),
+      stopping when no label decreases (≤ graph diameter rounds;
+      near-dup clusters are shallow cliques, so 2-3 rounds typical).
+    """
+    from ..util import bucketed_group_apply
+
+    pairs = pairs.materialize()
+    if pairs.count() <= single_task_cap:
+        def local_cc(b: pa.Table) -> pa.Table:
+            lab = _unionfind_labels(b[id_a].to_pylist(), b[id_b].to_pylist())
+            ids = sorted(lab)
+            return pa.table({"id": pa.array(ids),
+                             "label": pa.array([lab[i] for i in ids])})
+        return pairs.repartition(1).map_batches(
+            local_cc, batch_format="pyarrow", batch_size=None)
+
+    def explode(b: pa.Table) -> pa.Table:
+        a, bb = b[id_a].combine_chunks(), b[id_b].combine_chunks()
+        key = pa.concat_arrays([a, bb])
+        oth = pa.concat_arrays([bb, a])
+        n = len(key)
+        return pa.table({"key": key, "other": oth, "label": key,
+                         "side": pa.array(np.zeros(n, np.int8)),
+                         "changed": pa.array(np.zeros(n, bool))})
+
+    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    labels = None
+    for it in range(max_iters):
+        inp = edges if labels is None else edges.union(labels)
+        labels = bucketed_group_apply(inp, ["key"], _cc_round,
+                                      n_buckets).materialize()
+        if it == 0:
+            continue    # round 1 always changes labels; skip the count
+
+        def count_changed(b: pd.DataFrame) -> pd.DataFrame:
+            n = int((b["changed"] & (b["side"] == _CC_LABEL)).sum())
+            return pd.DataFrame({"n": [n]})
+
+        n_changed = int(labels.map_batches(
+            count_changed, batch_format="pandas").to_pandas()["n"].sum())
+        if n_changed == 0:
+            break
+
+    def final(b: pa.Table) -> pa.Table:
+        f = b.filter(pa.compute.equal(b["side"], _CC_LABEL))
+        return pa.table({"id": f["key"], "label": f["label"]})
+
+    return labels.map_batches(final, batch_format="pyarrow")
+
+
+def near_dedup_minhash(ds, id_col: str, text_col: str, tau: float = 0.8,
+                       broadcast_cap: int = 2_000_000, **kw):
+    """End-to-end near-dedup: docs → verified pairs → DISTRIBUTED
+    connected components → drop rows whose component label isn't their own
+    id (keeps the min-id representative of each dup cluster).
+
+    The drop set is applied with a broadcast ``pc.is_in`` (one ray.put,
+    vectorized per batch) while it fits ``broadcast_cap``; beyond that it
+    falls back to a bucketed distributed anti-join so nothing ever
+    materializes on the driver.
+    """
+    import pyarrow.compute as pcc
+    import ray
+
+    from ..util import anti_semi_join
+
+    pairs = minhash_verified_pairs(ds, id_col, text_col, tau, **kw) \
+        .select_columns(["id_a", "id_b"]).materialize()
+    if pairs.count() == 0:
+        return ds
+    labels = connected_components_pairs(pairs)
+
+    def non_rep(b: pa.Table) -> pa.Table:
+        keep = pcc.invert(pcc.equal(b["id"], b["label"]))
+        return pa.table({"id": b["id"].filter(keep)})
+
+    drops = labels.map_batches(non_rep, batch_format="pyarrow")
+
+    # ONE streamed pull of the narrow drop ids, aborted to the distributed
+    # anti-join if they outgrow the broadcast budget (bounded driver memory)
+    chunks, n_drops, overflow = [], 0, False
+    for b in drops.iter_batches(batch_format="pyarrow"):
+        chunks.append(b["id"])
+        n_drops += len(b)
+        if n_drops > broadcast_cap:
+            overflow = True
+            break
+    if overflow:
+        return anti_semi_join(ds, drops, on=id_col, keys_on="id")
+    if n_drops == 0:
+        return ds
+    drop_arr = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in chunks])
+    ref = ray.put(drop_arr)
 
     def filt(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        mask = pa.array([i not in drops for i in ids])
+        mask = pcc.invert(pcc.is_in(batch[id_col], value_set=ray.get(ref)))
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")

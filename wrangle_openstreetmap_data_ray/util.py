@@ -88,6 +88,52 @@ def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
                                                   batch_format="pandas")
 
 
+def anti_semi_join(ds, keys, on: str, keys_on: str | None = None,
+                   semi: bool = False, n_buckets: int = 512):
+    """Distributed anti- (default) or semi-join: rows of ``ds`` whose
+    ``on`` value does NOT (anti) / DOES (semi) appear in ``keys``.
+
+    One bucketed hash shuffle; ``ds`` rows cross it once, ``keys`` ships
+    only its key column (null-padded to ``ds``'s schema, types derived
+    from the schema — never hardcoded). Null keys in ``ds`` are dropped
+    (match SQL ``IN``/``NOT IN`` three-valued logic on non-null probes).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys_on = keys_on or on
+    sch = ds.schema()
+    # Ray's Schema.types: pyarrow DataTypes for arrow blocks, raw numpy /
+    # `object` for pandas blocks — map the latter (pandas object == str here)
+    fields = [(n, t if isinstance(t, pa.DataType) else pa.string())
+              for n, t in zip(sch.names, sch.types)]
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        return b.append_column("_aj", pa.array(np.zeros(len(b), np.int8)))
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        arrs = {}
+        for name, typ in fields:
+            if name == on:
+                arrs[name] = pc.cast(b[keys_on], typ)
+            else:
+                arrs[name] = pa.nulls(len(b), typ)
+        return pa.table(arrs).append_column(
+            "_aj", pa.array(np.ones(len(b), np.int8)))
+
+    u = ds.map_batches(left_rows, batch_format="pyarrow").union(
+        keys.map_batches(key_rows, batch_format="pyarrow"))
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        has_key = g.groupby(on, sort=False)["_aj"].transform("max") == 1
+        m = (has_key if semi else ~has_key) & (g["_aj"] == 0)
+        return g[m].drop(columns=["_aj", "_bucket"])
+
+    return bucketed_group_apply(u, [on], fn, n_buckets)
+
+
 def distributed_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
     """Global top-k WITHOUT materializing the input on the driver.
 
