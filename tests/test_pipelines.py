@@ -89,6 +89,31 @@ def test_flagship_resume_skips_rewrite(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df1, df2)
 
 
+def test_lancelike_resume_invalidated_by_fingerprint_and_lost_frags(
+        ray_session, tmp_path):
+    """Resume must NOT reuse a checkpoint when the input fingerprint
+    changed or a referenced fragment file vanished (round-1 advice)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.sources import lancelike
+    root = str(tmp_path / "fp")
+    ds = rd.from_arrow(pa.table({"x": list(range(50))}))
+    m1 = lancelike.write_dataset(ds, root, stage="s", fingerprint="fpA")
+    # same fingerprint → resumed
+    m2 = lancelike.write_dataset(ds, root, stage="s", fingerprint="fpA")
+    assert m2["version"] == m1["version"]
+    # different fingerprint (input changed) → rewritten
+    m3 = lancelike.write_dataset(ds, root, stage="s", fingerprint="fpB")
+    assert m3["version"] > m2["version"]
+    # fragment file lost (e.g. /tmp cleared) → rewritten, not stale-served
+    lost = os.path.join(root, m3["fragments"][0]["path"])
+    os.remove(lost)
+    m4 = lancelike.write_dataset(ds, root, stage="s", fingerprint="fpB")
+    assert m4["version"] > m3["version"]
+    assert lancelike.read_dataset(root).count() == 50
+
+
 def test_lancelike_partitioned_write_and_prune(ray_session, tmp_path):
     import pyarrow as pa
     import ray.data as rd

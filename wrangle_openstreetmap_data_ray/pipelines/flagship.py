@@ -58,8 +58,11 @@ def flagship(sf_dir: str, out_root: str | None = None):
                    "postcode_clean", "in_bbox", "cell"])
 
     if out_root:
+        # fingerprint the SOURCE tables so a changed fixture invalidates
+        # the checkpoint (resume must not serve stale data)
+        fp = lancelike.input_fingerprint(g)
         lancelike.write_dataset(located, out_root, stage="flagship",
-                                parent=fx.sf_tag(sf_dir))
+                                parent=fx.sf_tag(sf_dir), fingerprint=fp)
         located = lancelike.read_dataset(out_root)
 
     from ray.data.aggregate import Count, Sum

@@ -64,14 +64,50 @@ def latest_manifest(root: str) -> dict | None:
         return json.load(f)
 
 
+def input_fingerprint(ds) -> str:
+    """Cheap lineage fingerprint of a Dataset INPUT: schema names/types +
+    input-file identity (paths, sizes) where the plan exposes them. Used
+    by the resume check so a checkpoint is only reused when it was built
+    from the same-looking input — not merely the same (stage, parent)
+    label (round-1 review: a manifest from an older fixture silently
+    served stale data)."""
+    import hashlib
+    sch = ds.schema()
+    parts = [",".join(sch.names), ",".join(str(t) for t in sch.types)]
+    try:
+        files = ds.input_files() or []
+        for p in sorted(files):
+            try:
+                parts.append(f"{p}:{os.path.getsize(p)}")
+            except OSError:
+                parts.append(p)
+    except Exception:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _resume_ok(root: str, prev: dict | None, stage: str, parent: str | None,
+               fingerprint: str | None) -> bool:
+    """A committed manifest is reusable only if stage+parent+fingerprint
+    all match AND every fragment file it references still exists."""
+    if not prev or prev["stage"] != stage or prev.get("parent") != parent:
+        return False
+    if prev.get("fingerprint") != fingerprint:
+        return False
+    return all(os.path.exists(os.path.join(root, f["path"]))
+               for f in prev["fragments"])
+
+
 def _commit(root: str, stage: str, parent: str | None,
-            fragments: list[dict], metrics: dict | None) -> dict:
+            fragments: list[dict], metrics: dict | None,
+            fingerprint: str | None = None) -> dict:
     prev = latest_manifest(root)
     version = (prev["version"] + 1) if prev else 1
     man = {
         "version": version,
         "stage": stage,
         "parent": parent,
+        "fingerprint": fingerprint,
         "committed_at": datetime.now(timezone.utc).isoformat(),
         "fragments": fragments,
         "total_rows": int(sum(f["rows"] for f in fragments)),
@@ -107,24 +143,27 @@ class _FragmentWriter:
 
 
 def write_dataset(ds, root: str, stage: str, parent: str | None = None,
-                  metrics: dict | None = None, resume: bool = True) -> dict:
+                  metrics: dict | None = None, resume: bool = True,
+                  fingerprint: str | None = None) -> dict:
     """Write a ``ray.data.Dataset`` as a new committed version of ``root``.
 
     Returns the committed manifest. If ``resume`` and the latest committed
-    manifest already records this (stage, parent) pair, the write is skipped
-    and the existing manifest returned — the checkpoint/restart contract.
+    manifest records this (stage, parent, fingerprint) AND its fragment
+    files all still exist, the write is skipped and the existing manifest
+    returned — the checkpoint/restart contract. Pass
+    ``fingerprint=input_fingerprint(source_ds)`` so a changed input
+    invalidates the checkpoint instead of silently serving stale data.
     """
-    if resume:
-        prev = latest_manifest(root)
-        if prev and prev["stage"] == stage and prev.get("parent") == parent:
-            return prev
+    if resume and _resume_ok(root, latest_manifest(root), stage, parent,
+                             fingerprint):
+        return latest_manifest(root)
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
     os.makedirs(frag_dir, exist_ok=True)
     meta = ds.map_batches(_FragmentWriter(frag_dir), batch_format="pyarrow",
                           batch_size=None)  # one fragment per input block
     frags = [{"path": r["path"], "rows": int(r["rows"]), "bytes": int(r["bytes"])}
              for r in meta.take_all()]
-    return _commit(root, stage, parent, frags, metrics)
+    return _commit(root, stage, parent, frags, metrics, fingerprint)
 
 
 class _PartitionedFragmentWriter:
@@ -163,13 +202,13 @@ class _PartitionedFragmentWriter:
 def write_dataset_partitioned(ds, root: str, stage: str, partition_col: str,
                               parent: str | None = None,
                               metrics: dict | None = None,
-                              resume: bool = True) -> dict:
+                              resume: bool = True,
+                              fingerprint: str | None = None) -> dict:
     """Partitioned variant of ``write_dataset``: one fragment subdir per
     partition value, per-partition row counts in the manifest."""
-    if resume:
-        prev = latest_manifest(root)
-        if prev and prev["stage"] == stage and prev.get("parent") == parent:
-            return prev
+    if resume and _resume_ok(root, latest_manifest(root), stage, parent,
+                             fingerprint):
+        return latest_manifest(root)
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
     os.makedirs(frag_dir, exist_ok=True)
     meta = ds.map_batches(_PartitionedFragmentWriter(frag_dir, partition_col),
@@ -183,7 +222,7 @@ def write_dataset_partitioned(ds, root: str, stage: str, partition_col: str,
     m = dict(metrics or {})
     m["partition_col"] = partition_col
     m["partition_rows"] = per_part
-    return _commit(root, stage, parent, frags, m)
+    return _commit(root, stage, parent, frags, m, fingerprint)
 
 
 def read_dataset(root: str, columns: list[str] | None = None, version: int | None = None,

@@ -32,6 +32,11 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
     left_ts) as nullable int64 epoch-µs (null when no right row precedes).
 
     Both inputs must already expose the join key as ``key_col``."""
+    # null-pad the right side with the LEFT schema's actual types (never a
+    # hardcoded int64 — a string event id must survive the union)
+    lsch = left.schema()
+    ltypes = {n: (t if isinstance(t, pa.DataType) else pa.string())
+              for n, t in zip(lsch.names, lsch.types)}
 
     def left_rows(b: pa.Table) -> pa.Table:
         cols = {"key": b[key_col],
@@ -46,7 +51,7 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
                 "ts": pc.cast(b[right_ts], pa.int64()),
                 "side": pa.array(np.zeros(len(b), np.int8))}
         for c in left_keep:
-            cols[c] = pa.nulls(len(b), pa.int64())
+            cols[c] = pa.nulls(len(b), ltypes[c])
         return pa.table(cols)
 
     l = left.map_batches(left_rows, batch_format="pyarrow")
@@ -62,11 +67,9 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
         new_key = np.empty(len(g), bool)
         new_key[0] = True
         new_key[1:] = key[1:] != key[:-1]
-        starts = np.append(np.nonzero(new_key)[0], len(g))
-        run_max = rts.copy()
-        for i in range(len(starts) - 1):       # loop over keys, not rows
-            s, e = starts[i], starts[i + 1]
-            run_max[s:e] = np.maximum.accumulate(rts[s:e])
+        # segment-reset running max, fully vectorized (cython cummax)
+        seg = np.cumsum(new_key) - 1
+        run_max = pd.Series(rts).groupby(seg).cummax().to_numpy()
         lmask = side == 1
         out = g.loc[lmask, left_keep].copy()
         vals = run_max[lmask]
