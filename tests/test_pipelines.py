@@ -75,6 +75,42 @@ def test_query_matches_oracle_sf0001(entry_mod, name):
                                   check_exact=False, rtol=1e-9)
 
 
+def test_shape_documents_nested_address_golden(entry_mod):
+    """The reference's canonical document (SURVEY §1.1): created{...incl.
+    timestamp}, pos{lat,lon}, address{housenumber,postcode,street} —
+    address pivoted from addr:* tags, normalized/cleaned in the pivot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wrangle_openstreetmap_data_ray.functions import normalize
+    from wrangle_openstreetmap_data_ray.pipelines import fixtures as fx
+
+    qs = entry_mod.queries()
+    out = qs["shape_documents_nested"](SF).take_all()
+    by_key = {(r["type"], r["id"]): r for r in out}
+
+    tags = pq.read_table(fx.fixture_path(SF, "tags")).to_pandas()
+    nodes = pq.read_table(fx.fixture_path(SF, "nodes")).to_pandas()
+    ways = pq.read_table(fx.fixture_path(SF, "ways")).to_pandas()
+    assert len(out) == len(nodes) + len(ways)
+
+    st = tags[(tags.key == "addr:street") & (tags.elem_kind == "node")].iloc[0]
+    doc = by_key[("node", st.elem_id)]
+    exp_street = normalize.normalize_street(pa.array([st.value]))[0].as_py()
+    assert doc["address"]["street"] == exp_street
+    nrow = nodes[nodes.id == st.elem_id].iloc[0]
+    assert doc["pos"] == {"lat": nrow.lat, "lon": nrow.lon}
+    assert doc["created"]["user"] == nrow.user
+    assert doc["created"]["uid"] == str(nrow.uid)
+    assert doc["created"]["timestamp"].endswith("Z")         # ISO-8601 UTC
+
+    addr_ids = set(tags[tags.key.str.startswith("addr:")].elem_id)
+    no_addr = nodes[~nodes.id.isin(addr_ids)].iloc[0]
+    assert by_key[("node", no_addr.id)]["address"] is None   # absent → null
+    wrow = ways.iloc[0]
+    assert by_key[("way", wrow.id)]["pos"] is None           # ways: no pos
+
+
 def test_flagship_resume_skips_rewrite(ray_session, tmp_path):
     """SURVEY.md §5.4 — a second run with the same lineage reuses the
     committed manifest instead of rewriting."""

@@ -187,9 +187,32 @@ def test_embedding_dup_pairs(ray_session):
     t = pa.table({"vec_id": pa.array(range(60), pa.int64()),
                   "embedding": pa.array(vecs.tolist(),
                                         pa.list_(pa.float32()))})
-    pairs = dedup.embedding_dup_pairs(rd.from_arrow(t), tau=0.95, n_bits=6).take_all()
+    pairs = dedup.embedding_dup_pairs(rd.from_arrow(t), tau=0.95).take_all()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (40, 41) in got
+
+
+def test_embedding_dup_recall_vs_bruteforce(ray_session):
+    """Multi-band LSH must recover (essentially) every true pair that
+    exact brute-force cosine finds at the same τ (ADVICE r1: the
+    single-band design silently lost >half of them)."""
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    n, dim, tau = 120, 32, 0.95
+    vecs = rng.standard_normal((n, dim))
+    for i in range(0, 30, 2):          # 15 planted near-dup pairs
+        vecs[i + 1] = vecs[i] + rng.standard_normal(dim) * 0.02
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = vn @ vn.T
+    ia, ib = np.triu_indices(n, k=1)
+    truth = {(int(a), int(b)) for a, b in zip(ia[sim[ia, ib] >= tau],
+                                              ib[sim[ia, ib] >= tau])}
+    assert len(truth) >= 15
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_dup_pairs(rd.from_arrow(t), tau=tau).take_all()}
+    assert got == truth                # exact: no false pos, full recall
 
 
 def test_brute_force_topk_exact(ray_session):

@@ -76,6 +76,32 @@ def _edges_table(polygons: pa.Table) -> pa.Table:
     })
 
 
+def _embeddings_dup_table(sf_dir: str, n_base: int = 500,
+                          n_dups: int = 40) -> pa.Table:
+    """Deterministic near-dup embeddings fixture: the first ``n_base``
+    driver embedding vectors + ``n_dups`` tiny-perturbation copies
+    (cosine ≈ 1−1e-8, far above any natural pair — max natural cosine in
+    the driver table is ~0.51). Gives the embedding near-dup operator a
+    NON-VACUOUS oracle-checkable pair set (round-1 check returned 0 rows).
+    """
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    n_base = min(n_base, src.num_rows)
+    src = src.slice(0, n_base)
+    ids = np.asarray(src["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(src["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(42)
+    n_dups = min(n_dups, n_base)
+    scale = np.linalg.norm(vecs[:n_dups], axis=1, keepdims=True) * 1e-4
+    pert = vecs[:n_dups] + rng.standard_normal(vecs[:n_dups].shape) * scale
+    dup_ids = ids.max() + 1 + np.arange(n_dups, dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(np.concatenate([ids, dup_ids]), pa.int64()),
+        "embedding": pa.array(np.concatenate([vecs, pert]).tolist(),
+                              pa.list_(pa.float64())),
+    })
+
+
 def _write_atomic(table: pa.Table, path: str,
                   row_group_size: int = 100_000) -> None:
     """Row groups sized so read_parquet yields multiple parallel blocks —
@@ -108,6 +134,9 @@ def materialize(sf_dir: str) -> str:
         polys = synth.gen_polygons_table(sz["n_polys"])
         _write_atomic(polys, fixture_path(sf_dir, "polygons"))
         _write_atomic(_edges_table(polys), fixture_path(sf_dir, "edges"))
+    if need("embeddings_dup"):
+        _write_atomic(_embeddings_dup_table(sf_dir),
+                      fixture_path(sf_dir, "embeddings_dup"))
     if need("nodes") or need("ways") or need("way_nodes") or need("tags"):
         nodes, ways, way_nodes, tags = synth.gen_osm_tables(sz["n_nodes"], sz["n_ways"])
         _write_atomic(nodes, fixture_path(sf_dir, "nodes"))

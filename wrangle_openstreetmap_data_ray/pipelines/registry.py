@@ -227,12 +227,17 @@ def queries():
     q["simhash_doc_pairs"] = simhash_doc_pairs
 
     def embedding_dup_pairs(sf_dir):
-        ds = fx.driver_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        """Embedding-cosine near-dup over the dup-injected fixture —
+        oracle-paired: multi-band LSH recall at τ=0.98 is ~1−7e-5 and the
+        fixture's dup pairs sit at cosine ≈ 1−1e-8 (no thresholds in
+        play), so the pair set matches the exact SQL cross-join oracle."""
+        ds = fx.read_fixture(sf_dir, "embeddings_dup",
+                             columns=["vec_id", "embedding"])
         out = dedup.embedding_dup_pairs(ds, tau=0.98).to_pandas()
         if out.empty:   # an all-empty map_groups result loses its schema
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
-        return out[["id_a", "id_b"]]
+        return out[["id_a", "id_b"]].astype("int64").reset_index(drop=True)
     q["embedding_dup_pairs"] = embedding_dup_pairs
 
     # --------------------------------------------------- similarity search
@@ -683,40 +688,101 @@ def queries():
 
     def shape_documents_nested(sf_dir):
         """[R:data.py::shape_element] M8/M9 nested form — the reference's
-        document shape as Arrow structs: created{...}, pos[2] (rows-only;
-        struct columns don't value-hash across engines)."""
-        def shape(kind):
+        full document shape as Arrow structs: created{version, changeset,
+        timestamp, user, uid}, pos{lat,lon}, address{housenumber,
+        postcode, street} pivoted from the addr:* tags (normalized M5 /
+        cleaned M6 in the pivot). One bucketed shuffle merges the tag
+        pivot onto the elements; struct assembly is a final vectorized
+        map. (rows-only; struct columns don't value-hash across engines)
+        """
+        from ..functions import shape as shp
+        from ..util import bucketed_group_apply
+
+        A_FIELDS = ["housenumber", "postcode", "street"]
+
+        def doc_rows(kind):
             def f(b: pa.Table) -> pa.Table:
                 n = len(b)
-                created = pa.StructArray.from_arrays(
-                    [b[c].combine_chunks() for c in
-                     ("version", "changeset", "user")]
-                    + [pc.cast(b["uid"], pa.string()).combine_chunks()],
-                    names=["version", "changeset", "user", "uid"])
                 cols = {
+                    "kind": pa.array([kind] * n, pa.string()),
                     "id": b["id"],
-                    "type": pa.array([kind] * n, pa.string()),
-                    "created": created,
+                    "version": pc.cast(b["version"], pa.string()),
+                    "changeset": pc.cast(b["changeset"], pa.string()),
+                    "timestamp": pc.strftime(b["timestamp"],
+                                             format="%Y-%m-%dT%H:%M:%SZ"),
+                    "user": b["user"],
+                    "uid": pc.cast(b["uid"], pa.string()),
+                    "lat": (pc.cast(b["lat"], pa.float64()) if kind == "node"
+                            else pa.nulls(n, pa.float64())),
+                    "lon": (pc.cast(b["lon"], pa.float64()) if kind == "node"
+                            else pa.nulls(n, pa.float64())),
+                    "is_addr": pa.array(np.zeros(n, np.int8)),
                 }
-                # pos as struct<lat,lon> (not a list: Ray auto-casts
-                # uniform-length lists to its tensor extension, which
-                # chokes on the all-null way blocks)
-                if kind == "node":
-                    cols["pos"] = pa.StructArray.from_arrays(
-                        [pc.cast(b["lat"], pa.float64()).combine_chunks(),
-                         pc.cast(b["lon"], pa.float64()).combine_chunks()],
-                        names=["lat", "lon"])
-                else:
-                    cols["pos"] = pa.nulls(
-                        n, pa.struct([("lat", pa.float64()),
-                                      ("lon", pa.float64())]))
+                for c in A_FIELDS:
+                    cols[c] = pa.nulls(n, pa.string())
                 return pa.table(cols)
             return f
-        nodes = fx.read_fixture(sf_dir, "nodes").map_batches(
-            shape("node"), batch_format="pyarrow")
-        ways = fx.read_fixture(sf_dir, "ways").map_batches(
-            shape("way"), batch_format="pyarrow")
-        return nodes.union(ways)
+
+        def addr_rows(b: pa.Table) -> pa.Table:
+            p = shp.pivot_address_tags(b)      # partial per-batch pivot
+            n = len(p)
+            return pa.table({
+                "kind": p["elem_kind"],
+                "id": p["elem_id"],
+                "version": pa.nulls(n, pa.string()),
+                "changeset": pa.nulls(n, pa.string()),
+                "timestamp": pa.nulls(n, pa.string()),
+                "user": pa.nulls(n, pa.string()),
+                "uid": pa.nulls(n, pa.string()),
+                "lat": pa.nulls(n, pa.float64()),
+                "lon": pa.nulls(n, pa.float64()),
+                "is_addr": pa.array(np.ones(n, np.int8)),
+                "housenumber": pc.cast(p["housenumber"], pa.string()),
+                "postcode": pc.cast(p["postcode"], pa.string()),
+                "street": pc.cast(p["street"], pa.string()),
+            })
+
+        elems = fx.read_fixture(sf_dir, "nodes").map_batches(
+            doc_rows("node"), batch_format="pyarrow").union(
+            fx.read_fixture(sf_dir, "ways").map_batches(
+                doc_rows("way"), batch_format="pyarrow"))
+        tags = fx.read_fixture(sf_dir, "tags")
+        unioned = elems.union(
+            tags.map_batches(addr_rows, batch_format="pyarrow"))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            base = g[g["is_addr"] == 0].drop(columns=A_FIELDS + ["_bucket",
+                                                                 "is_addr"])
+            addr = (g[g["is_addr"] == 1]
+                    .groupby(["kind", "id"], sort=False)[A_FIELDS]
+                    .first().reset_index())   # first non-null per field
+            return base.merge(addr, on=["kind", "id"], how="left")
+
+        flat = bucketed_group_apply(unioned, ["kind", "id"], merge,
+                                    n_buckets=256)
+
+        def assemble(b: pa.Table) -> pa.Table:
+            n = len(b)
+            created = pa.StructArray.from_arrays(
+                [b[c].combine_chunks() for c in
+                 ("version", "changeset", "timestamp", "user", "uid")],
+                names=["version", "changeset", "timestamp", "user", "uid"])
+            pos_null = pc.invert(pc.is_valid(b["lat"])).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = pa.StructArray.from_arrays(
+                [b["lat"].combine_chunks(), b["lon"].combine_chunks()],
+                names=["lat", "lon"], mask=pa.array(pos_null))
+            no_addr = ~np.logical_or.reduce(
+                [pc.is_valid(b[c]).combine_chunks()
+                 .to_numpy(zero_copy_only=False) for c in A_FIELDS])
+            address = pa.StructArray.from_arrays(
+                [b[c].combine_chunks() for c in A_FIELDS],
+                names=A_FIELDS, mask=pa.array(no_addr))
+            return pa.table({"id": b["id"], "type": b["kind"],
+                             "created": created, "pos": pos,
+                             "address": address})
+
+        return flat.map_batches(assemble, batch_format="pyarrow")
     q["shape_documents_nested"] = shape_documents_nested
 
     def top_event_value_per_user(sf_dir):
@@ -906,6 +972,12 @@ def oracle_sql():
               SELECT COUNT(*) AS c FROM documents
               GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
               HAVING COUNT(*) >= 2)""",
+        "embedding_dup_pairs": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM read_parquet('{_fxp('embeddings_dup')}') a,
+                 read_parquet('{_fxp('embeddings_dup')}') b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98""",
         "embedding_topk": """
             SELECT query_id, vec_id FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -130,16 +130,16 @@ def minhash_verified_pairs(ds, id_col: str, text_col: str, tau: float = 0.8,
 
     The verify step needs the two texts: broadcast is wrong for a big
     corpus, so texts are gathered to their pairs with a reduce-side
-    groupby (see ``_attach_pair_texts``) — only (id, text) rows of docs
+    groupby (see ``_attach_pair_col``) — only (id, text) rows of docs
     actually referenced by a pair side move.
     """
     pairs = minhash_candidate_pairs(ds, id_col, text_col, num_perm, num_bands,
                                     shingle_n, concurrency)
     docs = ds.select_columns([id_col, text_col])
-    sided = _attach_pair_texts(pairs, docs, id_col, text_col)
+    sided = _attach_pair_col(pairs, docs, id_col, text_col)
 
     def judge(g: pa.Table) -> pa.Table:
-        texts = dict(zip(g["side"].to_pylist(), g["text"].to_pylist()))
+        texts = dict(zip(g["side"].to_pylist(), g["val"].to_pylist()))
         jac = -1.0
         if 0 in texts and 1 in texts:
             jac = jaccard_shingles(WS_RE.findall(texts[0].lower()),
@@ -152,29 +152,32 @@ def minhash_verified_pairs(ds, id_col: str, text_col: str, tau: float = 0.8,
     return sided.groupby(["id_a", "id_b"]).map_groups(judge, batch_format="pyarrow")
 
 
-def _attach_pair_texts(pairs, docs, id_col: str, text_col: str):
-    """Reduce-side gather: attach each pair side's text via ONE
-    groupby(doc id) over the union of doc rows and pair-request rows.
+def _attach_pair_col(pairs, items, id_col: str, val_col: str):
+    """Reduce-side gather: attach each pair side's value (text, vector, …)
+    via ONE groupby(item id) over the union of item rows and pair-request
+    rows. Output column is named ``val``; value type comes from the items
+    schema, never hardcoded.
 
     Replaces ``Dataset.join`` here: Ray 2.49's hash join emits
     schema-less empty partitions when the (tiny) pair list spreads over
     many partitions, which poisons chained joins (ArrowInvalid). A
-    sort-shuffle groupby has no such edge and moves each doc text at
+    sort-shuffle groupby has no such edge and moves each item value at
     most once per referenced side — same asymptotics as the join.
 
-    Output rows: (id_a, id_b, side∈{0,1}, text) — one per pair side.
+    Output rows: (id_a, id_b, side∈{0,1}, val) — one per pair side.
     """
-    base = docs.schema().base_schema          # pyarrow schema under Ray's wrapper
+    base = items.schema().base_schema         # pyarrow schema under Ray's wrapper
     id_type = base.field(id_col).type
+    val_type = base.field(val_col).type
 
-    def doc_rows(batch: pa.Table) -> pa.Table:
+    def item_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
         return pa.table({
             "key": batch[id_col],
             "id_a": pa.nulls(n, id_type),
             "id_b": pa.nulls(n, id_type),
             "side": pa.array([-1] * n, pa.int32()),
-            "text": batch[text_col],
+            "val": pc_cast_keep(batch[val_col], val_type),
         })
 
     def request_rows(batch: pa.Table) -> pa.Table:
@@ -185,24 +188,32 @@ def _attach_pair_texts(pairs, docs, id_col: str, text_col: str):
             "id_a": pa.concat_arrays([ia.combine_chunks()] * 2),
             "id_b": pa.concat_arrays([ib.combine_chunks()] * 2),
             "side": pa.array([0] * n + [1] * n, pa.int32()),
-            "text": pa.nulls(2 * n, pa.string()),
+            "val": pa.nulls(2 * n, val_type),
         })
 
-    unioned = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+    unioned = items.map_batches(item_rows, batch_format="pyarrow").union(
         pairs.map_batches(request_rows, batch_format="pyarrow"))
 
     def attach(g: pa.Table) -> pa.Table:
         side = g["side"].to_numpy()
-        docm = side == -1
-        if not docm.any() or docm.all():
-            return g.select(["id_a", "id_b", "side", "text"]).slice(0, 0)
-        text = g["text"].to_pylist()[int(np.argmax(docm))]
-        reqs = g.filter(pa.array(~docm))
+        itemm = side == -1
+        if not itemm.any() or itemm.all():
+            return g.select(["id_a", "id_b", "side", "val"]).slice(0, 0)
+        val = g["val"].combine_chunks().take(
+            pa.array([int(np.argmax(itemm))] * int((~itemm).sum())))
+        reqs = g.filter(pa.array(~itemm))
         return pa.table({"id_a": reqs["id_a"], "id_b": reqs["id_b"],
-                         "side": reqs["side"],
-                         "text": pa.array([text] * len(reqs), pa.string())})
+                         "side": reqs["side"], "val": val})
 
     return unioned.groupby("key").map_groups(attach, batch_format="pyarrow")
+
+
+def pc_cast_keep(col, typ):
+    """Identity when types already match (avoids list-type cast quirks)."""
+    import pyarrow.compute as pcc
+    if col.type == typ:
+        return col
+    return pcc.cast(col, typ)
 
 
 def drop_set_from_pairs(pairs_rows, id_a="id_a", id_b="id_b") -> set:
@@ -478,48 +489,77 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3,
 # ------------------------------------------------- embedding cosine dedup
 
 
-class _HyperplaneSig:
-    """Random-hyperplane LSH signature for embedding vectors (planes drawn
-    once per actor from a fixed seed — identical across the pool)."""
+class _HyperplaneBands:
+    """Multi-band random-hyperplane LSH for embedding vectors: one plane
+    matrix (dim × bands·bits), each band of ``band_bits`` sign bits packed
+    into a band hash — any pair agreeing on ANY band becomes a candidate.
 
-    def __init__(self, id_col: str, vec_col: str, n_bits: int = 16, seed: int = 42):
-        self.id_col, self.vec_col, self.n_bits = id_col, vec_col, n_bits
-        self.seed = seed
+    Recall at τ=0.98 (p_bit = 1 − θ/π ≈ 0.936): one 12-bit band matches
+    with p ≈ 0.45, so 16 bands miss with (1−0.45)^16 ≈ 7e-5 — versus the
+    round-1 single 12-bit signature that missed >half of true pairs
+    (ADVICE.md r1). Planes drawn once per worker from a fixed seed."""
+
+    def __init__(self, id_col: str, vec_col: str, n_bands: int = 16,
+                 band_bits: int = 12, seed: int = 42):
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_bands, self.band_bits, self.seed = n_bands, band_bits, seed
         self.planes = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        n = len(vecs)
         if self.planes is None:
             rng = np.random.default_rng(self.seed)
-            self.planes = rng.standard_normal((vecs.shape[1], self.n_bits))
+            self.planes = rng.standard_normal(
+                (vecs.shape[1], self.n_bands * self.band_bits))
         bits = (vecs @ self.planes) > 0
-        sig = (bits.astype(np.uint64) << np.arange(self.n_bits, dtype=np.uint64)).sum(axis=1)
-        return pa.table({"vec_id": batch[self.id_col],
-                         "bucket": pa.array(sig.astype(np.int64), pa.int64()),
-                         "vec": batch[self.vec_col]})
+        w = (np.uint64(1) << np.arange(self.band_bits, dtype=np.uint64))
+        hashes = (bits.reshape(n, self.n_bands, self.band_bits)
+                  .astype(np.uint64) * w).sum(axis=2)       # (n, bands)
+        # salt each band's hash with the band id so identical bit patterns
+        # in different bands never collide in the shared bucket space
+        hashes = hashes + (np.arange(self.n_bands, dtype=np.uint64)
+                           << np.uint64(48))
+        ids = batch[self.id_col].combine_chunks()
+        idx = pa.array(np.repeat(np.arange(n), self.n_bands))
+        return pa.table({
+            self.id_col: ids.take(idx),
+            "band_id": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int32), n),
+                                pa.int32()),
+            "band_hash": pa.array(hashes.reshape(-1).astype(np.int64), pa.int64()),
+        })
 
 
 def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                        tau: float = 0.95, n_bits: int = 12, concurrency: int = 4):
-    """Embedding-cosine near-dup: hyperplane-LSH bucket → exact cosine verify
-    within bucket (vectors only move once, into their bucket group)."""
-    sigs = ds.map_batches(_HyperplaneSig, fn_constructor_args=(id_col, vec_col, n_bits),
-                          batch_format="pyarrow", batch_size=4096,
-                          concurrency=pool_spec(concurrency), num_cpus=1)
+                        tau: float = 0.95, n_bands: int = 16,
+                        band_bits: int = 12, concurrency: int = 4):
+    """Embedding-cosine near-dup: multi-band hyperplane LSH → candidate
+    pairs (narrow (id, band, hash) rows only through the shuffle) → exact
+    cosine verify with vectors gathered reduce-side to their pairs
+    (``_attach_pair_col`` — vectors move once per referenced pair side,
+    never broadcast, never all-pairs)."""
+    sigs = ds.map_batches(
+        _HyperplaneBands, fn_constructor_args=(id_col, vec_col, n_bands, band_bits),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=pool_spec(concurrency), num_cpus=1)
+    pairs = _pairs_from_buckets(sigs, id_col=id_col)
+    sided = _attach_pair_col(pairs, ds.select_columns([id_col, vec_col]),
+                             id_col, vec_col)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 2000:
-            ids0 = g["vec_id"].to_numpy()[:0]
-            return pd.DataFrame({"id_a": ids0, "id_b": ids0,
-                                 "cosine": np.empty(0, dtype=np.float64)})
-        g = g.sort_values("vec_id", kind="mergesort")
-        ids = g["vec_id"].to_numpy()
-        v = np.asarray(g["vec"].tolist(), dtype=np.float64)
-        v = v / np.linalg.norm(v, axis=1, keepdims=True).clip(1e-12)
-        sim = v @ v.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sim[ia, ib] >= tau
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "cosine": sim[ia, ib][keep]})
+    def judge(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        vals = g["val"].to_pylist()
+        cos = -1.0
+        if 0 in side and 1 in side:
+            va = np.asarray(vals[int(np.argmax(side == 0))], dtype=np.float64)
+            vb = np.asarray(vals[int(np.argmax(side == 1))], dtype=np.float64)
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            if na > 1e-12 and nb > 1e-12:
+                cos = float(va @ vb / (na * nb))
+        keep = 1 if cos >= tau else 0
+        return pa.table({"id_a": g["id_a"].slice(0, keep),
+                         "id_b": g["id_b"].slice(0, keep),
+                         "cosine": pa.array([cos] * keep, pa.float64())})
 
-    return sigs.groupby("bucket").map_groups(emit, batch_format="pandas")
+    return sided.groupby(["id_a", "id_b"]).map_groups(judge,
+                                                      batch_format="pyarrow")
