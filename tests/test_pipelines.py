@@ -111,6 +111,33 @@ def test_shape_documents_nested_address_golden(entry_mod):
     assert by_key[("way", wrow.id)]["pos"] is None           # ways: no pos
 
 
+def test_jsonl_sink_roundtrip(entry_mod, tmp_path):
+    """S2 [R:data.py::process_map]: nested docs → JSONL (null fields
+    omitted, like the reference's dicts) → parse back and spot-check."""
+    import json
+
+    from wrangle_openstreetmap_data_ray.sources import osm_xml
+
+    qs = entry_mod.queries()
+    docs = qs["shape_documents_nested"](SF)
+    out_dir = str(tmp_path / "jsonl")
+    n = osm_xml.write_jsonl_docs(docs, out_dir)
+    rows = []
+    for f in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == n == docs.count()
+    with_addr = [r for r in rows if "address" in r]
+    assert with_addr and all("street" in r["address"] or
+                             "postcode" in r["address"] or
+                             "housenumber" in r["address"]
+                             for r in with_addr)
+    ways = [r for r in rows if r["type"] == "way"]
+    assert ways and all("pos" not in r for r in ways)   # absent, not null
+    assert all(set(r["created"]) <= {"version", "changeset", "timestamp",
+                                     "user", "uid"} for r in rows[:50])
+
+
 def test_flagship_resume_skips_rewrite(ray_session, tmp_path):
     """SURVEY.md §5.4 — a second run with the same lineage reuses the
     committed manifest instead of rewriting."""

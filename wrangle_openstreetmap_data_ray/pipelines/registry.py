@@ -891,6 +891,243 @@ def queries():
         })
     q["lossy_psnr_floor"] = lossy_psnr_floor
 
+    # ------------------------------ round-2 additions: relational breadth
+
+    def customers_without_recent_orders(sf_dir):
+        """Distributed anti-join (NOT EXISTS): customers with no order on
+        or after 2001-01-01 — one bucketed shuffle, keys null-padded from
+        the probe schema (util.anti_semi_join)."""
+        from datetime import datetime
+
+        from ..util import anti_semi_join
+        cust = fx.driver_table(sf_dir, "customer", columns=["c_custkey"])
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_custkey", "o_orderdate"])
+        cutoff = datetime(2001, 1, 1)
+
+        def recent(b: pa.Table) -> pa.Table:
+            keep = pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff))
+            return b.filter(keep).select(["o_custkey"])
+        rec = orders.map_batches(recent, batch_format="pyarrow")
+        return anti_semi_join(cust, rec, on="c_custkey", keys_on="o_custkey")
+    q["customers_without_recent_orders"] = customers_without_recent_orders
+
+    def tpch_q3_topk(sf_dir):
+        """TPC-H Q3 shape: σ(customer) ⋈ σ(orders) ⋈ σ(lineitem) →
+        groupby revenue → distributed top-10. Filters pushed before both
+        hash joins; revenue rounded identically on both sides before the
+        top-k so boundary ties agree."""
+        from datetime import datetime
+
+        from ray.data.aggregate import Sum
+        from ..util import cluster_cpus
+        cutoff = datetime(1998, 1, 1)
+        # consolidate the filtered dim side: a selective filter at high
+        # parallelism leaves schema-less empty blocks that break Ray
+        # 2.49's hash-join aggregator (ArrowInvalid) — and fewer, fuller
+        # blocks are what you want feeding a shuffle anyway
+        cust = fx.driver_table(sf_dir, "customer",
+                               columns=["c_custkey", "c_mktsegment"]) \
+                 .filter(expr="c_mktsegment == 'BUILDING'") \
+                 .select_columns(["c_custkey"]) \
+                 .repartition(max(2, cluster_cpus() // 8))
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"])
+
+        def o_filt(b: pa.Table) -> pa.Table:
+            keep = pc.less(b["o_orderdate"], pa.scalar(cutoff))
+            return b.filter(keep).select(["o_orderkey", "o_custkey"]) \
+                    .rename_columns(["o_orderkey", "c_custkey"])
+        o = orders.map_batches(o_filt, batch_format="pyarrow")
+        oc = o.join(cust, on=("c_custkey",), join_type="inner",
+                    **join_kwargs())
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+
+        def l_filt(b: pa.Table) -> pa.Table:
+            keep = pc.greater(b["l_shipdate"], pa.scalar(cutoff))
+            f = b.filter(keep)
+            rev = pc.multiply(f["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), f["l_discount"]))
+            return pa.table({"o_orderkey": f["l_orderkey"], "rev": rev})
+        l = li.map_batches(l_filt, batch_format="pyarrow")
+        joined = l.join(oc.select_columns(["o_orderkey"])
+                          .repartition(max(2, cluster_cpus() // 8)),
+                        on=("o_orderkey",), join_type="inner",
+                        **join_kwargs())
+        agg = joined.groupby("o_orderkey").aggregate(
+            Sum("rev", alias_name="revenue"))
+
+        def round_rev(b: pa.Table) -> pa.Table:
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "revenue": pc.round(b["revenue"], 2)})
+        rounded = agg.map_batches(round_rev, batch_format="pyarrow")
+        return distributed_topk(rounded, 10, [("revenue", "descending"),
+                                              ("o_orderkey", "ascending")])
+    q["tpch_q3_topk"] = tpch_q3_topk
+
+    def events_running_sum(sf_dir):
+        """Cumulative window: per-user running sum of value ordered by
+        (ts, event_id) — bucketed per-user apply, vectorized cumsum."""
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_id", "ts", "value"])
+
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            rs = g.groupby("user_id", sort=False)["value"].cumsum().round(2)
+            return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                                 "running_value": rs.to_numpy()})
+
+        return bucketed_group_apply(ds, ["user_id"], run, n_buckets=64)
+    q["events_running_sum"] = events_running_sum
+
+    def top3_parts_per_brand(sf_dir):
+        """Grouped top-N (rank ≤ 3 per brand by retail price): per-batch
+        local top-3 per brand, then one bucketed per-brand re-reduce —
+        never a global sort, never a driver-side full table."""
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "part",
+                             columns=["p_brand", "p_partkey", "p_retailprice"])
+
+        def local(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.sort_values(["p_brand", "p_retailprice", "p_partkey"],
+                              ascending=[True, False, True], kind="mergesort")
+            return b.groupby("p_brand", sort=False).head(3)
+        pre = ds.map_batches(local, batch_format="pandas")
+
+        def reduce3(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["p_brand", "p_retailprice", "p_partkey"],
+                              ascending=[True, False, True], kind="mergesort")
+            out = g.groupby("p_brand", sort=False).head(3)
+            return out[["p_brand", "p_partkey", "p_retailprice"]]
+        return bucketed_group_apply(pre, ["p_brand"], reduce3, n_buckets=64)
+    q["top3_parts_per_brand"] = top3_parts_per_brand
+
+    def lineitem_quantity_quantiles(sf_dir):
+        """Exact discrete quantiles at scale: l_quantity has bounded
+        cardinality, so a distributed value-histogram (tiny) + driver
+        cumulative walk gives EXACT q25/q50/q75 with no global sort."""
+        ds = fx.driver_table(sf_dir, "lineitem", columns=["l_quantity"])
+        hist = ds.groupby("l_quantity").count().rename_columns(
+            {"count()": "cnt"}).to_pandas().sort_values("l_quantity")
+        vals = hist["l_quantity"].to_numpy()
+        cum = hist["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+
+        def q_disc(qq: float) -> float:
+            target = int(np.floor(qq * (n - 1)))
+            return float(vals[np.searchsorted(cum, target, side="right")])
+        return pd.DataFrame({"q25": [q_disc(0.25)], "q50": [q_disc(0.5)],
+                             "q75": [q_disc(0.75)]})
+    q["lineitem_quantity_quantiles"] = lineitem_quantity_quantiles
+
+    def event_type_pivot(sf_dir):
+        """Pivot: one row per hour, one count column per event type
+        (one-hot in the map, Sum in the shuffle — single pass)."""
+        from ray.data.aggregate import Sum
+        types = ["click", "view", "purchase", "signup", "error"]
+        ds = fx.driver_table(sf_dir, "events", columns=["ts", "event_type"])
+
+        def onehot(b: pa.Table) -> pa.Table:
+            us = pc.cast(b["ts"], pa.int64()).to_numpy()
+            et = np.asarray(b["event_type"].to_pylist())
+            cols = {"hour_idx": pa.array(us // 3_600_000_000, pa.int64())}
+            for t in types:
+                cols[f"cnt_{t}"] = pa.array((et == t).astype(np.int64))
+            return pa.table(cols)
+        return (ds.map_batches(onehot, batch_format="pyarrow")
+                  .groupby("hour_idx")
+                  .aggregate(*[Sum(f"cnt_{t}", alias_name=f"cnt_{t}")
+                               for t in types]))
+    q["event_type_pivot"] = event_type_pivot
+
+    def orders_per_nation(sf_dir):
+        """Broadcast dim join: orders ⋈ customer (hash shuffle on custkey)
+        then the 25-row nation table broadcast once (ray.put) and mapped
+        in-batch — the small side never shuffles."""
+        import ray
+        from ray.data.aggregate import Count, Sum
+        import pyarrow.parquet as pq
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        lut = np.empty(int(pc.max(nat["n_nationkey"]).as_py()) + 1, object)
+        for k, v in zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()):
+            lut[k] = v
+        ref = ray.put(lut)
+        cust = fx.driver_table(sf_dir, "customer",
+                               columns=["c_custkey", "c_nationkey"])
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_custkey", "o_totalprice"]) \
+                   .rename_columns({"o_custkey": "c_custkey"})
+        joined = orders.join(cust, on=("c_custkey",), join_type="inner",
+                             **join_kwargs())
+
+        def attach(b: pa.Table) -> pa.Table:
+            names = ray.get(ref)[b["c_nationkey"].to_numpy()]
+            return pa.table({"n_name": pa.array(names.tolist(), pa.string()),
+                             "o_totalprice": b["o_totalprice"]})
+        out = (joined.map_batches(attach, batch_format="pyarrow")
+               .groupby("n_name")
+               .aggregate(Count(alias_name="n_orders"),
+                          Sum("o_totalprice", alias_name="revenue"))).to_pandas()
+        out["revenue"] = out["revenue"].round(0)
+        return out
+    q["orders_per_nation"] = orders_per_nation
+
+    def asof_next_event(sf_dir):
+        """Forward as-of join: for each order, the EARLIEST event of the
+        same customer at/after the order date (negated-timestamp sweep)."""
+        from ..stages.asof import asof_join_next
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"]) \
+                   .rename_columns({"o_custkey": "key"})
+        events = fx.driver_table(sf_dir, "events",
+                                 columns=["user_id", "ts"]) \
+                   .rename_columns({"user_id": "key"})
+        out = asof_join_next(orders, events, "key", "o_orderdate", "ts",
+                             left_keep=["o_orderkey"],
+                             out_col="next_event_us")
+
+        def finalize(b: pd.DataFrame) -> pd.DataFrame:
+            # null → -1 sentinel (both sides): nullable ints don't survive
+            # the driver's value-hash canonicalization
+            return pd.DataFrame({
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "next_event_us": pd.array(b["next_event_us"], dtype="Int64")
+                                   .fillna(-1).astype("int64"),
+            })
+        return out.map_batches(finalize, batch_format="pandas")
+    q["asof_next_event"] = asof_next_event
+
+    def props_k_histogram(sf_dir):
+        """JSON scalar function (§2.8): parse the events ``props`` JSON
+        column, extract field k, histogram by k-decile."""
+        import json
+        ds = fx.driver_table(sf_dir, "events", columns=["props"])
+
+        def parse(b: pa.Table) -> pa.Table:
+            ks = np.fromiter((json.loads(s)["k"] for s in
+                              b["props"].to_pylist()), np.int64, len(b))
+            return pa.table({"k_decile": pa.array(ks // 10, pa.int64())})
+        return ds.map_batches(parse, batch_format="pyarrow") \
+                 .groupby("k_decile").count().rename_columns({"count()": "cnt"})
+    q["props_k_histogram"] = props_k_histogram
+
+    def distinct_users_hll(sf_dir):
+        """Approximate distinct via HyperLogLog (mergeable sketch — a
+        fixed 2^12-row exchange instead of shuffling every distinct key;
+        rows-only: ±1.6% by construction, exactness tested in pytest)."""
+        from ..stages import sketch
+        ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        est = sketch.hll_distinct(ds, "user_id", p=12)
+        return pd.DataFrame({"n_users_approx": [int(round(est))]})
+    q["distinct_users_hll"] = distinct_users_hll
+
     return q
 
 
@@ -1148,6 +1385,71 @@ def oracle_sql():
                       AND epoch_us(o.o_orderdate) <= epoch_us(e.ts))
                    AS last_order_us
             FROM events e""",
+        "customers_without_recent_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01')""",
+        "tpch_q3_topk": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "events_running_sum": """
+            SELECT event_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events""",
+        "top3_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+              FROM part)
+            WHERE rn <= 3""",
+        "lineitem_quantity_quantiles": """
+            SELECT quantile_disc(l_quantity, 0.25) AS q25,
+                   quantile_disc(l_quantity, 0.5)  AS q50,
+                   quantile_disc(l_quantity, 0.75) AS q75
+            FROM lineitem""",
+        "event_type_pivot": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+                   COUNT(*) FILTER (event_type = 'click')    AS cnt_click,
+                   COUNT(*) FILTER (event_type = 'view')     AS cnt_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS cnt_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS cnt_signup,
+                   COUNT(*) FILTER (event_type = 'error')    AS cnt_error
+            FROM events GROUP BY 1""",
+        "orders_per_nation": """
+            SELECT n.n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 0) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "asof_next_event": """
+            SELECT o.o_orderkey,
+                   COALESCE((SELECT CAST(epoch_us(MIN(e.ts)) AS BIGINT)
+                             FROM events e
+                             WHERE e.user_id = o.o_custkey
+                               AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)),
+                            -1) AS next_event_us
+            FROM orders o""",
+        "props_k_histogram": """
+            SELECT CAST(CAST(props->>'$.k' AS BIGINT) // 10 AS BIGINT)
+                     AS k_decile,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1""",
         "way_geometry": f"""
             SELECT wn.way_id,
                    CAST(COUNT(*) AS BIGINT) AS n_points,

@@ -150,6 +150,43 @@ def read_osm_dir(path: str):
     }
 
 
+def _strip_nulls(obj):
+    """Drop None-valued keys recursively — the reference's shaped dicts
+    simply lack absent fields (no ``address`` key when an element has no
+    addr tags), so the JSONL must too."""
+    if isinstance(obj, dict):
+        return {k: _strip_nulls(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, list):
+        return [_strip_nulls(v) for v in obj]
+    return obj
+
+
+def write_jsonl_docs(ds, out_dir: str) -> int:
+    """[R:data.py::process_map] S2 — the JSONL sink: one JSON document per
+    line, absent (null) fields omitted, one file per block written
+    tmp+rename (idempotent, resumable layout). Returns total rows written.
+    Streams through map_batches — only per-fragment row counts reach the
+    driver."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = f"docs-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for r in batch.to_pylist():
+                f.write(json.dumps(_strip_nulls(r), default=str) + "\n")
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    meta = ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None)
+    return int(sum(r["rows"] for r in meta.take_all()))
+
+
 def systematic_sample(ds, k: int, id_col: str = "id"):
     """[R:sample.py] S4 — deterministic every-k-th-element sample, expressed
     as a vectorized modulo filter on the stable id (order-independent, unlike

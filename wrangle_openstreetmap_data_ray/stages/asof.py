@@ -79,3 +79,31 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
         return out
 
     return bucketed_group_apply(l.union(r), ["key"], sweep, n_buckets)
+
+
+def asof_join_next(left, right, key_col: str, left_ts: str, right_ts: str,
+                   left_keep: list[str], out_col: str = "asof_ts",
+                   n_buckets: int = 256):
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    the same key and right_ts >= left_ts (inclusive). Expressed through
+    the backward sweep on negated timestamps (min over a future window ==
+    max over the negated past window) — same single-shuffle plan."""
+
+    def negate(ts_col):
+        def f(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index(ts_col), ts_col,
+                pc.negate_checked(pc.cast(b[ts_col], pa.int64())))
+        return f
+
+    l2 = left.map_batches(negate(left_ts), batch_format="pyarrow")
+    r2 = right.map_batches(negate(right_ts), batch_format="pyarrow")
+    out = asof_join_last(l2, r2, key_col, left_ts, right_ts, left_keep,
+                         out_col, n_buckets)
+
+    def unnegate(b: pd.DataFrame) -> pd.DataFrame:
+        col = pd.array(b[out_col], dtype="Int64")   # may arrive as object
+        b[out_col] = -col                           # nulls propagate
+        return b
+
+    return out.map_batches(unnegate, batch_format="pandas")
