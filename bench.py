@@ -38,15 +38,16 @@ HEADLINE = [
 ]
 
 # ---- scaling workload (north-star slice at XL size) ------------------------
-# Sized so per-core work dominates fixed pipeline latency: 20M-point
-# spatial join against 300 high-detail polygons + decode/verify of 50k
+# Sized so per-core work dominates fixed pipeline latency: 60M-point
+# spatial join against 500 high-detail polygons + decode/verify of 50k
 # images. A zlib microbenchmark measures the box's own 8→32-core envelope
 # (per-core turbo/bandwidth loss) — reported alongside, because a single
 # shared-memory node understates what N→4N separate NODES deliver.
-SCALE_N_POINTS = 20_000_000
+SCALE_N_POINTS = 60_000_000
 SCALE_N_IMAGES = 50_000
 SCALE_N_POLYS = 500
 SCALE_POLY_DETAIL = 16
+SCALE_PIP_BATCH = 65_536      # larger batches: per-task fixed cost amortized
 
 
 def scaling_workload() -> dict:
@@ -61,7 +62,8 @@ def scaling_workload() -> dict:
     res = {}
     t0 = time.time()
     res["pip_rows"] = pip_join.pip_join(
-        rd.read_parquet(pts_dir), polys, keep_cols=["image_id"]).count()
+        rd.read_parquet(pts_dir), polys, keep_cols=["image_id"],
+        batch_size=SCALE_PIP_BATCH).count()
     res["pip_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
     res["decode_rows"] = multimodal.decode_features(

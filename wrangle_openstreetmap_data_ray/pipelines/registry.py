@@ -1118,6 +1118,113 @@ def queries():
                  .groupby("k_decile").count().rename_columns({"count()": "cnt"})
     q["props_k_histogram"] = props_k_histogram
 
+    def image_phash_near_dup(sf_dir):
+        """Image near-dup by perceptual-hash Hamming distance ≤ 3:
+        banded 64-bit signature buckets (exact guarantee by pigeonhole),
+        verified with vectorized popcount — the image-payload twin of
+        SimHash, oracle-paired against a bit_count cross join."""
+        ds = fx.read_fixture(sf_dir, "images", columns=["image_id", "phash"])
+        return dedup.band_hamming_pairs(ds, "image_id", "phash",
+                                        max_hamming=3) \
+                    .select_columns(["id_a", "id_b"])
+    q["image_phash_near_dup"] = image_phash_near_dup
+
+    def events_sliding_1h15m(sf_dir):
+        """Sliding-window aggregate: 1h windows every 15 min — each event
+        replicated map-side into its 4 covering windows (no self-join),
+        then one count/sum shuffle."""
+        from ray.data.aggregate import Count, Sum
+        ds = fx.driver_table(sf_dir, "events", columns=["ts", "value"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            q15 = pc.cast(b["ts"], pa.int64()).to_numpy() // 900_000_000
+            val = b["value"].to_numpy()
+            n = len(q15)
+            win = (np.repeat(q15, 4)
+                   - np.tile(np.arange(4, dtype=np.int64), n))
+            return pa.table({"window_q": pa.array(win, pa.int64()),
+                             "value": pa.array(np.repeat(val, 4))})
+        out = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby("window_q")
+                 .aggregate(Count(alias_name="cnt"),
+                            Sum("value", alias_name="sum_value"))).to_pandas()
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+    q["events_sliding_1h15m"] = events_sliding_1h15m
+
+    def tpch_q5_volume(sf_dir):
+        """TPC-H Q5 shape (6-table): lineitem ⋈ orders ⋈ customer hash
+        joins; supplier/nation dim tables broadcast once (ray.put) and
+        applied map-side; revenue per nation where the customer and
+        supplier share a nation."""
+        import pyarrow.parquet as pq
+        import ray
+        from ray.data.aggregate import Sum
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        s_lut = np.full(int(pc.max(sup["s_suppkey"]).as_py()) + 1, -1,
+                        np.int64)
+        s_lut[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        n_lut = np.empty(int(pc.max(nat["n_nationkey"]).as_py()) + 1, object)
+        for k, v in zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()):
+            n_lut[k] = v
+        ref = ray.put((s_lut, n_lut))
+
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey"]) \
+                   .rename_columns({"o_custkey": "c_custkey"})
+        cust = fx.driver_table(sf_dir, "customer",
+                               columns=["c_custkey", "c_nationkey"])
+        oc = orders.join(cust, on=("c_custkey",), join_type="inner",
+                         **join_kwargs())
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_suppkey",
+                                      "l_extendedprice", "l_discount"])
+
+        def rev(b: pa.Table) -> pa.Table:
+            r = pc.multiply(b["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            return pa.table({"o_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"], "rev": r})
+        l = li.map_batches(rev, batch_format="pyarrow")
+        joined = l.join(oc.select_columns(["o_orderkey", "c_nationkey"]),
+                        on=("o_orderkey",), join_type="inner",
+                        **join_kwargs())
+
+        def local_supplier(b: pa.Table) -> pa.Table:
+            s_nk = ray.get(ref)[0][b["l_suppkey"].to_numpy()]
+            c_nk = b["c_nationkey"].to_numpy().astype(np.int64)
+            keep = s_nk == c_nk
+            names = ray.get(ref)[1][c_nk[keep]]
+            return pa.table({
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "rev": b["rev"].filter(pa.array(keep))})
+        out = (joined.map_batches(local_supplier, batch_format="pyarrow")
+               .groupby("n_name")
+               .aggregate(Sum("rev", alias_name="revenue"))).to_pandas()
+        out["revenue"] = out["revenue"].round(0)
+        return out
+    q["tpch_q5_volume"] = tpch_q5_volume
+
+    def orders_rollup(sf_dir):
+        """ROLLUP(status, priority): three groupby levels unioned, 'ALL'
+        sentinel for the rolled-up dimensions (null-free hashing)."""
+        ds = fx.driver_table(sf_dir, "orders",
+                             columns=["o_orderstatus", "o_orderpriority"])
+        fine = ds.groupby(["o_orderstatus", "o_orderpriority"]).count() \
+                 .rename_columns({"count()": "cnt"}).to_pandas()
+        mid = fine.groupby("o_orderstatus", as_index=False)["cnt"].sum()
+        mid["o_orderpriority"] = "ALL"
+        top = pd.DataFrame({"o_orderstatus": ["ALL"],
+                            "o_orderpriority": ["ALL"],
+                            "cnt": [int(fine["cnt"].sum())]})
+        out = pd.concat([fine, mid, top], ignore_index=True)
+        return out[["o_orderstatus", "o_orderpriority", "cnt"]]
+    q["orders_rollup"] = orders_rollup
+
     def distinct_users_hll(sf_dir):
         """Approximate distinct via HyperLogLog (mergeable sketch — a
         fixed 2^12-row exchange instead of shuffling every distinct key;
@@ -1445,6 +1552,33 @@ def oracle_sql():
                                AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)),
                             -1) AS next_event_us
             FROM orders o""",
+        "image_phash_near_dup": f"""
+            SELECT a.image_id AS id_a, b.image_id AS id_b
+            FROM {images_p} a, {images_p} b
+            WHERE a.image_id < b.image_id
+              AND bit_count(xor(a.phash, b.phash)) <= 3""",
+        "events_sliding_1h15m": """
+            SELECT (epoch_us(ts) // 900000000) - v.off AS window_q,
+                   COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) v(off)
+            GROUP BY 1""",
+        "tpch_q5_volume": """
+            SELECT n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name""",
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COUNT(*) AS cnt
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
         "props_k_histogram": """
             SELECT CAST(CAST(props->>'$.k' AS BIGINT) // 10 AS BIGINT)
                      AS k_decile,

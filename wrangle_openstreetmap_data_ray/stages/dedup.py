@@ -431,10 +431,20 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3,
     sigs = ds.map_batches(_SimHashSig, fn_constructor_args=(id_col, text_col),
                           batch_format="pyarrow", batch_size=2048,
                           concurrency=pool_spec(concurrency), num_cpus=1)
+    return band_hamming_pairs(sigs, "doc_id", "simhash", max_hamming)
+
+
+def band_hamming_pairs(ds, id_col: str, sig_col: str, max_hamming: int = 3,
+                       concurrency: int = 4):
+    """Generic banded Hamming near-dup over any (id, int64 signature)
+    table — 4×16-bit bands (pigeonhole: any pair within Hamming distance
+    3 agrees on at least one band exactly), bucketed candidate detection,
+    exact popcount verify. Used for text SimHash AND image phash
+    (``image_phash_near_dup``)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh = batch["simhash"].to_numpy().astype(np.uint64)
-        ids = batch["doc_id"].to_pylist()
+        sh = batch[sig_col].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_pylist()
         out_id, out_band, out_hash, out_sig = [], [], [], []
         for b in range(4):
             chunk = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
@@ -442,21 +452,21 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3,
             out_band.extend([b] * len(ids))
             out_hash.extend(chunk.tolist())
             out_sig.extend(sh.astype(np.int64).tolist())
-        return pa.table({"doc_id": pa.array(out_id),
+        return pa.table({"_id": pa.array(out_id),
                          "band_id": pa.array(out_band, pa.int32()),
                          "band_hash": pa.array(out_hash, pa.int64()),
-                         "simhash": pa.array(out_sig, pa.int64())})
+                         "_sig": pa.array(out_sig, pa.int64())})
 
-    bucketed = sigs.map_batches(explode, batch_format="pyarrow")
+    bucketed = ds.map_batches(explode, batch_format="pyarrow")
 
     from ..util import bucketed_group_apply
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        g = g.sort_values(["band_id", "band_hash", "_id"], kind="mergesort")
         bid = g["band_id"].to_numpy()
         bh = g["band_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g["_id"].to_numpy()
+        sh = g["_sig"].to_numpy().astype(np.uint64)
         if len(g) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
                                  "hamming": np.empty(0, dtype=np.int64)})

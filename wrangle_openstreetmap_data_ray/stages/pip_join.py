@@ -120,7 +120,18 @@ def pip_join(points_ds, polygons: pa.Table, lon_col: str = "lon",
             concurrency=concurrency, num_cpus=1)
 
     def pip_task(batch: pa.Table) -> pa.Table:
-        return PIPJoin(ref, lon_col, lat_col, keep_cols)(batch)
+        # memoize the deserialized index per long-lived worker process:
+        # ray.get re-unpickles the Python dict/list parts on every call,
+        # so tasks cache the constructed PIPJoin keyed by the object ref
+        key = (ref.hex(), lon_col, lat_col, tuple(keep_cols or ()))
+        fn = _PIP_TASK_CACHE.get(key)
+        if fn is None:
+            fn = _PIP_TASK_CACHE[key] = PIPJoin(ref, lon_col, lat_col,
+                                                keep_cols)
+        return fn(batch)
 
     return points_ds.map_batches(pip_task, batch_format="pyarrow",
                                  batch_size=batch_size)
+
+
+_PIP_TASK_CACHE: dict = {}
