@@ -274,6 +274,36 @@ def queries():
                         .select_columns(["query_id", "vec_id"])
     q["embedding_topk_ivf"] = embedding_topk_ivf
 
+    def embedding_topk_ivf_fullprobe(sf_dir):
+        """IVF machinery pinned EXACTLY: with nprobe == n_centroids every
+        list is probed, so IVF must equal brute force — same oracle as
+        embedding_topk. Verifies the partition/assign/probe path
+        end-to-end, not just recall bounds."""
+        import pyarrow.parquet as pq
+        qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        order = pc.sort_indices(qtbl, sort_keys=[("vec_id", "ascending")])
+        qtbl = qtbl.take(order[:3])
+        qids = qtbl["vec_id"].to_pylist()
+        qmat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+        corpus = fx.driver_table(sf_dir, "embeddings",
+                                 columns=["vec_id", "embedding"]) \
+                   .filter(expr=f"vec_id not in {[int(i) for i in qids]}")
+        out = simsearch.ivf_topk(corpus, qmat, k=10, n_centroids=8,
+                                 nprobe=8).to_pandas()
+        out["query_id"] = np.asarray(qids, dtype=np.int64)[out["query_id"]]
+        return out[["query_id", "vec_id"]].reset_index(drop=True)
+    q["embedding_topk_ivf_fullprobe"] = embedding_topk_ivf_fullprobe
+
+    def image_phash_verify(sf_dir):
+        """Every stored image decodes and reproduces its stored phash —
+        per-row invariant surfaced as an oracle-checkable column (the
+        oracle asserts TRUE for every image_id)."""
+        ds = fx.read_fixture(sf_dir, "images")
+        out = multimodal.decode_features(ds, verify_phash=True)
+        return out.select_columns(["image_id", "phash_ok"])
+    q["image_phash_verify"] = image_phash_verify
+
     # ------------------------------ reference kernels over synthetic tables
 
     def normalize_streets(sf_dir):
@@ -675,7 +705,8 @@ def queries():
 
     def resize_images_thumb(sf_dir):
         """S6 — decode → nearest-neighbor 16×16 → re-encode raw8; emits
-        (image_id, n_bytes) so the check pins output sizes (rows-only)."""
+        (image_id, n_bytes). Oracle-paired: every image must survive
+        decode→resize→encode with exactly 16·16·3 output bytes."""
         ds = fx.read_fixture(sf_dir, "images",
                              columns=["image_id", "bytes", "w", "h", "fmt"])
         out = multimodal.resize_images(ds, 16, 16, "raw8")
@@ -1552,6 +1583,21 @@ def oracle_sql():
                                AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)),
                             -1) AS next_event_us
             FROM orders o""",
+        "embedding_topk_ivf_fullprobe": """
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                                DESC, c.vec_id) AS rn
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 3 AND c.vec_id >= 3)
+            WHERE rn <= 10""",
+        "image_phash_verify": f"""
+            SELECT image_id, TRUE AS phash_ok FROM {images_p}""",
+        "resize_images_thumb": f"""
+            SELECT image_id, CAST(16 * 16 * 3 AS BIGINT) AS n_bytes
+            FROM {images_p}""",
         "image_phash_near_dup": f"""
             SELECT a.image_id AS id_a, b.image_id AS id_b
             FROM {images_p} a, {images_p} b

@@ -105,7 +105,7 @@ class _IVFAssignTopK:
         # per-query probed centroid set (computed once per actor)
         sims = self.q @ self.cent.T
         order = np.argsort(-sims, axis=1)[:, :nprobe]          # (Q, nprobe)
-        self.probe = [set(row.tolist()) for row in order]
+        self.probe = [np.sort(row) for row in order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
@@ -113,8 +113,7 @@ class _IVFAssignTopK:
         cassign = np.argmax(v @ self.cent.T, axis=1)           # (B,)
         out_q, out_id, out_s = [], [], []
         for qi in range(len(self.q)):
-            mask = np.fromiter((c in self.probe[qi] for c in cassign),
-                               dtype=bool, count=len(cassign))
+            mask = np.isin(cassign, self.probe[qi])
             if not mask.any():
                 continue
             sim = v[mask] @ self.q[qi]
