@@ -107,3 +107,30 @@ def test_haversine_known_distance():
 def test_bbox_contains():
     m = geo.bbox_contains(np.array([103.8, 102.0]), np.array([1.3, 1.3]))
     np.testing.assert_array_equal(m, [True, False])
+
+
+def test_compact_uncompact_roundtrip():
+    """compact is minimal & lossless: uncompact(compact(S), r) == S for a
+    full-children set; partial quartets stay at their resolution."""
+    import numpy as np
+
+    from wrangle_openstreetmap_data_ray.functions import geo
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(103.6, 104.0, 400)
+    lat = rng.uniform(1.2, 1.5, 400)
+    r = 10
+    cells = np.unique(geo.cell_encode(lon, lat, r))
+    comp = geo.compact_cells(cells)
+    assert len(comp) <= len(cells)
+    back = geo.uncompact_cells(comp, r)
+    assert np.array_equal(np.sort(back), np.sort(cells))
+    # a complete parent quartet compacts to exactly the parent
+    parent = geo.cell_encode(np.array([103.8]), np.array([1.3]), 9)[0]
+    kids = geo.cell_children(int(parent))
+    assert np.array_equal(geo.compact_cells(kids), np.array([parent]))
+    # recursive: 16 grandchildren -> 1 grandparent
+    gkids = np.concatenate([geo.cell_children(int(k)) for k in kids])
+    assert np.array_equal(geo.compact_cells(gkids), np.array([parent]))
+    # partial quartet unchanged
+    partial = kids[:3]
+    assert np.array_equal(geo.compact_cells(partial), np.sort(partial))

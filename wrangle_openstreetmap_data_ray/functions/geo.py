@@ -145,6 +145,45 @@ def cell_children(cell: int) -> np.ndarray:
     return ((np.uint64(res + 1) << _RES_SHIFT) | kids).astype(np.int64)
 
 
+def compact_cells(cells: np.ndarray) -> np.ndarray:
+    """H3-``compact`` analogue: merge every COMPLETE sibling quartet into
+    its parent, recursively, yielding a minimal multi-resolution cover of
+    the same area. Vectorized level-by-level (np.unique run counts)."""
+    pool = np.unique(np.asarray(cells, dtype=np.int64))
+    out = []
+    while len(pool):
+        res = cell_res(pool)
+        r = int(res.max())
+        if r == 0:
+            out.append(pool)
+            break
+        cur = pool[res == r]
+        rest = pool[res != r]
+        parents = cell_parent(cur, r - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 4]
+        out.append(cur[~np.isin(parents, full)])
+        pool = (np.unique(np.concatenate([rest, full]))
+                if len(full) or len(rest) else np.empty(0, np.int64))
+    return np.sort(np.concatenate(out)) if out else pool
+
+
+def uncompact_cells(cells: np.ndarray, res: int) -> np.ndarray:
+    """Expand a multi-resolution cover to all descendants at ``res``."""
+    c = np.asarray(cells, dtype=np.int64)
+    rs = cell_res(c)
+    if np.any(rs > res):
+        raise ValueError("uncompact target res must be >= every cell res")
+    out = []
+    for cell, r in zip(c.tolist(), rs.tolist()):
+        d = np.int64(res - r)
+        cc = np.uint64(cell)
+        base = (cc & _IDX_MASK) << np.uint64(2 * d)
+        kids = base + np.arange(np.int64(1) << (2 * d), dtype=np.uint64)
+        out.append(((np.uint64(res) << _RES_SHIFT) | kids).astype(np.int64))
+    return np.sort(np.concatenate(out)) if out else c
+
+
 def cell_ring(cell: np.ndarray, k: int = 1) -> np.ndarray:
     """All cells within Chebyshev distance ``k`` (including the center),
     per input cell → shape (len(cell), (2k+1)**2). Longitude wraps; latitude

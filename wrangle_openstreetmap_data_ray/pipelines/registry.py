@@ -571,15 +571,24 @@ def queries():
 
     def per_cell_counts(sf_dir):
         """A8 — per-cell row counts (the per-partition metrics the
-        Lance-like manifest checkpoints)."""
+        Lance-like manifest checkpoints). Map-side PRE-AGGREGATED: each
+        batch emits ≤1 row per distinct cell (np.unique partial counts),
+        so the shuffle carries cells×blocks rows instead of every point —
+        the combiner pattern every hot-key groupby needs at 100 TB."""
+        from ray.data.aggregate import Sum
         ds = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
 
-        def f(b: pa.Table) -> pa.Table:
-            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(), CELL_RES)
-            return pa.table({"qx": pa.array(qx, pa.int64()),
-                             "qy": pa.array(qy, pa.int64())})
-        return ds.map_batches(f, batch_format="pyarrow") \
-                 .groupby(["qx", "qy"]).count().rename_columns({"count()": "cnt"})
+        def partial(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 CELL_RES)
+            key = (qx.astype(np.uint64) << np.uint64(32)) | qy.astype(np.uint64)
+            uniq, counts = np.unique(key, return_counts=True)
+            return pa.table({
+                "qx": pa.array((uniq >> np.uint64(32)).astype(np.int64)),
+                "qy": pa.array((uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "cnt": pa.array(counts.astype(np.int64))})
+        return ds.map_batches(partial, batch_format="pyarrow") \
+                 .groupby(["qx", "qy"]).aggregate(Sum("cnt", alias_name="cnt"))
     q["per_cell_counts"] = per_cell_counts
 
     def hot_cells(sf_dir):
