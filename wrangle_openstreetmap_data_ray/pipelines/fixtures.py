@@ -146,6 +146,25 @@ def materialize(sf_dir: str) -> str:
     return d
 
 
+def table_join_partitions(sf_dir: str, *names: str,
+                          target_bytes: int = 64 << 20) -> int:
+    """Size-aware hash-join partition count: one partition per ~64 MB of
+    the named input files (parquet metadata only — nothing executes),
+    floored at 2. ``util.join_kwargs`` still caps it at cluster CPUs/2,
+    so it grows with data volume and never starves a small cluster."""
+    total = 0
+    for n in names:
+        materialize(sf_dir)
+        p = fixture_path(sf_dir, n)
+        if not os.path.exists(p):
+            p = os.path.join(sf_dir, f"{n}.parquet")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return max(2, total // target_bytes)
+
+
 def read_fixture(sf_dir: str, name: str, columns: list[str] | None = None):
     """Fixture as a Ray Dataset (materializing first if needed), with column
     pruning pushed into the parquet read."""

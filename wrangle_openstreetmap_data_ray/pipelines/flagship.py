@@ -47,7 +47,9 @@ def flagship(sf_dir: str, out_root: str | None = None):
     imgs = fx.read_fixture(sf_dir, "images",
                            columns=["image_id", "caption", "phash"])
     g = fx.read_fixture(sf_dir, "geo")
-    joined = imgs.join(g, on=("image_id",), join_type="inner", **join_kwargs())
+    joined = imgs.join(g, on=("image_id",), join_type="inner",
+                       **join_kwargs(fx.table_join_partitions(
+                           sf_dir, "images", "geo")))
     cleaned = joined.map_batches(clean_and_encode, batch_format="pyarrow")
 
     import pyarrow.parquet as pq

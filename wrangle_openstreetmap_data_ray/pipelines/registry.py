@@ -413,6 +413,53 @@ def queries():
         return out.select_columns(["id", "neighbor_id"])
     q["knn_pairs"] = knn_pairs
 
+    def knn_pairs_salted(sf_dir):
+        """J4 under EXPLICIT salting (salt=4): every hot cell's home
+        points split over 4 sub-groups with ghost replication — must
+        produce byte-identical results to the unsalted pass (same oracle
+        as knn_pairs), proving the skew path preserves exactness."""
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        out = knn.knn_join(pts, k=KNN_K, res=11, id_col="image_id",
+                           exact=True, salt=4)
+        return out.select_columns(["id", "neighbor_id"])
+    q["knn_pairs_salted"] = knn_pairs_salted
+
+    def orders_by_month(sf_dir):
+        """Date-part rollup: orders per calendar month (vectorized epoch
+        arithmetic → groupby)."""
+        from ray.data.aggregate import Count, Sum
+        ds = fx.driver_table(sf_dir, "orders",
+                             columns=["o_orderdate", "o_totalprice"])
+
+        def month(b: pa.Table) -> pa.Table:
+            y = pc.year(b["o_orderdate"])
+            m = pc.month(b["o_orderdate"])
+            ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 100),
+                        pc.cast(m, pa.int64()))
+            return pa.table({"yyyymm": ym, "o_totalprice": b["o_totalprice"]})
+        out = (ds.map_batches(month, batch_format="pyarrow")
+               .groupby("yyyymm")
+               .aggregate(Count(alias_name="n_orders"),
+                          Sum("o_totalprice", alias_name="revenue"))).to_pandas()
+        out["revenue"] = out["revenue"].round(0)
+        return out
+    q["orders_by_month"] = orders_by_month
+
+    def events_value_stats_by_type(sf_dir):
+        """Mean/stddev aggregate per event type (Ray's streaming Std
+        aggregate — Welford-style mergeable partials in the shuffle)."""
+        from ray.data.aggregate import Count, Mean, Std
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+        out = (ds.groupby("event_type")
+               .aggregate(Count(alias_name="cnt"),
+                          Mean("value", alias_name="avg_value"),
+                          Std("value", alias_name="sd_value"))).to_pandas()
+        out["avg_value"] = out["avg_value"].round(4)
+        out["sd_value"] = out["sd_value"].round(4)
+        return out
+    q["events_value_stats_by_type"] = events_value_stats_by_type
+
     def exact_dedup_images(sf_dir):
         """D1 — exact dedup by phash, keep min image_id."""
         ds = fx.read_fixture(sf_dir, "images", columns=["image_id", "phash"])
@@ -675,7 +722,9 @@ def queries():
         imgs = fx.read_fixture(sf_dir, "images",
                                columns=["image_id", "bytes", "w", "h", "fmt"])
         g = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
-        joined = imgs.join(g, on=("image_id",), join_type="inner", **join_kwargs())
+        joined = imgs.join(g, on=("image_id",), join_type="inner",
+                           **join_kwargs(fx.table_join_partitions(
+                               sf_dir, "images", "geo")))
         out = tiles.render_tiles(joined, tile_res=TILE_RES)
 
         def crc(b: pa.Table) -> pa.Table:
@@ -1421,6 +1470,26 @@ def oracle_sql():
               FROM {knn_p} a, {knn_p} b
               WHERE a.image_id != b.image_id)
             WHERE rn <= {KNN_K}""",
+        "knn_pairs_salted": f"""
+            SELECT id, neighbor_id FROM (
+              SELECT a.image_id AS id, b.image_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.image_id
+                       ORDER BY {hav}, b.image_id) AS rn
+              FROM {knn_p} a, {knn_p} b
+              WHERE a.image_id != b.image_id)
+            WHERE rn <= {KNN_K}""",
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                        AS BIGINT) AS yyyymm,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 0) AS revenue
+            FROM orders GROUP BY 1""",
+        "events_value_stats_by_type": """
+            SELECT event_type, COUNT(*) AS cnt,
+                   ROUND(AVG(value), 4) AS avg_value,
+                   ROUND(STDDEV_SAMP(value), 4) AS sd_value
+            FROM events GROUP BY event_type""",
         "exact_dedup_images": f"""
             SELECT MIN(image_id) AS image_id FROM {images_p} GROUP BY phash""",
         "way_node_resolution": f"""
