@@ -212,3 +212,71 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return img[ys][:, xs]
+
+
+# ------------------------------------------------------------- audio (WAV)
+# Canonical RIFF/WAVE PCM16 mono — the container ships no audio libraries,
+# but WAV is a trivial public format (44-byte header + little-endian PCM),
+# so the decoder is REAL, not a stub.
+
+def encode_wav(samples: np.ndarray, sr: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    import struct
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n, b"WAVE", b"fmt ", 16,
+        1, 1, sr, sr * 2, 2, 16, b"data", n)
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes → (int16 samples, sample_rate).
+    Walks the chunk list (tolerates extra chunks), validates PCM16 mono."""
+    import struct
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sr, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt_code != 1 or ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)
+    if sr is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return np.frombuffer(pcm, dtype="<i2"), sr
+
+
+# ------------------------------------------------------- video (rawvid v1)
+# Minimal public container for this engine's tests: 20-byte header
+# (magic, w, h, n_frames, fps_milli) followed by n_frames raw24 frames.
+
+_RAWVID_MAGIC = b"RVID"
+
+
+def encode_rawvid(frames: np.ndarray, fps: float) -> bytes:
+    """(n, h, w, 3) uint8 frames → rawvid bytes."""
+    import struct
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("rawvid frames must be HxWx3")
+    hdr = struct.pack("<4sIIII", _RAWVID_MAGIC, w, h, n, int(fps * 1000))
+    return hdr + np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+
+
+def decode_rawvid(data: bytes) -> tuple[np.ndarray, float]:
+    """rawvid bytes → ((n, h, w, 3) uint8 frames, fps)."""
+    import struct
+    magic, w, h, n, fps_m = struct.unpack_from("<4sIIII", data)
+    if magic != _RAWVID_MAGIC:
+        raise ValueError("not a rawvid stream")
+    body = np.frombuffer(data, dtype=np.uint8, offset=20)
+    if len(body) != n * h * w * 3:
+        raise ValueError("rawvid length mismatch")
+    return body.reshape(n, h, w, 3), fps_m / 1000.0

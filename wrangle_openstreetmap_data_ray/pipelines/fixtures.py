@@ -37,6 +37,8 @@ def sizes(sf: float) -> dict[str, int]:
         "n_nodes": max(1000, int(500_000 * sf)),
         "n_ways": max(150, int(500_000 * sf) // 7),
         "n_knn": min(max(2000, int(1_000_000 * sf)), 2500),
+        "n_audio": max(200, int(20_000 * sf)),
+        "n_video": max(100, int(10_000 * sf)),
     }
 
 
@@ -134,6 +136,12 @@ def materialize(sf_dir: str) -> str:
         polys = synth.gen_polygons_table(sz["n_polys"])
         _write_atomic(polys, fixture_path(sf_dir, "polygons"))
         _write_atomic(_edges_table(polys), fixture_path(sf_dir, "edges"))
+    if need("audio"):
+        _write_atomic(synth.gen_audio_table(0, sz["n_audio"]),
+                      fixture_path(sf_dir, "audio"), row_group_size=1024)
+    if need("videos"):
+        _write_atomic(synth.gen_video_table(0, sz["n_video"]),
+                      fixture_path(sf_dir, "videos"), row_group_size=512)
     if need("embeddings_dup"):
         _write_atomic(_embeddings_dup_table(sf_dir),
                       fixture_path(sf_dir, "embeddings_dup"))

@@ -775,6 +775,39 @@ def queries():
         return out.map_batches(f, batch_format="pyarrow")
     q["resize_images_thumb"] = resize_images_thumb
 
+    def audio_features(sf_dir):
+        """REAL WAV PCM16 decode (pure-numpy RIFF parser) + duration from
+        the DECODED sample count — the oracle recomputes duration from the
+        redundant metadata columns, so a decoder bug (wrong chunk walk,
+        wrong dtype) breaks the hash."""
+        ds = fx.read_fixture(sf_dir, "audio")
+        out = multimodal.audio_features(ds)
+        return out.select_columns(["audio_id", "n_samples_dec", "duration_us"])
+    q["audio_features"] = audio_features
+
+    def audio_loudness_rank(sf_dir):
+        """Audio feature analytics: top-20 loudest clips by decoded RMS
+        (rows-only: RMS is a pixel/sample-domain float)."""
+        ds = fx.read_fixture(sf_dir, "audio")
+        out = multimodal.audio_features(ds)
+        feats = out.map_batches(
+            lambda b: pa.table({"audio_id": b["audio_id"],
+                                "rms": pc.round(b["rms"], 4)}),
+            batch_format="pyarrow")
+        return distributed_topk(feats, 20, [("rms", "descending"),
+                                            ("audio_id", "ascending")])
+    q["audio_loudness_rank"] = audio_loudness_rank
+
+    def video_frame_index(sf_dir):
+        """REAL rawvid container decode: every 2nd frame of every video →
+        (video_id, frame_idx) rows. Oracle expands the metadata n_frames
+        with generate_series — decode must agree with the header."""
+        ds = fx.read_fixture(sf_dir, "videos",
+                             columns=["video_id", "bytes"])
+        out = multimodal.video_frame_sample(ds, stride=2)
+        return out.select_columns(["video_id", "frame_idx"])
+    q["video_frame_index"] = video_frame_index
+
     def shape_documents_nested(sf_dir):
         """[R:data.py::shape_element] M8/M9 nested form — the reference's
         full document shape as Arrow structs: created{version, changeset,
@@ -1671,6 +1704,14 @@ def oracle_sql():
               FROM embeddings q, embeddings c
               WHERE q.vec_id < 3 AND c.vec_id >= 3)
             WHERE rn <= 10""",
+        "audio_features": f"""
+            SELECT audio_id, CAST(n_samples AS BIGINT) AS n_samples_dec,
+                   (CAST(n_samples AS BIGINT) * 1000000) // sr AS duration_us
+            FROM read_parquet('{_fxp('audio')}')""",
+        "video_frame_index": f"""
+            SELECT video_id, CAST(g AS BIGINT) AS frame_idx
+            FROM read_parquet('{_fxp('videos')}') v,
+                 UNNEST(range(0, CAST(v.n_frames AS BIGINT), 2)) AS t(g)""",
         "image_phash_verify": f"""
             SELECT image_id, TRUE AS phash_ok FROM {images_p}""",
         "resize_images_thumb": f"""

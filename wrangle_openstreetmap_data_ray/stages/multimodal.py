@@ -2,11 +2,11 @@
 resize / frame-sample as actor-pool ``map_batches`` stages over opaque
 ``binary`` columns with typed metadata.
 
-Image decode is REAL (in-repo codecs, S6). Audio decode and video
-frame-sampling are STUBBED — the container ships no audio/video libraries —
-behind ``NotImplementedError`` with a deterministic fake
-(``deterministic_fake=True``) so the Ray-side plumbing (schema, batch size,
-actor signature, output layout) is real and tested.
+ALL THREE modalities are REAL: images via the in-repo codecs (S6), audio
+via a pure-numpy RIFF/WAVE PCM16 parser, video via the documented rawvid
+raw-frame container — no external media libraries needed, every decoder
+verified against the synthesis functions in tests and (audio/video)
+against redundant metadata columns by the DuckDB oracle.
 
 Decoded pixels explode the batch ~10-50× vs encoded bytes, so these stages
 default to SMALL batch_size and the decoded form never crosses a shuffle.
@@ -114,57 +114,72 @@ def resize_images(ds, out_w: int, out_h: int, out_fmt: str = "png",
 
 
 class AudioFeatures:
-    """STUB (no audio libs in this container — task brief sanctions a
-    deterministic fake). Real plumbing: binary column in, fixed-width
-    feature columns out, actor-pool stage, small batches."""
-
-    def __init__(self, deterministic_fake: bool = False):
-        self.fake = deterministic_fake
+    """REAL audio decode + feature extraction: RIFF/WAVE PCM16 parsed with
+    the in-repo pure-numpy decoder (``codecs.decode_wav``); per-clip
+    duration (from the DECODED sample count — the oracle cross-checks it
+    against the stored metadata), RMS amplitude and zero-crossing rate.
+    Binary column in, fixed-width feature columns out, small batches
+    (decoded samples ≈ payload; no blowup, but keep it bounded)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires an audio library; none ships in this "
-                "container — construct with deterministic_fake=True")
         n = batch.num_rows
+        n_dec = np.empty(n, np.int64)
+        dur_us = np.empty(n, np.int64)
+        rms = np.empty(n)
+        zcr = np.empty(n)
         blobs = batch["bytes"]
-        dur = np.empty(n); rms = np.empty(n)
         for i in range(n):
-            b = blobs[i].as_py()
-            h = hash64_bytes(b)
-            dur[i] = (h % 30_000) / 1000.0          # fake seconds
-            rms[i] = ((h >> 16) % 1000) / 1000.0    # fake loudness
+            samples, sr = codecs.decode_wav(blobs[i].as_py())
+            x = samples.astype(np.float64) / 32768.0
+            n_dec[i] = len(x)
+            # exact integer µs — float-rounding-free for the oracle compare
+            dur_us[i] = len(x) * 1_000_000 // sr
+            rms[i] = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+            zcr[i] = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) \
+                if len(x) > 1 else 0.0
         return (batch.drop_columns(["bytes"])
-                .append_column("duration_s", pa.array(dur, pa.float64()))
-                .append_column("rms", pa.array(rms, pa.float64())))
+                .append_column("n_samples_dec", pa.array(n_dec, pa.int64()))
+                .append_column("duration_us", pa.array(dur_us, pa.int64()))
+                .append_column("rms", pa.array(rms, pa.float64()))
+                .append_column("zcr", pa.array(zcr, pa.float64())))
+
+
+def audio_features(ds, batch_size: int = 512):
+    def task(batch):
+        return AudioFeatures()(batch)
+    return ds.map_batches(task, batch_format="pyarrow", batch_size=batch_size)
 
 
 class VideoFrameSample:
-    """STUB frame sampler: emits ``n_frames`` rows per video row with a
-    deterministic fake frame payload (raw8 thumbnails)."""
+    """REAL frame sampler: parse the rawvid container
+    (``codecs.decode_rawvid``), emit every ``stride``-th frame as its own
+    row (frame index, raw24 bytes, mean brightness). Decoded frames
+    explode the row count — small batches, frames re-encoded raw8-style
+    (already raw24) so downstream shuffles move bytes, not arrays."""
 
-    def __init__(self, n_frames: int = 4, frame_px: int = 16,
-                 deterministic_fake: bool = False):
-        self.n_frames, self.frame_px, self.fake = n_frames, frame_px, deterministic_fake
+    def __init__(self, stride: int = 2):
+        self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video decode requires a video library; none ships in this "
-                "container — construct with deterministic_fake=True")
-        ids, frames, idxs = [], [], []
+        ids, idxs, fbytes, bright = [], [], [], []
         blobs = batch["bytes"]
-        vids = batch[batch.column_names[0]].to_pylist()
+        vids = batch["video_id"].to_pylist()
         for i in range(batch.num_rows):
-            seed = hash64_bytes(blobs[i].as_py())
-            for f in range(self.n_frames):
-                from ..functions.hashing import splitmix64
-                with np.errstate(over="ignore"):
-                    vals = splitmix64(np.uint64(seed) + np.uint64(f * 1_000_003)
-                                      + np.arange(self.frame_px ** 2 * 3, dtype=np.uint64))
-                frame = (vals & np.uint64(0xFF)).astype(np.uint8)
+            frames, _fps = codecs.decode_rawvid(blobs[i].as_py())
+            for f in range(0, frames.shape[0], self.stride):
                 ids.append(vids[i])
                 idxs.append(f)
-                frames.append(frame.tobytes())
-        return pa.table({"video_id": pa.array(ids), "frame_idx": pa.array(idxs, pa.int32()),
-                         "frame_bytes": pa.array(frames, pa.binary())})
+                fbytes.append(frames[f].tobytes())
+                bright.append(float(frames[f].mean()))
+        return pa.table({
+            "video_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_bytes": pa.array(fbytes, pa.binary()),
+            "brightness": pa.array(bright, pa.float64()),
+        })
+
+
+def video_frame_sample(ds, stride: int = 2, batch_size: int = 128):
+    return ds.map_batches(VideoFrameSample, fn_constructor_args=(stride,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=(1, 4), num_cpus=1)

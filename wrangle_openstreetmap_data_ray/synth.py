@@ -115,6 +115,77 @@ def gen_images_table(start: int, count: int, seed: int = SEED) -> pa.Table:
     }, schema=IMAGES)
 
 
+# ------------------------------------------------------------- audio/video
+
+def _audio_samples(idx: int) -> tuple[np.ndarray, int]:
+    """Deterministic PCM16 mono clip for audio ``idx``: a two-tone sine
+    mix + hash noise; sr=8000, 0.2–1.0 s."""
+    sr = 8000
+    n = 1600 + int(_u(np.array([idx]), 20)[0] * 6400)
+    t = np.arange(n, dtype=np.float64) / sr
+    f1 = 100.0 + (idx % 37) * 13.0
+    f2 = 350.0 + (idx % 23) * 29.0
+    wave = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    with np.errstate(over="ignore"):
+        noise = splitmix64(np.uint64(idx) * np.uint64(0xA24BAED4963EE407)
+                           ^ np.uint64(SEED) + np.arange(n, dtype=np.uint64))
+    wave += ((noise & np.uint64(0xFFFF)).astype(np.float64) / 65535.0 - 0.5) * 0.1
+    return (wave * 12000).astype(np.int16), sr
+
+
+def gen_audio_table(start: int, count: int) -> pa.Table:
+    """``audio`` rows: (audio_id, bytes=REAL WAV PCM16, sr, n_samples,
+    caption) — pure function of row index; the metadata columns are
+    redundant with the WAV header, which is exactly what the decode
+    oracle cross-checks."""
+    ids, blobs, srs, ns, caps = [], [], [], [], []
+    for idx in range(start, start + count):
+        samples, sr = _audio_samples(idx)
+        ids.append(f"aud{idx:09d}")
+        blobs.append(codecs.encode_wav(samples, sr))
+        srs.append(sr)
+        ns.append(len(samples))
+        caps.append(_caption(idx))
+    return pa.table({
+        "audio_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "sr": pa.array(srs, pa.int32()),
+        "n_samples": pa.array(ns, pa.int32()),
+        "caption": pa.array(caps, pa.string()),
+    })
+
+
+def _video_frames(idx: int, n_frames: int, px: int = 16) -> np.ndarray:
+    """Deterministic frames: frame f of video idx = _pixels(idx*1009+f)."""
+    return np.stack([_pixels(idx * 1009 + f, px, px)
+                     for f in range(n_frames)])
+
+
+def gen_video_table(start: int, count: int) -> pa.Table:
+    """``videos`` rows: (video_id, bytes=REAL rawvid, w, h, n_frames, fps,
+    caption) — n_frames 4–12, 16×16 raw24 frames."""
+    ids, blobs, ws, hs, nf, fps, caps = [], [], [], [], [], [], []
+    for idx in range(start, start + count):
+        n_frames = 4 + int(_u(np.array([idx]), 21)[0] * 9)
+        frames = _video_frames(idx, n_frames)
+        ids.append(f"vid{idx:09d}")
+        blobs.append(codecs.encode_rawvid(frames, 8.0))
+        ws.append(16)
+        hs.append(16)
+        nf.append(n_frames)
+        fps.append(8.0)
+        caps.append(_caption(idx))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(nf, pa.int32()),
+        "fps": pa.array(fps, pa.float64()),
+        "caption": pa.array(caps, pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------- geo
 
 def _lonlat(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
