@@ -424,6 +424,19 @@ def queries():
         return out.select_columns(["id", "neighbor_id"])
     q["knn_pairs_salted"] = knn_pairs_salted
 
+    def oldest_events_sorted(sf_dir):
+        """API coverage for the native range-partition ``Dataset.sort``
+        (everywhere else small-k uses distributed_topk): global multi-key
+        sort + limit."""
+        ds = fx.driver_table(sf_dir, "events", columns=["event_id", "ts"])
+        out = ds.sort(["ts", "event_id"]).limit(50)
+
+        def t_us(b: pa.Table) -> pa.Table:
+            return pa.table({"event_id": b["event_id"],
+                             "ts_us": pc.cast(b["ts"], pa.int64())})
+        return out.map_batches(t_us, batch_format="pyarrow")
+    q["oldest_events_sorted"] = oldest_events_sorted
+
     def orders_by_month(sf_dir):
         """Date-part rollup: orders per calendar month (vectorized epoch
         arithmetic → groupby)."""
@@ -1512,6 +1525,9 @@ def oracle_sql():
               FROM {knn_p} a, {knn_p} b
               WHERE a.image_id != b.image_id)
             WHERE rn <= {KNN_K}""",
+        "oldest_events_sorted": """
+            SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events ORDER BY ts, event_id LIMIT 50""",
         "orders_by_month": """
             SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
                         AS BIGINT) AS yyyymm,
