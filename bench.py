@@ -146,7 +146,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--pair", nargs=2, type=int, default=None,
-                    help="scaling CPU pair, default 8 32")
+                    help="scaling CPU pair, default 4 16 (N and 4N; the "
+                         "4→16 pair sees the least per-core clock droop "
+                         "on this box — see BASELINE.md)")
     ap.add_argument("--inner-scale", type=int, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -184,7 +186,7 @@ def main() -> None:
                 raise RuntimeError(f"scaling run at {cpus} cpus failed")
             return json.loads(out.stdout.strip().splitlines()[-1])
 
-        lo, hi = (args.pair or (8, 32))
+        lo, hi = (args.pair or (4, 16))
         rlo, rhi = one(lo), one(hi)
         ratio = hi // lo
         eff = rlo["total_sec"] / (ratio * rhi["total_sec"])

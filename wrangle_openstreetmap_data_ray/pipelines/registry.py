@@ -788,6 +788,37 @@ def queries():
         return out.map_batches(f, batch_format="pyarrow")
     q["resize_images_thumb"] = resize_images_thumb
 
+    def lancelike_partition_counts(sf_dir):
+        """S5 partitioned sink through the correctness gate: write the geo
+        points partitioned by tile-x shard, then return the MANIFEST's
+        per-partition row counts — the oracle recomputes them with a SQL
+        groupby over the same fixture, so fragment routing, atomic
+        commit, and manifest accounting are all value-hash-pinned."""
+        import ray
+
+        from ..sources import lancelike
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
+
+        def shard(b: pa.Table) -> pa.Table:
+            qx, _ = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                TILE_RES)
+            return b.append_column("shard",
+                                   pa.array(qx % 4, pa.int64()))
+        sharded = ds.map_batches(shard, batch_format="pyarrow")
+        root = f"/tmp/graft_out/part_demo_{fx.sf_tag(sf_dir)}"
+        man = lancelike.write_dataset_partitioned(
+            sharded, root, stage="part_demo", partition_col="shard",
+            parent=fx.sf_tag(sf_dir),
+            fingerprint=lancelike.input_fingerprint(ds))
+        rows = man["metrics"]["partition_rows"]
+        return pd.DataFrame({
+            "shard": pd.array(sorted(int(k) for k in rows), dtype="int64"),
+            "n_rows": pd.array([rows[str(k)] for k in
+                                sorted(int(k) for k in rows)],
+                               dtype="int64"),
+        })
+    q["lancelike_partition_counts"] = lancelike_partition_counts
+
     def audio_features(sf_dir):
         """REAL WAV PCM16 decode (pure-numpy RIFF parser) + duration from
         the DECODED sample count — the oracle recomputes duration from the
@@ -1720,6 +1751,10 @@ def oracle_sql():
               FROM embeddings q, embeddings c
               WHERE q.vec_id < 3 AND c.vec_id >= 3)
             WHERE rn <= 10""",
+        "lancelike_partition_counts": f"""
+            SELECT {_grid_sql('lon', TILE_RES, -180.0, 360.0)} % 4 AS shard,
+                   COUNT(*) AS n_rows
+            FROM {geo_p} GROUP BY 1""",
         "audio_features": f"""
             SELECT audio_id, CAST(n_samples AS BIGINT) AS n_samples_dec,
                    (CAST(n_samples AS BIGINT) * 1000000) // sr AS duration_us

@@ -216,27 +216,6 @@ def pc_cast_keep(col, typ):
     return pcc.cast(col, typ)
 
 
-def drop_set_from_pairs(pairs_rows, id_a="id_a", id_b="id_b") -> set:
-    """Union-find over verified dup pairs (a SMALL driver-side list):
-    every component keeps its minimum id; the rest go into the drop set.
-    Kept as the exact reference for ``connected_components_pairs``."""
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in pairs_rows:
-        ra, rb = find(r[id_a]), find(r[id_b])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-    drops = {x for x in parent if find(x) != x}
-    return drops
-
-
 # row side markers for the label-propagation rounds
 _CC_EDGE, _CC_LABEL, _CC_MSG = 0, 1, 2
 

@@ -115,12 +115,6 @@ def _explode(lon_col, lat_col, id_col, res, salt, home_ids):
     return fn
 
 
-def _empty_cand(ids) -> pd.DataFrame:
-    return pd.DataFrame({"id": ids[:0], "neighbor_id": ids[:0],
-                         "dist_m": np.empty(0, np.float64),
-                         "home_lat": np.empty(0, np.float64)})
-
-
 def _one_cell_knn(k, hmask, lon, lat, ids, out, chunk: int = 192):
     """Per-cell vectorized kNN partial: home rows × all rows of the cell.
 
