@@ -138,18 +138,32 @@ def minhash_verified_pairs(ds, id_col: str, text_col: str, tau: float = 0.8,
     docs = ds.select_columns([id_col, text_col])
     sided = _attach_pair_col(pairs, docs, id_col, text_col)
 
-    def judge(g: pa.Table) -> pa.Table:
-        texts = dict(zip(g["side"].to_pylist(), g["val"].to_pylist()))
-        jac = -1.0
-        if 0 in texts and 1 in texts:
-            jac = jaccard_shingles(WS_RE.findall(texts[0].lower()),
-                                   WS_RE.findall(texts[1].lower()), shingle_n)
-        keep = 1 if jac >= tau else 0
-        return pa.table({"id_a": g["id_a"].slice(0, keep),
-                         "id_b": g["id_b"].slice(0, keep),
-                         "jaccard": pa.array([jac] * keep, pa.float64())})
+    # Judge in BUCKETED groups, never one Ray group per pair: map_groups
+    # pays ~1ms per group, and candidate pairs are near-unique keys — at
+    # sf0.1 that alone was ~5s (the round-1/2 near-dedup variance).
+    from ..util import bucketed_group_apply
 
-    return sided.groupby(["id_a", "id_b"]).map_groups(judge, batch_format="pyarrow")
+    def judge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (a, b), grp in g.groupby(["id_a", "id_b"], sort=False):
+            side = grp["side"].to_numpy()
+            texts = dict(zip(side, grp["val"]))
+            if 0 in texts and 1 in texts:
+                jac = jaccard_shingles(WS_RE.findall(texts[0].lower()),
+                                       WS_RE.findall(texts[1].lower()),
+                                       shingle_n)
+                if jac >= tau:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(jac)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=g["id_a"].dtype),
+            "id_b": pd.Series(out_b, dtype=g["id_b"].dtype),
+            "jaccard": pd.Series(out_j, dtype=np.float64),
+        })
+
+    return bucketed_group_apply(sided, ["id_a", "id_b"], judge_bucket,
+                                n_buckets=256)
 
 
 def _attach_pair_col(pairs, items, id_col: str, val_col: str):
@@ -535,20 +549,31 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     sided = _attach_pair_col(pairs, ds.select_columns([id_col, vec_col]),
                              id_col, vec_col)
 
-    def judge(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy()
-        vals = g["val"].to_pylist()
-        cos = -1.0
-        if 0 in side and 1 in side:
-            va = np.asarray(vals[int(np.argmax(side == 0))], dtype=np.float64)
-            vb = np.asarray(vals[int(np.argmax(side == 1))], dtype=np.float64)
+    # bucketed judging, one Ray group per BUCKET not per pair (see
+    # minhash_verified_pairs)
+    from ..util import bucketed_group_apply
+
+    def judge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for (a, b), grp in g.groupby(["id_a", "id_b"], sort=False):
+            side = grp["side"].to_numpy()
+            vals = dict(zip(side, grp["val"]))
+            if 0 not in vals or 1 not in vals:
+                continue
+            va = np.asarray(vals[0], dtype=np.float64)
+            vb = np.asarray(vals[1], dtype=np.float64)
             na, nb = np.linalg.norm(va), np.linalg.norm(vb)
             if na > 1e-12 and nb > 1e-12:
                 cos = float(va @ vb / (na * nb))
-        keep = 1 if cos >= tau else 0
-        return pa.table({"id_a": g["id_a"].slice(0, keep),
-                         "id_b": g["id_b"].slice(0, keep),
-                         "cosine": pa.array([cos] * keep, pa.float64())})
+                if cos >= tau:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(cos)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=g["id_a"].dtype),
+            "id_b": pd.Series(out_b, dtype=g["id_b"].dtype),
+            "cosine": pd.Series(out_c, dtype=np.float64),
+        })
 
-    return sided.groupby(["id_a", "id_b"]).map_groups(judge,
-                                                      batch_format="pyarrow")
+    return bucketed_group_apply(sided, ["id_a", "id_b"], judge_bucket,
+                                n_buckets=256)
