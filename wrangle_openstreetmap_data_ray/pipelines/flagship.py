@@ -22,6 +22,7 @@ from ..util import join_kwargs
 from . import fixtures as fx
 
 CELL_RES = 12
+TILE_RES = 10     # same grid the registry's tile queries pin
 
 
 def clean_and_encode(batch: pa.Table) -> pa.Table:
@@ -81,3 +82,62 @@ def flagship(sf_dir: str, out_root: str | None = None):
             .aggregate(Count(alias_name="n_images"),
                        Sum("valid_pc", alias_name="n_valid_postcode"),
                        Sum("in_bb", alias_name="n_in_bbox")))
+
+
+def flagship_full(sf_dir: str, out_root: str | None = None,
+                  knn_res: int = 11, k: int = 3):
+    """The COMPLETE north-star lifecycle in one pipeline (SURVEY §3 graft
+    flagship): images ⋈ geo → clean/normalize/cell-encode → exact dedup
+    by phash → Lance-like checkpoint (optional) → fan-out: PIP polygon
+    attach, exact kNN, per-tile render. Returns ONE summary row whose
+    every count has an independent SQL twin — the whole composition is
+    value-hash-pinned end-to-end, not just its stages.
+    """
+    import pandas as pd
+
+    from ..stages import dedup, knn, tiles
+    imgs = fx.read_fixture(sf_dir, "images")
+    g = fx.read_fixture(sf_dir, "geo")
+    joined = imgs.join(g, on=("image_id",), join_type="inner",
+                       **join_kwargs(fx.table_join_partitions(
+                           sf_dir, "images", "geo")))
+
+    def clean_plus(batch: pa.Table) -> pa.Table:
+        out = clean_and_encode(batch)
+        changed = pc.cast(
+            pc.not_equal(normalize.normalize_street(batch["caption"]),
+                         batch["caption"]), pa.int64())
+        return out.append_column("caption_changed", changed)
+
+    cleaned = joined.map_batches(clean_plus, batch_format="pyarrow")
+    deduped = dedup.exact_dedup(cleaned, "phash", "image_id")
+    if out_root:
+        fp = lancelike.input_fingerprint(g)
+        lancelike.write_dataset(deduped, out_root, stage="flagship_full",
+                                parent=fx.sf_tag(sf_dir), fingerprint=fp)
+        deduped = lancelike.read_dataset(out_root)
+    else:
+        deduped = deduped.materialize()   # fans out to 4 consumers
+
+    n_images = imgs.count()
+    n_kept = deduped.count()
+
+    import pyarrow.parquet as pq
+    polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+    n_pip_pairs = pip_join.pip_join(
+        deduped, polys, keep_cols=["image_id"]).count()
+    n_knn_pairs = knn.knn_join(
+        deduped.select_columns(["image_id", "lon", "lat"]),
+        k=k, res=knn_res, id_col="image_id", exact=True).count()
+    n_tiles = tiles.render_tiles(deduped, tile_res=TILE_RES).count()
+    n_caption_changed = int(deduped.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b["caption_changed"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+
+    return pd.DataFrame({
+        "n_images": [int(n_images)], "n_kept": [int(n_kept)],
+        "n_pip_pairs": [int(n_pip_pairs)],
+        "n_knn_pairs": [int(n_knn_pairs)], "n_tiles": [int(n_tiles)],
+        "n_caption_changed": [n_caption_changed],
+    })

@@ -788,6 +788,65 @@ def queries():
         return out.map_batches(f, batch_format="pyarrow")
     q["resize_images_thumb"] = resize_images_thumb
 
+    def flagship_full_summary(sf_dir):
+        """The full north-star lifecycle (join → clean → dedup → PIP →
+        kNN → tiles) pinned END-TO-END: one summary row whose every
+        count the oracle recomputes independently in SQL over the same
+        fixtures (dedup set, even-odd PIP pairs, kNN row count, distinct
+        populated tiles, caption-normalization effect)."""
+        from . import flagship as fl
+        return fl.flagship_full(sf_dir)
+    q["flagship_full_summary"] = flagship_full_summary
+
+    def uids_in_both_nodes_and_ways(sf_dir):
+        """Distributed SEMI join (INTERSECT): contributors present in
+        BOTH element tables — distinct node uids semi-joined against way
+        uids (anti_semi_join(semi=True), one bucketed shuffle)."""
+        from ..util import anti_semi_join
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["uid"])
+        ways = fx.read_fixture(sf_dir, "ways", columns=["uid"])
+        nd = nodes.map_batches(
+            lambda b: pa.table({"uid": pc.unique(b["uid"])}),
+            batch_format="pyarrow")
+        nd = dedup.exact_dedup(nd, "uid", "uid")     # global distinct
+        return anti_semi_join(nd, ways, on="uid", semi=True)
+    q["uids_in_both_nodes_and_ways"] = uids_in_both_nodes_and_ways
+
+    def user_customer_coverage(sf_dir):
+        """FULL OUTER join semantics via one bucketed cogroup: distinct
+        event users vs customer keys → per-key category (both /
+        event_only / customer_only) → counts. No Dataset.join; the union
+        + per-key reduce is the outer-join plan that scales."""
+        from ..util import bucketed_group_apply
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        cust = fx.driver_table(sf_dir, "customer", columns=["c_custkey"])
+
+        def ev_rows(b: pa.Table) -> pa.Table:
+            u = pc.unique(b["user_id"])
+            return pa.table({"key": u,
+                             "src": pa.array(np.zeros(len(u), np.int8))})
+
+        def cust_rows(b: pa.Table) -> pa.Table:
+            return pa.table({"key": pc.cast(b["c_custkey"], pa.int64()),
+                             "src": pa.array(np.ones(len(b), np.int8))})
+
+        u = ev.map_batches(ev_rows, batch_format="pyarrow").union(
+            cust.map_batches(cust_rows, batch_format="pyarrow"))
+
+        def classify(g: pd.DataFrame) -> pd.DataFrame:
+            has = g.groupby("key", sort=False)["src"].agg(["min", "max"])
+            cat = np.where(has["min"] == has["max"],
+                           np.where(has["min"] == 0, "event_only",
+                                    "customer_only"), "both")
+            return pd.DataFrame({"category": cat})
+
+        cats = bucketed_group_apply(u, ["key"], classify, n_buckets=64) \
+            .map_batches(lambda b: b, batch_format="pyarrow")
+        # (blocks must be arrow: rename_columns breaks on pandas blocks)
+        return cats.groupby("category").count().rename_columns(
+            {"count()": "cnt"})
+    q["user_customer_coverage"] = user_customer_coverage
+
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
         points partitioned by tile-x shard, then return the MANIFEST's
@@ -1751,6 +1810,45 @@ def oracle_sql():
               FROM embeddings q, embeddings c
               WHERE q.vec_id < 3 AND c.vec_id >= 3)
             WHERE rn <= 10""",
+        "flagship_full_summary": f"""
+            WITH kept AS (
+              SELECT MIN(image_id) AS image_id FROM {images_p}
+              GROUP BY phash),
+            kg AS (
+              SELECT g.* FROM {geo_p} g
+              WHERE g.image_id IN (SELECT image_id FROM kept))
+            SELECT
+              (SELECT COUNT(*) FROM {images_p}) AS n_images,
+              (SELECT COUNT(*) FROM kept) AS n_kept,
+              (SELECT COUNT(*) FROM (
+                 SELECT g.image_id, e.polygon_id
+                 FROM kg g JOIN {edges_p} e
+                   ON ((e.y1 <= g.lat) != (e.y2 <= g.lat)
+                       AND g.lon < e.x1
+                           + (g.lat - e.y1)/(e.y2 - e.y1)*(e.x2 - e.x1))
+                 GROUP BY g.image_id, e.polygon_id
+                 HAVING COUNT(*) % 2 = 1)) AS n_pip_pairs,
+              (SELECT COUNT(*) FROM kept) * 3 AS n_knn_pairs,
+              (SELECT COUNT(*) FROM (
+                 SELECT DISTINCT
+                   {_grid_sql('lon', TILE_RES, -180.0, 360.0)},
+                   {_grid_sql('lat', TILE_RES, -90.0, 180.0)}
+                 FROM kg)) AS n_tiles,
+              (SELECT COUNT(*) FROM {images_p} i
+               WHERE i.image_id IN (SELECT image_id FROM kept)
+                 AND {normalize.normalize_street_sql('caption')}
+                     != caption) AS n_caption_changed""",
+        "uids_in_both_nodes_and_ways": f"""
+            SELECT uid FROM (SELECT DISTINCT uid FROM {nodes_p})
+            WHERE uid IN (SELECT uid FROM {ways_p})""",
+        "user_customer_coverage": """
+            SELECT category, COUNT(*) AS cnt FROM (
+              SELECT CASE WHEN e.user_id IS NULL THEN 'customer_only'
+                          WHEN c.c_custkey IS NULL THEN 'event_only'
+                          ELSE 'both' END AS category
+              FROM (SELECT DISTINCT user_id FROM events) e
+              FULL OUTER JOIN customer c ON e.user_id = c.c_custkey)
+            GROUP BY category""",
         "lancelike_partition_counts": f"""
             SELECT {_grid_sql('lon', TILE_RES, -180.0, 360.0)} % 4 AS shard,
                    COUNT(*) AS n_rows
