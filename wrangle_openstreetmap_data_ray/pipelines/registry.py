@@ -205,6 +205,25 @@ def queries():
         return pd.DataFrame({"n_dup_docs": [int(n)]})
     q["doc_dup_content_count"] = doc_dup_content_count
 
+    def doc_char_stats(sf_dir):
+        """Character-level text features, fully vectorized in Arrow
+        (utf8 length + regex match counts) — the SQL-expressible slice of
+        quality scoring, oracle-paired."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def f(b: pa.Table) -> pa.Table:
+            t = b["text"]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+                "n_digits": pc.cast(pc.count_substring_regex(t, r"[0-9]"),
+                                    pa.int64()),
+                "n_spaces": pc.cast(pc.count_substring_regex(t, r" "),
+                                    pa.int64()),
+            })
+        return ds.map_batches(f, batch_format="pyarrow")
+    q["doc_char_stats"] = doc_char_stats
+
     def doc_quality(sf_dir):
         """Quality scoring + language ID (rows-only: heuristic floats)."""
         ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1532,6 +1551,14 @@ def oracle_sql():
         "doc_token_counts": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                    AS n_tokens_ws
+            FROM documents""",
+        "doc_char_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS BIGINT) AS n_spaces
             FROM documents""",
         "doc_lang_breakdown": """
             SELECT lang, source, COUNT(*) AS cnt FROM documents
