@@ -140,7 +140,9 @@ def queries():
                                  columns=["n_nationkey", "n_regionkey"])
         region = fx.driver_table(sf_dir, "region")
         out = nation.join(region.rename_columns({"r_regionkey": "n_regionkey"}),
-                          on=("n_regionkey",), join_type="inner", **join_kwargs())
+                          on=("n_regionkey",), join_type="inner",
+                          **join_kwargs(fx.table_join_partitions(
+                              sf_dir, "nation", "region")))
         return out.groupby("r_name").count().rename_columns(
             {"count()": "n_nations"})
     q["nations_per_region"] = nations_per_region
@@ -155,7 +157,8 @@ def queries():
                                  columns=["o_custkey", "o_totalprice"]) \
                    .rename_columns({"o_custkey": "c_custkey"})
         joined = orders.join(cust, on=("c_custkey",), join_type="inner",
-                             **join_kwargs())
+                             **join_kwargs(fx.table_join_partitions(
+                                 sf_dir, "orders", "customer")))
         out = joined.groupby("c_mktsegment").aggregate(
             Count(alias_name="n_orders"),
             Sum("o_totalprice", alias_name="revenue")).to_pandas()
@@ -504,7 +507,9 @@ def queries():
         wn = fx.read_fixture(sf_dir, "way_nodes")
         nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
                   .rename_columns({"id": "node_id"})
-        out = wn.join(nodes, on=("node_id",), join_type="inner", **join_kwargs())
+        out = wn.join(nodes, on=("node_id",), join_type="inner",
+                      **join_kwargs(fx.table_join_partitions(
+                          sf_dir, "way_nodes", "nodes")))
         return out.select_columns(["way_id", "position", "lon", "lat"])
     q["way_node_resolution"] = way_node_resolution
 
@@ -731,7 +736,8 @@ def queries():
         nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
                   .rename_columns({"id": "node_id"})
         joined = wn.join(nodes, on=("node_id",), join_type="inner",
-                         **join_kwargs())
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "way_nodes", "nodes")))
 
         def summarize(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["way_id", "position"], kind="mergesort")
@@ -1185,7 +1191,8 @@ def queries():
                     .rename_columns(["o_orderkey", "c_custkey"])
         o = orders.map_batches(o_filt, batch_format="pyarrow")
         oc = o.join(cust, on=("c_custkey",), join_type="inner",
-                    **join_kwargs())
+                    **join_kwargs(fx.table_join_partitions(
+                        sf_dir, "orders", "customer")))
         li = fx.driver_table(sf_dir, "lineitem",
                              columns=["l_orderkey", "l_extendedprice",
                                       "l_discount", "l_shipdate"])
@@ -1200,7 +1207,8 @@ def queries():
         joined = l.join(oc.select_columns(["o_orderkey"])
                           .repartition(max(2, cluster_cpus() // 8)),
                         on=("o_orderkey",), join_type="inner",
-                        **join_kwargs())
+                        **join_kwargs(fx.table_join_partitions(
+                            sf_dir, "lineitem")))
         agg = joined.groupby("o_orderkey").aggregate(
             Sum("rev", alias_name="revenue"))
 
@@ -1308,7 +1316,8 @@ def queries():
                                  columns=["o_custkey", "o_totalprice"]) \
                    .rename_columns({"o_custkey": "c_custkey"})
         joined = orders.join(cust, on=("c_custkey",), join_type="inner",
-                             **join_kwargs())
+                             **join_kwargs(fx.table_join_partitions(
+                                 sf_dir, "orders", "customer")))
 
         def attach(b: pa.Table) -> pa.Table:
             names = ray.get(ref)[b["c_nationkey"].to_numpy()]
@@ -1423,7 +1432,8 @@ def queries():
         cust = fx.driver_table(sf_dir, "customer",
                                columns=["c_custkey", "c_nationkey"])
         oc = orders.join(cust, on=("c_custkey",), join_type="inner",
-                         **join_kwargs())
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "orders", "customer")))
         li = fx.driver_table(sf_dir, "lineitem",
                              columns=["l_orderkey", "l_suppkey",
                                       "l_extendedprice", "l_discount"])
@@ -1436,7 +1446,8 @@ def queries():
         l = li.map_batches(rev, batch_format="pyarrow")
         joined = l.join(oc.select_columns(["o_orderkey", "c_nationkey"]),
                         on=("o_orderkey",), join_type="inner",
-                        **join_kwargs())
+                        **join_kwargs(fx.table_join_partitions(
+                            sf_dir, "lineitem")))
 
         def local_supplier(b: pa.Table) -> pa.Table:
             s_nk = ray.get(ref)[0][b["l_suppkey"].to_numpy()]
