@@ -936,19 +936,15 @@ def queries():
         return out.select_columns(["video_id", "frame_idx"])
     q["video_frame_index"] = video_frame_index
 
-    def shape_documents_nested(sf_dir):
-        """[R:data.py::shape_element] M8/M9 nested form — the reference's
-        full document shape as Arrow structs: created{version, changeset,
-        timestamp, user, uid}, pos{lat,lon}, address{housenumber,
-        postcode, street} pivoted from the addr:* tags (normalized M5 /
-        cleaned M6 in the pivot). One bucketed shuffle merges the tag
-        pivot onto the elements; struct assembly is a final vectorized
-        map. (rows-only; struct columns don't value-hash across engines)
-        """
+    A_FIELDS = ["housenumber", "postcode", "street"]
+
+    def _shape_flat_rows(sf_dir):
+        """Shared flat stage of the reference document shape: elements
+        merged with the pivoted/normalized addr:* tags via one bucketed
+        shuffle. Consumed by the nested struct assembly AND by the
+        oracle-paired flat check."""
         from ..functions import shape as shp
         from ..util import bucketed_group_apply
-
-        A_FIELDS = ["housenumber", "postcode", "street"]
 
         def doc_rows(kind):
             def f(b: pa.Table) -> pa.Table:
@@ -958,8 +954,11 @@ def queries():
                     "id": b["id"],
                     "version": pc.cast(b["version"], pa.string()),
                     "changeset": pc.cast(b["changeset"], pa.string()),
-                    "timestamp": pc.strftime(b["timestamp"],
-                                             format="%Y-%m-%dT%H:%M:%SZ"),
+                    # cast to [s] first: Arrow's %S appends fractional
+                    # digits for sub-second units
+                    "timestamp": pc.strftime(
+                        pc.cast(b["timestamp"], pa.timestamp("s")),
+                        format="%Y-%m-%dT%H:%M:%SZ"),
                     "user": b["user"],
                     "uid": pc.cast(b["uid"], pa.string()),
                     "lat": (pc.cast(b["lat"], pa.float64()) if kind == "node"
@@ -1008,8 +1007,33 @@ def queries():
                     .first().reset_index())   # first non-null per field
             return base.merge(addr, on=["kind", "id"], how="left")
 
-        flat = bucketed_group_apply(unioned, ["kind", "id"], merge,
+        return bucketed_group_apply(unioned, ["kind", "id"], merge,
                                     n_buckets=256)
+
+    def shape_documents_flat_check(sf_dir):
+        """[R:data.py::shape_element] content of the NESTED document
+        shape, flattened for value-hashing — the oracle rebuilds the same
+        rows with a SQL tag pivot + the normalize/clean SQL twins, so the
+        nested pipeline's data (created fields, pos, address) is pinned
+        even though struct columns themselves can't hash across engines."""
+        flat = _shape_flat_rows(sf_dir)
+
+        def proj(b: pa.Table) -> pa.Table:
+            return b.select(["kind", "id", "version", "changeset",
+                             "timestamp", "user", "uid", "lat", "lon",
+                             "housenumber", "postcode", "street"])
+        return flat.map_batches(proj, batch_format="pyarrow")
+    q["shape_documents_flat_check"] = shape_documents_flat_check
+
+    def shape_documents_nested(sf_dir):
+        """[R:data.py::shape_element] M8/M9 nested form — the reference's
+        full document shape as Arrow structs: created{version, changeset,
+        timestamp, user, uid}, pos{lat,lon}, address{housenumber,
+        postcode, street} pivoted from the addr:* tags (normalized M5 /
+        cleaned M6 in the pivot). (rows-only — struct columns don't
+        value-hash across engines; the CONTENT is oracle-pinned by
+        shape_documents_flat_check.)"""
+        flat = _shape_flat_rows(sf_dir)
 
         def assemble(b: pa.Table) -> pa.Table:
             n = len(b)
@@ -1697,6 +1721,35 @@ def oracle_sql():
                    uid, version, changeset,
                    CAST(epoch_us(timestamp) AS BIGINT) AS ts_us
             FROM {ways_p}""",
+        "shape_documents_flat_check": f"""
+            WITH addr AS (
+              SELECT elem_kind, elem_id,
+                     MAX(CASE WHEN key = 'addr:housenumber'
+                         THEN value END) AS housenumber,
+                     MAX(CASE WHEN key = 'addr:postcode'
+                         THEN {normalize.clean_postcode_sql('value')} END)
+                       AS postcode,
+                     MAX(CASE WHEN key = 'addr:street'
+                         THEN {normalize.normalize_street_sql('value')} END)
+                       AS street
+              FROM {tags_p} GROUP BY 1, 2),
+            elems AS (
+              SELECT 'node' AS kind, id, version, changeset,
+                     strftime(timestamp, '%Y-%m-%dT%H:%M:%SZ') AS "timestamp",
+                     user, CAST(uid AS VARCHAR) AS uid,
+                     CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon
+              FROM {nodes_p}
+              UNION ALL
+              SELECT 'way', id, version, changeset,
+                     strftime(timestamp, '%Y-%m-%dT%H:%M:%SZ'),
+                     user, CAST(uid AS VARCHAR),
+                     NULL, NULL
+              FROM {ways_p})
+            SELECT e.kind, e.id, e.version, e.changeset, e."timestamp",
+                   e.user, e.uid, e.lat, e.lon,
+                   a.housenumber, a.postcode, a.street
+            FROM elems e
+            LEFT JOIN addr a ON a.elem_kind = e.kind AND a.elem_id = e.id""",
         "osm_distinct_users": f"""
             SELECT COUNT(DISTINCT uid) AS n_users FROM (
               SELECT uid FROM {nodes_p} UNION ALL SELECT uid FROM {ways_p})""",
