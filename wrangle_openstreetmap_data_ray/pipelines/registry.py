@@ -227,6 +227,18 @@ def queries():
         return ds.map_batches(f, batch_format="pyarrow")
     q["doc_char_stats"] = doc_char_stats
 
+    def doc_fingerprint_cluster_sizes(sf_dir):
+        """Dedup accounting histogram: how many content-fingerprint
+        clusters exist of each size (double groupby — the shape of the
+        dedup problem, used to size near-dup passes)."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        feats = textstage.analyze_text(ds, text_col="text")
+        per_fp = feats.groupby("fingerprint").count() \
+                      .rename_columns({"count()": "cluster_size"})
+        return per_fp.groupby("cluster_size").count() \
+                     .rename_columns({"count()": "n_clusters"})
+    q["doc_fingerprint_cluster_sizes"] = doc_fingerprint_cluster_sizes
+
     def doc_quality(sf_dir):
         """Quality scoring + language ID (rows-only: heuristic floats)."""
         ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1598,6 +1610,11 @@ def oracle_sql():
         "doc_lang_breakdown": """
             SELECT lang, source, COUNT(*) AS cnt FROM documents
             GROUP BY lang, source""",
+        "doc_fingerprint_cluster_sizes": r"""
+            SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+              SELECT COUNT(*) AS cluster_size FROM documents
+              GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            GROUP BY cluster_size""",
         "doc_dup_content_count": r"""
             SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs FROM (
               SELECT COUNT(*) AS c FROM documents
