@@ -199,12 +199,15 @@ def queries():
     def doc_dup_content_count(sf_dir):
         """Fingerprint dedup accounting: #docs whose normalized content
         occurs ≥ 2 times (oracle groups by the normalized text itself)."""
+        from ray.data.aggregate import Sum
         ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
         feats = textstage.analyze_text(ds, text_col="text")
         counts = feats.groupby("fingerprint").count() \
                       .rename_columns({"count()": "cnt"})
         dups = counts.filter(expr="cnt >= 2")
-        n = dups.to_pandas()["cnt"].sum() if dups.count() else 0
+        # on-cluster Sum aggregate — only the scalar reaches the driver
+        agg = dups.aggregate(Sum("cnt"))
+        n = 0 if agg is None else (agg.get("sum(cnt)") or 0)
         return pd.DataFrame({"n_dup_docs": [int(n)]})
     q["doc_dup_content_count"] = doc_dup_content_count
 
@@ -1395,14 +1398,25 @@ def queries():
 
     def props_k_histogram(sf_dir):
         """JSON scalar function (§2.8): parse the events ``props`` JSON
-        column, extract field k, histogram by k-decile."""
-        import json
+        column, extract field k, histogram by k-decile. Fast path is a
+        vectorized Arrow regex over the fixed ``"k": <int>`` layout; rows
+        the regex misses (reordered keys, nesting) fall back to per-row
+        ``json.loads`` — so the stage stays Arrow-native on the hot path
+        without narrowing the accepted JSON."""
         ds = fx.driver_table(sf_dir, "events", columns=["props"])
 
         def parse(b: pa.Table) -> pa.Table:
-            ks = np.fromiter((json.loads(s)["k"] for s in
-                              b["props"].to_pylist()), np.int64, len(b))
-            return pa.table({"k_decile": pa.array(ks // 10, pa.int64())})
+            ext = pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+            ks = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+            if ks.null_count:
+                import json
+                vals = ks.to_pylist()
+                props = b["props"].to_pylist()
+                ks = pa.array(
+                    [v if v is not None else int(json.loads(props[i])["k"])
+                     for i, v in enumerate(vals)], pa.int64())
+            dec = np.floor_divide(ks.to_numpy(zero_copy_only=False), 10)
+            return pa.table({"k_decile": pa.array(dec, pa.int64())})
         return ds.map_batches(parse, batch_format="pyarrow") \
                  .groupby("k_decile").count().rename_columns({"count()": "cnt"})
     q["props_k_histogram"] = props_k_histogram

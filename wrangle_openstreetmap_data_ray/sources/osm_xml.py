@@ -164,21 +164,29 @@ def _strip_nulls(obj):
 def write_jsonl_docs(ds, out_dir: str) -> int:
     """[R:data.py::process_map] S2 — the JSONL sink: one JSON document per
     line, absent (null) fields omitted, one file per block written
-    tmp+rename (idempotent, resumable layout). Returns total rows written.
-    Streams through map_batches — only per-fragment row counts reach the
-    driver."""
+    tmp+rename. Returns total rows written. Streams through map_batches —
+    only per-fragment row counts reach the driver.
+
+    Fragment names derive from the serialized block CONTENT, so re-running
+    the same deterministic pipeline into the same ``out_dir`` overwrites
+    each fragment in place instead of appending a duplicate copy
+    (idempotent re-runs). Caveats: a re-run at a different parallelism may
+    produce a different fragment set (stale fragments from the old
+    partitioning survive — use a fresh dir when changing parallelism), and
+    two blocks with byte-identical content coalesce into one fragment."""
+    import hashlib
     import json
     import os
-    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
-        name = f"docs-{uuid.uuid4().hex}.jsonl"
+        payload = "".join(json.dumps(_strip_nulls(r), default=str) + "\n"
+                          for r in batch.to_pylist()).encode()
+        name = f"docs-{hashlib.sha256(payload).hexdigest()[:20]}.jsonl"
         tmp = os.path.join(out_dir, f".{name}.tmp")
-        with open(tmp, "w") as f:
-            for r in batch.to_pylist():
-                f.write(json.dumps(_strip_nulls(r), default=str) + "\n")
+        with open(tmp, "wb") as f:
+            f.write(payload)
         os.replace(tmp, os.path.join(out_dir, name))
         return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 

@@ -104,6 +104,11 @@ def asof_join_next(left, right, key_col: str, left_ts: str, right_ts: str,
     def unnegate(b: pd.DataFrame) -> pd.DataFrame:
         col = pd.array(b[out_col], dtype="Int64")   # may arrive as object
         b[out_col] = -col                           # nulls propagate
+        if left_ts in left_keep:
+            # the negated left timestamp rode through left_keep — restore it
+            # (as int64 epoch-µs; the pre-negate cast already dropped the
+            # original timestamp type)
+            b[left_ts] = -b[left_ts].astype("int64")
         return b
 
     return out.map_batches(unnegate, batch_format="pandas")

@@ -166,20 +166,28 @@ def minhash_verified_pairs(ds, id_col: str, text_col: str, tau: float = 0.8,
                                 n_buckets=256)
 
 
-def _attach_pair_col(pairs, items, id_col: str, val_col: str):
+def _attach_pair_col(pairs, items, id_col: str, val_col: str,
+                     n_buckets: int = 256):
     """Reduce-side gather: attach each pair side's value (text, vector, …)
-    via ONE groupby(item id) over the union of item rows and pair-request
+    via ONE bucketed shuffle over the union of item rows and pair-request
     rows. Output column is named ``val``; value type comes from the items
     schema, never hardcoded.
 
     Replaces ``Dataset.join`` here: Ray 2.49's hash join emits
     schema-less empty partitions when the (tiny) pair list spreads over
     many partitions, which poisons chained joins (ArrowInvalid). A
-    sort-shuffle groupby has no such edge and moves each item value at
+    bucketed groupby has no such edge and moves each item value at
     most once per referenced side — same asymptotics as the join.
+
+    The shuffle is BUCKETED (``util.bucketed_group_apply``), never one Ray
+    group per item id: the item side carries EVERY corpus id, so per-key
+    ``map_groups`` paid ~0.1 ms × n_docs of group overhead — the dominant
+    cost of round-2's near-dedup at sf0.1. Inside a bucket the gather is
+    one vectorized pandas merge.
 
     Output rows: (id_a, id_b, side∈{0,1}, val) — one per pair side.
     """
+    from ..util import bucketed_group_apply
     base = items.schema().base_schema         # pyarrow schema under Ray's wrapper
     id_type = base.field(id_col).type
     val_type = base.field(val_col).type
@@ -208,18 +216,17 @@ def _attach_pair_col(pairs, items, id_col: str, val_col: str):
     unioned = items.map_batches(item_rows, batch_format="pyarrow").union(
         pairs.map_batches(request_rows, batch_format="pyarrow"))
 
-    def attach(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy()
-        itemm = side == -1
-        if not itemm.any() or itemm.all():
-            return g.select(["id_a", "id_b", "side", "val"]).slice(0, 0)
-        val = g["val"].combine_chunks().take(
-            pa.array([int(np.argmax(itemm))] * int((~itemm).sum())))
-        reqs = g.filter(pa.array(~itemm))
-        return pa.table({"id_a": reqs["id_a"], "id_b": reqs["id_b"],
-                         "side": reqs["side"], "val": val})
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        itemm = g["side"].to_numpy() == -1
+        items_df = g.loc[itemm, ["key", "val"]].drop_duplicates("key")
+        reqs = g.loc[~itemm, ["key", "id_a", "id_b", "side"]]
+        if items_df.empty or reqs.empty:
+            out = g.iloc[0:0]
+            return out[["id_a", "id_b", "side", "val"]]
+        m = reqs.merge(items_df, on="key", how="inner")
+        return m[["id_a", "id_b", "side", "val"]]
 
-    return unioned.groupby("key").map_groups(attach, batch_format="pyarrow")
+    return bucketed_group_apply(unioned, ["key"], attach, n_buckets)
 
 
 def pc_cast_keep(col, typ):
@@ -286,7 +293,7 @@ def _unionfind_labels(aa, bb) -> dict:
 
 
 def connected_components_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                               max_iters: int = 12, n_buckets: int = 512,
+                               max_iters: int = 64, n_buckets: int = 512,
                                single_task_cap: int = 5_000_000):
     """Connected components over a pair/edge Dataset → Dataset
     (id, label) for every id incident to a pair, where label is the
@@ -302,6 +309,9 @@ def connected_components_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b",
       bucketed hash shuffle over (static edges ∪ labels ∪ messages),
       stopping when no label decreases (≤ graph diameter rounds;
       near-dup clusters are shallow cliques, so 2-3 rounds typical).
+      ``max_iters`` is a hard safety valve, NOT a silent truncation: a
+      graph whose diameter exceeds it (e.g. a long near-dup drift chain)
+      raises instead of returning wrong labels (round-2 ADVICE fix).
     """
     from ..util import bucketed_group_apply
 
@@ -325,7 +335,7 @@ def connected_components_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b",
                          "changed": pa.array(np.zeros(n, bool))})
 
     edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
-    labels = None
+    labels, converged = None, False
     for it in range(max_iters):
         inp = edges if labels is None else edges.union(labels)
         labels = bucketed_group_apply(inp, ["key"], _cc_round,
@@ -340,7 +350,15 @@ def connected_components_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b",
         n_changed = int(labels.map_batches(
             count_changed, batch_format="pandas").to_pandas()["n"].sum())
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # never return silently-wrong labels: a graph with diameter >
+        # max_iters (long drift chain) would keep/drop the wrong dedup rows
+        raise RuntimeError(
+            f"connected_components_pairs: label propagation did not "
+            f"converge within max_iters={max_iters} rounds (graph diameter "
+            f"exceeds it); raise max_iters")
 
     def final(b: pa.Table) -> pa.Table:
         f = b.filter(pa.compute.equal(b["side"], _CC_LABEL))

@@ -250,7 +250,8 @@ def _laggard_topk(ds, laggards: pd.DataFrame, k, id_col, lon_col, lat_col):
 
 def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
              lon_col: str = "lon", lat_col: str = "lat", salt: int = 1,
-             exact: bool = True, laggard_cap: int = 200_000):
+             exact: bool = True, laggard_cap: int = 200_000,
+             round1_laggard_cap: int = 2_000_000):
     """Self-kNN join → Dataset (id, neighbor_id, dist_m), exactly k rows per
     point (unless the whole dataset has < k+1 points).
 
@@ -261,7 +262,10 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
     the full dataset for any residue (``_laggard_topk``; truly isolated
     points — should be a trace). Choose ``res`` so cells hold O(100-1000)
     points in dense areas. ``laggard_cap`` guards the broadcast matrix
-    (cost = n_rows × n_residue)."""
+    (cost = n_rows × n_residue); ``round1_laggard_cap`` guards the driver
+    pull of the round-1 unsatisfied set (counted ON-cluster before any
+    row reaches the driver) — exceeding it means ``res`` is badly mismatched
+    to the point density and the retry round would be most of the corpus."""
     import ray
     ds = ds.select_columns([id_col, lon_col, lat_col])  # narrow the shuffle
     out = _one_pass(ds, k, res, id_col, lon_col, lat_col, salt, None)
@@ -310,10 +314,22 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
         keep = g[(has_sat == 0) & (g["sat"] == 0)]
         return keep[["id", "lon", "lat"]]
 
-    lag = bucketed_group_apply(unioned, ["id"], anti, n_buckets=256).to_pandas()
+    # count the laggards ON-cluster before pulling a single row: a badly
+    # mis-chosen res on sparse data can make the round-1 unsatisfied set a
+    # large fraction of the corpus, and an unguarded to_pandas() would ship
+    # all of it to the driver (round-2 review finding)
+    lag_ds = bucketed_group_apply(unioned, ["id"], anti,
+                                  n_buckets=256).materialize()
     good = good.drop_columns(["satisfied"])
-    if len(lag) == 0:
+    n_lag = lag_ds.count()
+    if n_lag == 0:
         return good
+    if n_lag > round1_laggard_cap:
+        raise ValueError(
+            f"{n_lag} round-1 laggards exceed round1_laggard_cap="
+            f"{round1_laggard_cap}; pick a coarser res (fewer, denser cells) "
+            f"for this point density")
+    lag = lag_ds.to_pandas()
 
     # round 2: coarser ring-1 pass, home = laggards only (all points still
     # ghost, so each laggard sees its full 8×-wider neighborhood)

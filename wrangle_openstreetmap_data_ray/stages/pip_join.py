@@ -126,6 +126,11 @@ def pip_join(points_ds, polygons: pa.Table, lon_col: str = "lon",
         key = (ref.hex(), lon_col, lat_col, tuple(keep_cols or ()))
         fn = _PIP_TASK_CACHE.get(key)
         if fn is None:
+            # bounded memo: long-lived workers serving many pip_join calls
+            # with different polygon tables must not retain every
+            # deserialized index forever — keep only a few recent entries
+            if len(_PIP_TASK_CACHE) >= 4:
+                _PIP_TASK_CACHE.clear()
             fn = _PIP_TASK_CACHE[key] = PIPJoin(ref, lon_col, lat_col,
                                                 keep_cols)
         return fn(batch)

@@ -102,30 +102,38 @@ class _IVFAssignTopK:
         self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
         self.cent = np.asarray(ray.get(cent_ref), dtype=np.float64)
         self.id_col, self.vec_col, self.k = id_col, vec_col, k
-        # per-query probed centroid set (computed once per actor)
-        sims = self.q @ self.cent.T
+        # probe membership as a dense (Q, C) boolean LUT, computed once per
+        # actor — the per-batch kernel is then ONE matmul + ONE masked
+        # argpartition across ALL queries (round-2 review: the per-query
+        # Python loop + np.isin didn't scale to a large query table; for
+        # query tables too big for one matmul, partition the queries across
+        # several brute_force/IVF calls — each stays one pass over the data)
+        sims = self.q @ self.cent.T                            # (Q, C)
         order = np.argsort(-sims, axis=1)[:, :nprobe]          # (Q, nprobe)
-        self.probe = [np.sort(row) for row in order]
+        self.probe_lut = np.zeros((len(self.q), len(self.cent)), dtype=bool)
+        np.put_along_axis(self.probe_lut, order, True, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         v = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
         cassign = np.argmax(v @ self.cent.T, axis=1)           # (B,)
-        out_q, out_id, out_s = [], [], []
-        for qi in range(len(self.q)):
-            mask = np.isin(cassign, self.probe[qi])
-            if not mask.any():
-                continue
-            sim = v[mask] @ self.q[qi]
-            sel_ids = ids[mask]
-            k = min(self.k, len(sel_ids))
-            top = np.argpartition(-sim, k - 1)[:k] if len(sim) > k else np.arange(len(sim))
-            out_q.extend([qi] * len(top))
-            out_id.extend(sel_ids[top].tolist())
-            out_s.extend(sim[top].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_id),
-                         "score": pa.array(out_s, pa.float64())})
+        sim = v @ self.q.T                                     # (B, Q)
+        probed = self.probe_lut[:, cassign].T                  # (B, Q)
+        sim = np.where(probed, sim, -np.inf)
+        qn = len(self.q)
+        k = min(self.k, len(ids))
+        part = np.argpartition(-sim, k - 1, axis=0)[:k]        # (k, Q)
+        qid = np.repeat(np.arange(qn), k)
+        rows = part.T.ravel()
+        score = sim[rows, qid]
+        keep = np.isfinite(score)                              # drop unprobed
+        return pa.table({"query_id": pa.array(qid[keep], pa.int64()),
+                         "vec_id": pa.array(ids[rows[keep]]),
+                         "score": pa.array(score[keep], pa.float64())})
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,

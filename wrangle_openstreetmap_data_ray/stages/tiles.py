@@ -12,8 +12,10 @@ overlap), so tile bytes are identical at any parallelism — the
 "identical tile assignments" invariant of BASELINE.json.
 
 The renderer needs no loaded state (in-repo codecs are table-free), so a
-plain ``map_groups`` callable is the right tool; a heavyweight codec would
-move decode into a ``map_batches`` actor pool over tile-partitioned blocks.
+plain callable over bucketed tile groups is the right tool (one Ray group
+per hash BUCKET of tiles, never per tile — bounded group overhead at
+planetary tile counts); a heavyweight codec would move decode into a
+``map_batches`` actor pool over tile-partitioned blocks.
 """
 
 from __future__ import annotations
@@ -37,32 +39,48 @@ def assign_tiles(ds, tile_res: int, lon_col="lon", lat_col="lat"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _render(tile_px: int, thumb_px: int):
+def _render_one(g: pd.DataFrame, tile_px: int, thumb_px: int) -> pd.DataFrame:
+    """Render ONE tile's rows (all share a tile_id) to its PNG row."""
+    g = g.sort_values("image_id", kind="mergesort")
+    tile_id = np.int64(g["tile_id"].iloc[0])
+    w, s, e, n = (float(v[0]) for v in geo.cell_bounds(np.array([tile_id])))
+    canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+    for r in g.itertuples():
+        img = codecs.decode(r.bytes, r.fmt, r.w, r.h)
+        thumb = codecs.resize_nearest(img, thumb_px, thumb_px)
+        px = int((r.lon - w) / (e - w) * tile_px)
+        py = int((n - r.lat) / (n - s) * tile_px)   # raster y grows down
+        x0, y0 = px - thumb_px // 2, py - thumb_px // 2
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        dx0, dy0 = max(0, x0), max(0, y0)
+        dx1 = min(tile_px, x0 + thumb_px)
+        dy1 = min(tile_px, y0 + thumb_px)
+        if dx1 > dx0 and dy1 > dy0:
+            canvas[dy0:dy1, dx0:dx1] = thumb[sy0:sy0 + dy1 - dy0,
+                                             sx0:sx0 + dx1 - dx0]
+    qx, qy, res = (int(v[0]) for v in geo.cell_decode(np.array([tile_id])))
+    return pd.DataFrame({
+        "tile_id": [tile_id], "tile_x": [qx], "tile_y": [qy],
+        "res": np.array([res], dtype=np.int32),
+        "n_images": [len(g)],
+        "png": [codecs.encode_png(canvas)],
+    })
+
+
+def _render_bucket(tile_px: int, thumb_px: int):
+    """Render ALL tiles of one shuffle bucket in a single group call.
+
+    ``groupby("tile_id").map_groups`` pays ~1 ms of Ray per-group overhead
+    per populated tile — fine at 1.1k tiles, ruinous at planetary tile
+    counts (10^6-10^7 groups; round-2 review). The bucketed shuffle bounds
+    the group count; per-tile determinism is unchanged (each tile still
+    renders alone, in ascending image_id order), so tile bytes are
+    identical at any parallelism AND any bucket count."""
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("image_id", kind="mergesort")
-        tile_id = np.int64(g["tile_id"].iloc[0])
-        w, s, e, n = (float(v[0]) for v in geo.cell_bounds(np.array([tile_id])))
-        canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
-        for r in g.itertuples():
-            img = codecs.decode(r.bytes, r.fmt, r.w, r.h)
-            thumb = codecs.resize_nearest(img, thumb_px, thumb_px)
-            px = int((r.lon - w) / (e - w) * tile_px)
-            py = int((n - r.lat) / (n - s) * tile_px)   # raster y grows down
-            x0, y0 = px - thumb_px // 2, py - thumb_px // 2
-            sx0, sy0 = max(0, -x0), max(0, -y0)
-            dx0, dy0 = max(0, x0), max(0, y0)
-            dx1 = min(tile_px, x0 + thumb_px)
-            dy1 = min(tile_px, y0 + thumb_px)
-            if dx1 > dx0 and dy1 > dy0:
-                canvas[dy0:dy1, dx0:dx1] = thumb[sy0:sy0 + dy1 - dy0,
-                                                 sx0:sx0 + dx1 - dx0]
-        qx, qy, res = (int(v[0]) for v in geo.cell_decode(np.array([tile_id])))
-        return pd.DataFrame({
-            "tile_id": [tile_id], "tile_x": [qx], "tile_y": [qy],
-            "res": np.array([res], dtype=np.int32),
-            "n_images": [len(g)],
-            "png": [codecs.encode_png(canvas)],
-        })
+        return pd.concat(
+            [_render_one(grp, tile_px, thumb_px)
+             for _, grp in g.groupby("tile_id", sort=True)],
+            ignore_index=True)
     return fn
 
 
@@ -77,9 +95,12 @@ def render_tiles(ds, tile_res: int = 12, lon_col="lon", lat_col="lat",
     explicit repartition(64) on the same 100 MB); an explicit repartition
     also sets the render stage's parallelism.
     """
-    from ..util import cluster_cpus
+    from ..util import bucketed_group_apply, cluster_cpus
     tiled = assign_tiles(ds, tile_res, lon_col, lat_col)
     if coalesce:
         tiled = tiled.repartition(2 * cluster_cpus())
-    return tiled.groupby("tile_id").map_groups(_render(tile_px, thumb_px),
-                                               batch_format="pandas")
+    # bounded bucket count: ≥4×CPUs for render parallelism at small scale,
+    # capped so planetary tile counts never pay per-tile Ray group overhead
+    n_buckets = min(1024, max(32, 4 * cluster_cpus()))
+    return bucketed_group_apply(tiled, ["tile_id"],
+                                _render_bucket(tile_px, thumb_px), n_buckets)

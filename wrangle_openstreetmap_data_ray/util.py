@@ -128,7 +128,10 @@ def anti_semi_join(ds, keys, on: str, keys_on: str | None = None,
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         has_key = g.groupby(on, sort=False)["_aj"].transform("max") == 1
-        m = (has_key if semi else ~has_key) & (g["_aj"] == 0)
+        # pandas groupby drops NaN keys → transform yields NaN → ~(NaN==1)
+        # is True, which would KEEP null-key probe rows in the anti-join;
+        # drop them explicitly (SQL NOT IN three-valued logic)
+        m = (has_key if semi else ~has_key) & (g["_aj"] == 0) & g[on].notna()
         return g[m].drop(columns=["_aj", "_bucket"])
 
     return bucketed_group_apply(u, [on], fn, n_buckets)
