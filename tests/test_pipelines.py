@@ -48,6 +48,19 @@ def test_every_query_has_callable_and_runs_registry_shape(entry_mod):
     assert len(oracles) >= 35
 
 
+def test_driver_window_is_prefix_and_oracle_paired(entry_mod):
+    """The driver correctness-checks a fixed-size prefix of queries();
+    the curated window must be exactly that prefix and (except for the
+    pixel-bytes tile check, which has no SQL twin) fully oracle-paired."""
+    from wrangle_openstreetmap_data_ray.pipelines.registry import _DRIVER_WINDOW
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(_DRIVER_WINDOW) == 50
+    assert list(qs)[:50] == _DRIVER_WINDOW
+    rows_only_in_window = [k for k in _DRIVER_WINDOW if k not in oracles]
+    assert rows_only_in_window == ["render_tile_stats"]
+
+
 @pytest.mark.parametrize("name", [
     "normalize_streets", "clean_postcodes", "cell_encode_points",
     "pip_join_pairs", "tag_key_classification", "events_hourly",

@@ -252,6 +252,24 @@ def test_ivf_topk_recall(ray_session):
         assert len(e & a) / len(e) >= 0.6  # recall floor with half the lists probed
 
 
+def test_ivf_fullprobe_exact_64_queries(ray_session):
+    """The vectorized probe kernel (dense probe LUT, one matmul across all
+    queries — round-2 review fix) must equal brute force at nprobe ==
+    n_centroids even for a WIDE query table."""
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((400, 12))
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = rng.standard_normal((64, 12))
+    ds = rd.from_arrow(t)
+    exact = simsearch.brute_force_topk(ds, q, k=5).take_all()
+    full = simsearch.ivf_topk(ds, q, k=5, n_centroids=8, nprobe=8).take_all()
+    ek = sorted((r["query_id"], r["vec_id"]) for r in exact)
+    fk = sorted((r["query_id"], r["vec_id"]) for r in full)
+    assert ek == fk and len(ek) == 64 * 5
+
+
 def test_decode_features_and_phash_verify(ray_session):
     import ray.data as rd
     imgs = synth.gen_images_table(0, 60)
@@ -351,6 +369,27 @@ def test_asof_join_next_forward_semantics(ray_session):
     assert out["a"] == 15_000_000_000      # earliest >= 10s is 15s (ns)
     assert out["b"] is None                # nothing at/after 30s
     assert out["c"] is None                # nothing at/after 5s for key 2
+
+
+def test_asof_left_keep_may_collide_and_carry_left_ts(ray_session):
+    """left_keep entries named like the sweep's union columns must not
+    clobber the right side's timestamps, and a kept left_ts comes back
+    un-negated from the forward join (round-3 verify + ADVICE fixes)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.asof import asof_join_next
+    left = rd.from_arrow(pa.table({
+        "key": ["x", "x"], "ts": pa.array([10, 50], pa.int64()),
+        "side": ["p", "q"]}))    # "ts"/"side" collide with old internals
+    right = rd.from_arrow(pa.table({
+        "key": ["x"], "rts": pa.array([30], pa.int64())}))
+    out = asof_join_next(left, right, "key", "ts", "rts",
+                         left_keep=["ts", "side"]).to_pandas()
+    out = out.sort_values("side").reset_index(drop=True)
+    assert list(out["ts"]) == [10, 50]          # un-negated passthrough
+    assert int(out["asof_ts"][0]) == 30
+    assert pd.isna(out["asof_ts"][1])
 
 
 def test_hll_distinct_accuracy(ray_session):

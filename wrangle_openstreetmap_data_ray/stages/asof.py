@@ -31,7 +31,12 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
     """left rows + ``out_col`` = max(right_ts | same key, right_ts <=
     left_ts) as nullable int64 epoch-µs (null when no right row precedes).
 
-    Both inputs must already expose the join key as ``key_col``."""
+    Both inputs must already expose the join key as ``key_col``. The
+    internal union columns are reserved names (``_aj_k/_aj_t/_aj_s``) so a
+    ``left_keep`` entry named ``key``/``ts``/``side`` can never clobber the
+    right side's timestamps (bug found in round-3 verify)."""
+    if any(c.startswith("_aj_") for c in left_keep):
+        raise ValueError("left_keep column names may not start with _aj_")
     # null-pad the right side with the LEFT schema's actual types (never a
     # hardcoded int64 — a string event id must survive the union)
     lsch = left.schema()
@@ -39,17 +44,17 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
               for n, t in zip(lsch.names, lsch.types)}
 
     def left_rows(b: pa.Table) -> pa.Table:
-        cols = {"key": b[key_col],
-                "ts": pc.cast(b[left_ts], pa.int64()),
-                "side": pa.array(np.ones(len(b), np.int8))}
+        cols = {"_aj_k": b[key_col],
+                "_aj_t": pc.cast(b[left_ts], pa.int64()),
+                "_aj_s": pa.array(np.ones(len(b), np.int8))}
         for c in left_keep:
             cols[c] = b[c]
         return pa.table(cols)
 
     def right_rows(b: pa.Table) -> pa.Table:
-        cols = {"key": b[key_col],
-                "ts": pc.cast(b[right_ts], pa.int64()),
-                "side": pa.array(np.zeros(len(b), np.int8))}
+        cols = {"_aj_k": b[key_col],
+                "_aj_t": pc.cast(b[right_ts], pa.int64()),
+                "_aj_s": pa.array(np.zeros(len(b), np.int8))}
         for c in left_keep:
             cols[c] = pa.nulls(len(b), ltypes[c])
         return pa.table(cols)
@@ -59,10 +64,10 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         # right rows first at equal (key, ts): backward-inclusive semantics
-        g = g.sort_values(["key", "ts", "side"], kind="mergesort")
-        key = g["key"].to_numpy()
-        ts = g["ts"].to_numpy()
-        side = g["side"].to_numpy()
+        g = g.sort_values(["_aj_k", "_aj_t", "_aj_s"], kind="mergesort")
+        key = g["_aj_k"].to_numpy()
+        ts = g["_aj_t"].to_numpy()
+        side = g["_aj_s"].to_numpy()
         rts = np.where(side == 0, ts, _NEG)
         new_key = np.empty(len(g), bool)
         new_key[0] = True
@@ -78,7 +83,7 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
         out[out_col] = col
         return out
 
-    return bucketed_group_apply(l.union(r), ["key"], sweep, n_buckets)
+    return bucketed_group_apply(l.union(r), ["_aj_k"], sweep, n_buckets)
 
 
 def asof_join_next(left, right, key_col: str, left_ts: str, right_ts: str,
