@@ -130,6 +130,29 @@ def test_minhash_lsh_dedup(ray_session):
     assert len(kept) == 31
 
 
+def test_verified_pairs_both_regimes_identical(ray_session):
+    """The capped driver-side judge (small_cap fast path) and the
+    distributed bucketed-gather judge must produce byte-identical verified
+    pairs — for minhash texts AND embedding vectors."""
+    import ray.data as rd
+    ds = rd.from_arrow(_dup_docs())
+    key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)
+    small = dedup.minhash_verified_pairs(ds, "doc_id", "text", tau=0.7).take_all()
+    dist = dedup.minhash_verified_pairs(ds, "doc_id", "text", tau=0.7,
+                                        small_cap=0).take_all()
+    assert key(small) == key(dist) and len(small) >= 3
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((60, 16))
+    vecs[41] = vecs[40] + rng.standard_normal(16) * 0.01
+    t = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    es = dedup.embedding_dup_pairs(rd.from_arrow(t), tau=0.95).take_all()
+    ed = dedup.embedding_dup_pairs(rd.from_arrow(t), tau=0.95,
+                                   small_cap=0).take_all()
+    assert key(es) == key(ed) and (40, 41) in key(es)
+
+
 def test_connected_components_both_regimes(ray_session):
     """Distributed CC (single-task and label-propagation regimes) must
     match BFS component minima exactly — incl. a diameter-9 chain."""

@@ -5,10 +5,13 @@ Shuffle discipline (SURVEY.md §4 / task brief): every family is
   map_batches (vectorized signature) → flat_map-style explode to
   (bucket, id) rows → groupby(bucket) → candidate pairs → cheap verify,
 with only NARROW columns (ids + signatures) crossing the shuffle; document
-text / image bytes never move. Final drop-sets are tiny (dup ids), resolved
-with driver-side union-find and broadcast back as a filter set —
-[R]-analogue: the reference dedups nothing; these are graft ops
-(task brief "Beyond the reference's own operators").
+text / image bytes never move. Pair verification is two-regime (capped
+driver-side judge over broadcast-gathered values when candidates are few,
+bucketed reduce-side gather beyond); components resolve on-cluster
+(``connected_components_pairs``) and drop-sets apply via bounded broadcast
+with a distributed anti-join fallback — [R]-analogue: the reference dedups
+nothing; these are graft ops (task brief "Beyond the reference's own
+operators").
 """
 
 from __future__ import annotations
@@ -123,19 +126,82 @@ def minhash_candidate_pairs(ds, id_col: str, text_col: str, num_perm: int = 128,
     return _pairs_from_buckets(sigs)
 
 
+def _pairs_df_capped(pairs, cap: int):
+    """Stream a candidate-pair Dataset to the driver, aborting to ``None``
+    the moment it outgrows ``cap`` rows (bounded driver memory — the same
+    pattern as the near-dedup drop-set broadcast)."""
+    chunks, n = [], 0
+    for b in pairs.iter_batches(batch_format="pandas"):
+        chunks.append(b)
+        n += len(b)
+        if n > cap:
+            return None
+    if not chunks:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pd.concat(chunks, ignore_index=True)
+
+
+def _gather_vals(items, id_col: str, val_col: str, ids) -> dict:
+    """{id: value} for the (few) ids referenced by pairs: broadcast the id
+    set once, one vectorized ``pc.is_in`` filter pass over the corpus —
+    only matching (id, value) rows ever leave the cluster."""
+    import pyarrow.compute as pcc
+    import ray
+
+    ref = ray.put(pa.array(pd.unique(np.asarray(ids))))
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pcc.is_in(b[id_col], value_set=ray.get(ref)))
+
+    sel = items.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return dict(zip(sel[id_col], sel[val_col]))
+
+
 def minhash_verified_pairs(ds, id_col: str, text_col: str, tau: float = 0.8,
                            num_perm: int = 128, num_bands: int = 32,
-                           shingle_n: int = 3, concurrency: int = 4):
+                           shingle_n: int = 3, concurrency: int = 4,
+                           small_cap: int = 50_000):
     """Candidate pairs verified with EXACT shingle Jaccard >= tau.
 
-    The verify step needs the two texts: broadcast is wrong for a big
-    corpus, so texts are gathered to their pairs with a reduce-side
-    groupby (see ``_attach_pair_col``) — only (id, text) rows of docs
-    actually referenced by a pair side move.
+    Two verify regimes (identical judge kernel, identical output):
+    - pair count ≤ ``small_cap`` (the common case — LSH candidates are
+      rare by design): pairs stream to the driver (capped), referenced
+      texts come back via ONE broadcast ``pc.is_in`` pass, and the judge
+      runs locally. Saves the two chained hash shuffles (attach + judge)
+      whose fixed partition latency dominated round-2's near-dedup bench.
+    - beyond the cap: texts are gathered to their pairs with a bucketed
+      reduce-side groupby (``_attach_pair_col``) and judged in bucketed
+      groups — nothing materializes on the driver. Broadcast of the whole
+      corpus is wrong at scale either way; only referenced texts move.
     """
     pairs = minhash_candidate_pairs(ds, id_col, text_col, num_perm, num_bands,
                                     shingle_n, concurrency)
     docs = ds.select_columns([id_col, text_col])
+
+    pairs_df = _pairs_df_capped(pairs, small_cap) if small_cap > 0 else None
+    if pairs_df is not None:
+        import ray.data as rd
+        pairs_df = pairs_df.drop_duplicates(["id_a", "id_b"])
+        texts = (_gather_vals(docs, id_col, text_col,
+                              np.concatenate([pairs_df["id_a"].to_numpy(),
+                                              pairs_df["id_b"].to_numpy()]))
+                 if len(pairs_df) else {})
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+            if a not in texts or b not in texts:
+                continue
+            jac = jaccard_shingles(WS_RE.findall(texts[a].lower()),
+                                   WS_RE.findall(texts[b].lower()), shingle_n)
+            if jac >= tau:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        return rd.from_pandas(pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=pairs_df["id_a"].dtype),
+            "id_b": pd.Series(out_b, dtype=pairs_df["id_b"].dtype),
+            "jaccard": pd.Series(out_j, dtype=np.float64),
+        }))
+
     sided = _attach_pair_col(pairs, docs, id_col, text_col)
 
     # Judge in BUCKETED groups, never one Ray group per pair: map_groups
@@ -553,19 +619,50 @@ class _HyperplaneBands:
 
 def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                         tau: float = 0.95, n_bands: int = 16,
-                        band_bits: int = 12, concurrency: int = 4):
+                        band_bits: int = 12, concurrency: int = 4,
+                        small_cap: int = 50_000):
     """Embedding-cosine near-dup: multi-band hyperplane LSH → candidate
     pairs (narrow (id, band, hash) rows only through the shuffle) → exact
-    cosine verify with vectors gathered reduce-side to their pairs
-    (``_attach_pair_col`` — vectors move once per referenced pair side,
-    never broadcast, never all-pairs)."""
+    cosine verify. Same two verify regimes as ``minhash_verified_pairs``:
+    a capped driver-side judge over broadcast-gathered vectors when pairs
+    are few (the common case), else vectors gathered reduce-side to their
+    pairs (``_attach_pair_col`` — vectors move once per referenced pair
+    side, never broadcast, never all-pairs)."""
     sigs = ds.map_batches(
         _HyperplaneBands, fn_constructor_args=(id_col, vec_col, n_bands, band_bits),
         batch_format="pyarrow", batch_size=4096,
         concurrency=pool_spec(concurrency), num_cpus=1)
     pairs = _pairs_from_buckets(sigs, id_col=id_col)
-    sided = _attach_pair_col(pairs, ds.select_columns([id_col, vec_col]),
-                             id_col, vec_col)
+    vecs_ds = ds.select_columns([id_col, vec_col])
+
+    pairs_df = _pairs_df_capped(pairs, small_cap) if small_cap > 0 else None
+    if pairs_df is not None:
+        import ray.data as rd
+        pairs_df = pairs_df.drop_duplicates(["id_a", "id_b"])
+        vecs = (_gather_vals(vecs_ds, id_col, vec_col,
+                             np.concatenate([pairs_df["id_a"].to_numpy(),
+                                             pairs_df["id_b"].to_numpy()]))
+                if len(pairs_df) else {})
+        out_a, out_b, out_c = [], [], []
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+            if a not in vecs or b not in vecs:
+                continue
+            va = np.asarray(vecs[a], dtype=np.float64)
+            vb = np.asarray(vecs[b], dtype=np.float64)
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            if na > 1e-12 and nb > 1e-12:
+                cos = float(va @ vb / (na * nb))
+                if cos >= tau:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(cos)
+        return rd.from_pandas(pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=pairs_df["id_a"].dtype),
+            "id_b": pd.Series(out_b, dtype=pairs_df["id_b"].dtype),
+            "cosine": pd.Series(out_c, dtype=np.float64),
+        }))
+
+    sided = _attach_pair_col(pairs, vecs_ds, id_col, vec_col)
 
     # bucketed judging, one Ray group per BUCKET not per pair (see
     # minhash_verified_pairs)
