@@ -129,6 +129,16 @@ def run(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     qs = registry.queries()
     qs["flagship"] = lambda d: flagship.flagship(d)
 
+    # one untimed wave of trivial tasks spins up the worker-process pool so
+    # the FIRST timed query doesn't absorb session cold-start (~2-3s of
+    # python worker forking) — standard steady-state benchmarking; every
+    # query still pays its own stage/actor costs inside its timing
+    @ray.remote
+    def _warm(i):
+        return i
+
+    ray.get([_warm.remote(i) for i in range(2 * num_cpus)])
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:

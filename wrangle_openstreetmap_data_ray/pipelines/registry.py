@@ -1540,6 +1540,234 @@ def queries():
         return pd.DataFrame({"n_users_approx": [int(round(est))]})
     q["distinct_users_hll"] = distinct_users_hll
 
+    # ----------------------- round-3 additions (all oracle-paired) ------
+
+    def doc_quality_features_check(sf_dir):
+        """The SQL-expressible slice of quality scoring (VERDICT r2 item
+        6): whitespace token count, mean token length, punctuation ratio —
+        same kernels as doc_quality, pinned value-exact against regex SQL."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        feats = textstage.analyze_text(ds)
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_tokens_ws": b["n_tokens_ws"],
+                "mean_token_len": pc.round(b["mean_token_len"], ndigits=6),
+                "punct_ratio": pc.round(b["punct_ratio"], ndigits=6),
+            })
+        return feats.map_batches(f, batch_format="pyarrow")
+    q["doc_quality_features_check"] = doc_quality_features_check
+
+    def tpch_q6_revenue(sf_dir):
+        """TPC-H Q6 shape: predicate-pruned scan + one global product sum
+        (per-batch partial, on-cluster Sum — no groupby, no driver rows)."""
+        from ray.data.aggregate import Sum
+        ds = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_shipdate", "l_discount",
+                                      "l_quantity", "l_extendedprice"])
+        lo = pd.Timestamp("1996-01-01").value // 1000   # µs
+        hi = pd.Timestamp("1997-01-01").value // 1000
+
+        def partial(b: pa.Table) -> pa.Table:
+            ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy()
+            disc = b["l_discount"].to_numpy()
+            qty = b["l_quantity"].to_numpy()
+            price = b["l_extendedprice"].to_numpy()
+            m = ((ship >= lo) & (ship < hi) & (disc >= 0.02)
+                 & (disc <= 0.04) & (qty < 24))
+            return pa.table({"rev": pa.array([float((price[m] * disc[m]).sum())],
+                                             pa.float64())})
+        agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("rev"))
+        rev = 0.0 if agg is None else (agg.get("sum(rev)") or 0.0)
+        return pd.DataFrame({"revenue": [round(float(rev), 2)]})
+    q["tpch_q6_revenue"] = tpch_q6_revenue
+
+    def tpch_q4_priority(sf_dir):
+        """TPC-H Q4 shape (EXISTS → aggregate-then-join): per-order max
+        shipdate is a pre-aggregable reduction (map-side pandas partial,
+        then Max), so the EXISTS predicate becomes one sized hash join +
+        vectorized compare — no correlated per-row probe anywhere."""
+        from ray.data.aggregate import Max
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_shipdate"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["ship_us"] = df["l_shipdate"].astype("int64") // 1000
+            g = df.groupby("l_orderkey", as_index=False)["ship_us"].max()
+            return pa.table({
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "ship_us": pa.array(g["ship_us"].to_numpy(), pa.int64())})
+
+        maxship = li.map_batches(partial, batch_format="pyarrow") \
+                    .groupby("l_orderkey").aggregate(Max("ship_us",
+                                                         alias_name="max_ship_us")) \
+                    .rename_columns({"l_orderkey": "o_orderkey"})
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_orderdate",
+                                          "o_orderpriority"])
+        joined = orders.join(maxship, on=("o_orderkey",), join_type="inner",
+                             **join_kwargs(fx.table_join_partitions(
+                                 sf_dir, "orders", "lineitem")))
+
+        def late(b: pa.Table) -> pa.Table:
+            od = pc.cast(b["o_orderdate"], pa.int64()).to_numpy() // 1000
+            keep = b["max_ship_us"].to_numpy() > od
+            return pa.table({"o_orderpriority":
+                             b["o_orderpriority"].filter(pa.array(keep))})
+        return joined.map_batches(late, batch_format="pyarrow") \
+                     .groupby("o_orderpriority").count() \
+                     .rename_columns({"count()": "cnt"})
+    q["tpch_q4_priority"] = tpch_q4_priority
+
+    def tpch_q14_promo(sf_dir):
+        """TPC-H Q14 shape: BROADCAST join of the small part table (one
+        ray.put of sorted keys + promo flags, searchsorted lookup per
+        batch — never a shuffle) feeding two global product sums."""
+        import ray
+        from ray.data.aggregate import Sum
+        part_tbl = fx.driver_table(sf_dir, "part",
+                                   columns=["p_partkey", "p_type"]).to_pandas()
+        part_tbl = part_tbl.sort_values("p_partkey")
+        keys = part_tbl["p_partkey"].to_numpy()
+        promo = (part_tbl["p_type"] == "PROMO").to_numpy()
+        ref = ray.put((keys, promo))
+        lo = pd.Timestamp("1997-06-01").value // 1000
+        hi = pd.Timestamp("1997-07-01").value // 1000
+
+        def partial(b: pa.Table) -> pa.Table:
+            k, is_promo = ray.get(ref)
+            ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy()
+            m = (ship >= lo) & (ship < hi)
+            pk = b["l_partkey"].to_numpy()[m]
+            rev = (b["l_extendedprice"].to_numpy()[m]
+                   * (1.0 - b["l_discount"].to_numpy()[m]))
+            pos = np.searchsorted(k, pk)
+            pos_ok = (pos < len(k))
+            pos_c = np.minimum(pos, len(k) - 1)
+            hit = pos_ok & (k[pos_c] == pk)          # inner-join semantics
+            pr = is_promo[pos_c] & hit
+            return pa.table({
+                "promo_rev": pa.array([float(rev[pr].sum())], pa.float64()),
+                "total_rev": pa.array([float(rev[hit].sum())], pa.float64()),
+            })
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_partkey", "l_shipdate",
+                                      "l_extendedprice", "l_discount"])
+        agg = li.map_batches(partial, batch_format="pyarrow") \
+                .aggregate(Sum("promo_rev"), Sum("total_rev"))
+        p = agg.get("sum(promo_rev)") or 0.0
+        t = agg.get("sum(total_rev)") or 0.0
+        pct = round(100.0 * p / t, 4) if t else 0.0
+        return pd.DataFrame({"promo_revenue_pct": [pct]})
+    q["tpch_q14_promo"] = tpch_q14_promo
+
+    def tpch_q18_large_orders(sf_dir):
+        """TPC-H Q18 shape: hot-key-safe per-order quantity rollup (Ray's
+        hash agg does map-side partials) → selective HAVING filter
+        (repartitioned before the join — NOTES_r2 empty-block gotcha) →
+        sized hash join → distributed top-k."""
+        from ray.data.aggregate import Sum
+
+        from ..util import cluster_cpus
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_quantity"])
+        qty = li.groupby("l_orderkey").aggregate(Sum("l_quantity",
+                                                     alias_name="sum_qty"))
+        big = qty.filter(expr="sum_qty > 180.0") \
+                 .rename_columns({"l_orderkey": "o_orderkey"}) \
+                 .repartition(max(2, cluster_cpus() // 8))
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_totalprice"])
+        joined = orders.join(big, on=("o_orderkey",), join_type="inner",
+                             **join_kwargs(fx.table_join_partitions(
+                                 sf_dir, "orders")))
+        out = distributed_topk(joined, 10,
+                               [("o_totalprice", "descending"),
+                                ("o_orderkey", "ascending")])
+        out["sum_qty"] = out["sum_qty"].round(2)
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        return out[["o_orderkey", "o_totalprice", "sum_qty"]]
+    q["tpch_q18_large_orders"] = tpch_q18_large_orders
+
+    def event_gap_stats(sf_dir):
+        """Per-user inter-arrival gaps (LAG window shape): one bucketed
+        shuffle on user_id, vectorized per-bucket diff over (ts, event_id)
+        order — the sessionization kernel generalized to gap statistics."""
+        from ..util import bucketed_group_apply
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "ts", "event_id"])
+
+        def t_us(b: pa.Table) -> pa.Table:
+            return pa.table({"user_id": b["user_id"],
+                             "ts_us": pc.cast(b["ts"], pa.int64()),
+                             "event_id": b["event_id"]})
+
+        def gaps(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts_us", "event_id"],
+                              kind="mergesort")
+            uid = g["user_id"].to_numpy()
+            ts = g["ts_us"].to_numpy()
+            same = np.empty(len(g), bool)
+            if len(g) == 0:
+                return pd.DataFrame({"user_id": uid[:0],
+                                     "n_gaps": np.empty(0, np.int64),
+                                     "avg_gap_s": np.empty(0, np.float64)})
+            same[0] = False
+            same[1:] = uid[1:] == uid[:-1]
+            gap = np.diff(ts, prepend=ts[0])
+            df = pd.DataFrame({"user_id": uid[same], "gap": gap[same]})
+            out = df.groupby("user_id", as_index=False).agg(
+                n_gaps=("gap", "size"), avg_gap_s=("gap", "mean"))
+            out["n_gaps"] = out["n_gaps"].astype("int64")
+            out["avg_gap_s"] = (out["avg_gap_s"] / 1e6).round(3)
+            # users with a single event have zero gaps → emit (0, NaN) to
+            # mirror the SQL twin's COUNT(gap)=0 / AVG(gap)=NULL rows
+            singles = np.unique(uid[~same][~np.isin(uid[~same], out["user_id"])])
+            if len(singles):
+                out = pd.concat([out, pd.DataFrame({
+                    "user_id": singles,
+                    "n_gaps": np.zeros(len(singles), np.int64),
+                    "avg_gap_s": np.full(len(singles), np.nan)})],
+                    ignore_index=True)
+            return out
+
+        return bucketed_group_apply(
+            ev.map_batches(t_us, batch_format="pyarrow"), ["user_id"], gaps,
+            n_buckets=64)
+    q["event_gap_stats"] = event_gap_stats
+
+    def polygon_geometry_stats(sf_dir):
+        """Vector-side geometry (north_rule raster↔vector): per-polygon
+        shoelace area, vertex centroid, vertex count over the ring
+        list<struct> column — numpy per ring, SQL twin via list lambdas."""
+        polys = fx.read_fixture(sf_dir, "polygons",
+                                columns=["polygon_id", "ring"])
+
+        def f(b: pa.Table) -> pa.Table:
+            pids, nv, area, clon, clat = [], [], [], [], []
+            for pid, ring in zip(b["polygon_id"].to_pylist(),
+                                 b["ring"].to_pylist()):
+                rx = np.array([p["lon"] for p in ring])
+                ry = np.array([p["lat"] for p in ring])
+                nx, ny = np.roll(rx, -1), np.roll(ry, -1)
+                pids.append(pid)
+                nv.append(len(rx))
+                area.append(round(abs(float((rx * ny - nx * ry).sum())) / 2, 9))
+                clon.append(round(float(rx.sum()) / len(rx), 9))
+                clat.append(round(float(ry.sum()) / len(ry), 9))
+            return pa.table({
+                "polygon_id": pa.array(pids, pa.string()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area_deg2": pa.array(area, pa.float64()),
+                "centroid_lon": pa.array(clon, pa.float64()),
+                "centroid_lat": pa.array(clat, pa.float64()),
+            })
+        return polys.map_batches(f, batch_format="pyarrow")
+    q["polygon_geometry_stats"] = polygon_geometry_stats
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2064,5 +2292,74 @@ def oracle_sql():
                    arg_max(nd.lat, wn.position) AS last_lat
             FROM {way_nodes_p} wn JOIN {nodes_p} nd ON wn.node_id = nd.id
             GROUP BY wn.way_id""",
+        "doc_quality_features_check": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
+                   ROUND(CASE WHEN len(regexp_extract_all(text, '\S+')) = 0
+                         THEN 0.0
+                         ELSE CAST(length(regexp_replace(text, '\s', '', 'g'))
+                                   AS DOUBLE)
+                              / len(regexp_extract_all(text, '\S+')) END,
+                         6) AS mean_token_len,
+                   ROUND(CAST(len(regexp_extract_all(
+                                  text, '[.,;:!?''"()\[\]{}<>-]')) AS DOUBLE)
+                         / greatest(1, length(text)), 6) AS punct_ratio
+            FROM documents""",
+        "tpch_q6_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0.0), 2)
+                     AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 24""",
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, COUNT(*) AS cnt
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority""",
+        "tpch_q14_promo": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0.0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate <  TIMESTAMP '1997-07-01'""",
+        "tpch_q18_large_orders": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(sum_qty, 2) AS sum_qty
+            FROM orders JOIN (
+                SELECT l_orderkey AS o_orderkey,
+                       SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 180.0) USING (o_orderkey)
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id, COUNT(gap) AS n_gaps,
+                   ROUND(AVG(gap) / 1e6, 3) AS avg_gap_s
+            FROM g GROUP BY user_id""",
+        "polygon_geometry_stats": f"""
+            SELECT polygon_id,
+                   len(ring) AS n_vertices,
+                   ROUND(ABS(list_sum(list_transform(
+                       generate_series(1, len(ring)),
+                       i -> ring[i].lon * ring[i % len(ring) + 1].lat
+                          - ring[i % len(ring) + 1].lon * ring[i].lat
+                   ))) / 2, 9) AS area_deg2,
+                   ROUND(list_sum(list_transform(ring, p -> p.lon))
+                         / len(ring), 9) AS centroid_lon,
+                   ROUND(list_sum(list_transform(ring, p -> p.lat))
+                         / len(ring), 9) AS centroid_lat
+            FROM read_parquet('{_fxp('polygons')}')""",
     }
     return o
