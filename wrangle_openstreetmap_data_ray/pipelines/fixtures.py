@@ -104,6 +104,32 @@ def _embeddings_dup_table(sf_dir: str, n_base: int = 500,
     })
 
 
+def _docs_dup_table(sf_dir: str, n_base: int = 200,
+                    n_dups: int = 20) -> pa.Table:
+    """Near-dup documents fixture: the first ``n_base`` driver docs with
+    ≥30 whitespace tokens + ``n_dups`` copies each extended by one unique
+    marker token (word-shingle Jaccard ≈ (T-2)/(T+1) ≈ 0.95 ≫ τ=0.8) —
+    gives the n-gram-Jaccard dedup operator an oracle-checkable pair set
+    whose SQL twin computes the SAME shingle-set Jaccard over ALL pairs."""
+    import re as _re
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = src["doc_id"].to_pylist()
+    texts = src["text"].to_pylist()
+    keep = [(i, t) for i, t in zip(ids, texts)
+            if len(_re.findall(r"\S+", t)) >= 30][:n_base]
+    base_ids = [i for i, _ in keep]
+    base_txt = [t for _, t in keep]
+    n_dups = min(n_dups, len(keep))
+    nxt = max(ids) + 1
+    dup_ids = [nxt + k for k in range(n_dups)]
+    dup_txt = [base_txt[k] + f" dupmarker{k}" for k in range(n_dups)]
+    return pa.table({
+        "doc_id": pa.array(base_ids + dup_ids, pa.int64()),
+        "text": pa.array(base_txt + dup_txt, pa.string()),
+    })
+
+
 def _write_atomic(table: pa.Table, path: str,
                   row_group_size: int = 100_000) -> None:
     """Row groups sized so read_parquet yields multiple parallel blocks —
@@ -145,6 +171,9 @@ def materialize(sf_dir: str) -> str:
     if need("embeddings_dup"):
         _write_atomic(_embeddings_dup_table(sf_dir),
                       fixture_path(sf_dir, "embeddings_dup"))
+    if need("docs_dup"):
+        _write_atomic(_docs_dup_table(sf_dir),
+                      fixture_path(sf_dir, "docs_dup"), row_group_size=32)
     if need("nodes") or need("ways") or need("way_nodes") or need("tags"):
         nodes, ways, way_nodes, tags = synth.gen_osm_tables(sz["n_nodes"], sz["n_ways"])
         _write_atomic(nodes, fixture_path(sf_dir, "nodes"))

@@ -1739,6 +1739,48 @@ def queries():
             n_buckets=64)
     q["event_gap_stats"] = event_gap_stats
 
+    def event_value_quantiles_by_type(sf_dir):
+        """Per-group EXACT discrete quantiles over a continuous column:
+        one shuffle on the (low-cardinality) group key, per-group sort +
+        index pick matching DuckDB quantile_disc's ceil(q·n)−1 rule
+        (verified empirically). Partitioning assumption: one group's
+        values fit a worker — same as any per-key exact reduce; for
+        billions of rows per group, switch to the value-histogram
+        (lineitem_quantity_quantiles) or a t-digest sketch."""
+        import math
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+
+        def qs_(g: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(g["value"].to_numpy())
+            n = len(v)
+
+            def qd(qq: float) -> float:
+                return round(float(v[max(0, math.ceil(qq * n) - 1)]), 6)
+            return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                                 "p50": [qd(0.5)], "p95": [qd(0.95)]})
+        return ds.groupby("event_type").map_groups(qs_,
+                                                   batch_format="pandas")
+    q["event_value_quantiles_by_type"] = event_value_quantiles_by_type
+
+    def jaccard_doc_pairs(sf_dir):
+        """N-gram (word 3-shingle) Jaccard near-dup as a FIRST-CLASS
+        oracle-paired op: MinHash-LSH candidates → exact shingle-set
+        Jaccard ≥ τ=0.8 — pinned against a DuckDB twin that computes the
+        same shingle-set Jaccard over ALL pairs of the dup-injected
+        fixture (at τ=0.8 with 32×4 banding the LSH miss probability per
+        true pair is (1−0.8⁴)³² ≈ 5e-8, so candidate generation is
+        exhaustive for every oracle row)."""
+        ds = fx.read_fixture(sf_dir, "docs_dup", columns=["doc_id", "text"])
+        out = dedup.minhash_verified_pairs(ds, "doc_id", "text", tau=0.8)
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "id_a": b["id_a"], "id_b": b["id_b"],
+                "jaccard": pc.round(b["jaccard"], ndigits=6)})
+        return out.map_batches(f, batch_format="pyarrow")
+    q["jaccard_doc_pairs"] = jaccard_doc_pairs
+
     def polygon_geometry_stats(sf_dir):
         """Vector-side geometry (north_rule raster↔vector): per-polygon
         shoelace area, vertex centroid, vertex count over the ring
@@ -2348,6 +2390,32 @@ def oracle_sql():
             SELECT user_id, COUNT(gap) AS n_gaps,
                    ROUND(AVG(gap) / 1e6, 3) AS avg_gap_s
             FROM g GROUP BY user_id""",
+        "event_value_quantiles_by_type": """
+            SELECT event_type,
+                   ROUND(quantile_disc(value, 0.5), 6)  AS p50,
+                   ROUND(quantile_disc(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type""",
+        "jaccard_doc_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS t
+                FROM read_parquet('{_fxp('docs_dup')}')),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]
+                       )) AS s
+                FROM toks)
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.s, b.s))),
+                             6) AS jaccard,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.s, b.s)))
+                             AS raw_j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE raw_j >= 0.8""",
         "polygon_geometry_stats": f"""
             SELECT polygon_id,
                    len(ring) AS n_vertices,
