@@ -275,6 +275,23 @@ def test_ivf_topk_recall(ray_session):
         assert len(e & a) / len(e) >= 0.6  # recall floor with half the lists probed
 
 
+def test_brute_force_topk_query_chunking(ray_session):
+    """Partitioned query table (query_chunk < Q) must equal one-shot."""
+    import ray.data as rd
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((150, 8))
+    t = pa.table({"vec_id": pa.array(range(150), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = rng.standard_normal((40, 8))
+    ds = rd.from_arrow(t)
+    one = sorted((r["query_id"], r["vec_id"]) for r in
+                 simsearch.brute_force_topk(ds, q, k=4).take_all())
+    chunked = sorted((r["query_id"], r["vec_id"]) for r in
+                     simsearch.brute_force_topk(ds, q, k=4,
+                                                query_chunk=16).take_all())
+    assert one == chunked and len(one) == 40 * 4
+
+
 def test_ivf_fullprobe_exact_64_queries(ray_session):
     """The vectorized probe kernel (dense probe LUT, one matmul across all
     queries — round-2 review fix) must equal brute force at nprobe ==

@@ -63,10 +63,35 @@ def _final_topk(k: int):
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency: int = 4):
-    """Exact cosine top-k per query row of ``queries`` (Q × D)."""
+                     concurrency: int = 4, query_chunk: int = 4096):
+    """Exact cosine top-k per query row of ``queries`` (Q × D).
+
+    A query table larger than ``query_chunk`` is partitioned across
+    passes: each chunk is broadcast once and scanned in one pass (bounded
+    (batch × chunk) sim matrix per worker), results union with query_id
+    offsets — the large-query-table plan from the round-2 review. For a
+    truly huge query SIDE (queries ≈ corpus), use the kNN-join style
+    co-partitioning instead (this is top-k against a query LIST)."""
     import ray
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    q = np.asarray(queries, dtype=np.float64)
+    if len(q) > query_chunk:
+        import pyarrow.compute as pcc
+        parts = []
+        for s in range(0, len(q), query_chunk):
+            sub = brute_force_topk(ds, q[s:s + query_chunk], k, id_col,
+                                   vec_col, concurrency, query_chunk)
+            if s:
+                def shift(b: pa.Table, off=s) -> pa.Table:
+                    return b.set_column(
+                        b.schema.get_field_index("query_id"), "query_id",
+                        pcc.add(b["query_id"], off))
+                sub = sub.map_batches(shift, batch_format="pyarrow")
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+    qref = ray.put(q)
     partials = ds.map_batches(
         _BatchTopK, fn_constructor_args=(qref, id_col, vec_col, k),
         batch_format="pyarrow", batch_size=4096, concurrency=pool_spec(concurrency),
