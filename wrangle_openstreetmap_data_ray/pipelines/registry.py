@@ -1739,6 +1739,25 @@ def queries():
             n_buckets=64)
     q["event_gap_stats"] = event_gap_stats
 
+    def corpus_prep_summary(sf_dir):
+        """The LLM training-data prep lifecycle as ONE pinned composite:
+        documents → content-fingerprint exact dedup (keep min doc_id per
+        normalized text) → token-count quality gate → per-language corpus
+        stats. Every stage is the production operator (analyze_text
+        kernels, stages.dedup.exact_dedup's two-level bucketed reduce) and
+        the whole composition hash-matches a single SQL twin."""
+        from ray.data.aggregate import Count, Sum
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text", "lang"])
+        feats = textstage.analyze_text(ds)   # adds fingerprint, n_tokens_ws
+        kept = dedup.exact_dedup(feats, "fingerprint", "doc_id")
+        gated = kept.filter(expr="n_tokens_ws >= 5") \
+                    .filter(expr="n_tokens_ws <= 2000")
+        return gated.groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens_ws", alias_name="total_tokens"))
+    q["corpus_prep_summary"] = corpus_prep_summary
+
     def event_value_quantiles_by_type(sf_dir):
         """Per-group EXACT discrete quantiles over a continuous column:
         one shuffle on the (low-cardinality) group key, per-group sort +
@@ -2390,6 +2409,21 @@ def oracle_sql():
             SELECT user_id, COUNT(gap) AS n_gaps,
                    ROUND(AVG(gap) / 1e6, 3) AS avg_gap_s
             FROM g GROUP BY user_id""",
+        "corpus_prep_summary": r"""
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '\S+')) AS ntok,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                           AS ntext
+                FROM documents),
+            kept AS (
+                SELECT * FROM norm
+                QUALIFY row_number() OVER (PARTITION BY ntext
+                                           ORDER BY doc_id) = 1)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens
+            FROM kept WHERE ntok >= 5 AND ntok <= 2000
+            GROUP BY lang""",
         "event_value_quantiles_by_type": """
             SELECT event_type,
                    ROUND(quantile_disc(value, 0.5), 6)  AS p50,
