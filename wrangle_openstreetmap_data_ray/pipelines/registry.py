@@ -1800,6 +1800,21 @@ def queries():
         return out.map_batches(f, batch_format="pyarrow")
     q["jaccard_doc_pairs"] = jaccard_doc_pairs
 
+    def near_dedup_docs_check(sf_dir):
+        """END-TO-END near-dedup oracle-pinned (pairs → distributed
+        connected components → min-id representative kept): the DuckDB
+        twin recomputes ALL-pairs shingle Jaccard on the docs_dup fixture
+        and resolves components with a recursive-CTE transitive closure —
+        so LSH candidate recall, the jaccard verify, CC labeling AND the
+        drop-set application are all pinned in one hash (the full
+        documents table keeps its rows-only twin,
+        near_dedup_docs_minhash, because an all-pairs SQL oracle over 5k
+        docs is infeasible)."""
+        ds = fx.read_fixture(sf_dir, "docs_dup", columns=["doc_id", "text"])
+        return dedup.near_dedup_minhash(ds, "doc_id", "text", tau=0.8) \
+                    .select_columns(["doc_id"])
+    q["near_dedup_docs_check"] = near_dedup_docs_check
+
     def polygon_geometry_stats(sf_dir):
         """Vector-side geometry (north_rule raster↔vector): per-polygon
         shoelace area, vertex centroid, vertex count over the ring
@@ -1850,14 +1865,14 @@ _DRIVER_WINDOW = [
     "flagship_full_summary", "tpch_q3_topk", "tpch_q5_volume",
     "render_tile_stats", "knn_pairs", "knn_pairs_salted", "pip_join_pairs",
     "way_node_resolution", "way_geometry", "normalize_streets",
-    "audit_street_types", "clean_postcodes", "postcode_district_histogram",
+    "audit_street_types", "clean_postcodes", "corpus_prep_summary",
     "bbox_quarantine", "cell_encode_points", "tile_assignments",
     "shape_elements", "shape_documents_flat_check", "tag_counts",
     "tag_key_classification", "tags_clean", "osm_distinct_users",
     "osm_top_contributors", "doc_token_counts", "count_by_elem_type",
     "systematic_sample_nodes", "quarantine_rows", "per_cell_counts",
     "hot_cells", "exact_dedup_images", "exact_dedup_docs",
-    "image_phash_verify", "image_phash_near_dup", "image_format_histogram",
+    "image_phash_verify", "image_phash_near_dup", "near_dedup_docs_check",
     "doc_fingerprint_cluster_sizes", "resize_images_thumb",
     "embedding_dup_pairs", "embedding_topk", "embedding_topk_ivf_fullprobe",
     "audio_features", "video_frame_index", "lancelike_partition_counts",
@@ -2450,6 +2465,31 @@ def oracle_sql():
                              AS raw_j
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             WHERE raw_j >= 0.8""",
+        "near_dedup_docs_check": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS t
+                FROM read_parquet('{_fxp('docs_dup')}')),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]
+                       )) AS s
+                FROM toks),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(u, v) AS (SELECT u, v FROM e
+                            UNION
+                            SELECT r.u, e2.v
+                            FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
+            SELECT doc_id FROM read_parquet('{_fxp('docs_dup')}')
+            WHERE doc_id NOT IN (SELECT u FROM lab WHERE mn < u)""",
         "polygon_geometry_stats": f"""
             SELECT polygon_id,
                    len(ring) AS n_vertices,
