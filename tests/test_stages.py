@@ -130,6 +130,21 @@ def test_minhash_lsh_dedup(ray_session):
     assert len(kept) == 31
 
 
+def test_auto_salt_reflects_measured_skew(ray_session):
+    """salt = ceil(hottest cell / target): a hot cluster demands splitting,
+    uniform data pays salt=1 (no ghost replication)."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.knn import auto_salt
+    hot = pa.table({"lon": pa.array(np.full(4000, 103.8)),
+                    "lat": pa.array(np.full(4000, 1.3))})
+    assert auto_salt(rd.from_arrow(hot), res=11, target_cell_rows=1500) == 3
+    rng = np.random.default_rng(0)
+    uni = pa.table({"lon": pa.array(rng.uniform(-170, 170, 500)),
+                    "lat": pa.array(rng.uniform(-80, 80, 500))})
+    assert auto_salt(rd.from_arrow(uni), res=11, target_cell_rows=1500) == 1
+
+
 def test_verified_pairs_both_regimes_identical(ray_session):
     """The capped driver-side judge (small_cap fast path) and the
     distributed bucketed-gather judge must produce byte-identical verified

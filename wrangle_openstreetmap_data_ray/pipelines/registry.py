@@ -461,6 +461,18 @@ def queries():
         return out.select_columns(["id", "neighbor_id"])
     q["knn_pairs_salted"] = knn_pairs_salted
 
+    def knn_pairs_autosalt(sf_dir):
+        """J4 with DATA-DRIVEN salting: the salt factor comes from a
+        measured per-cell occupancy probe (knn.auto_salt — combiner
+        pre-aggregation, hottest cell / target) instead of a hand-picked
+        constant. Same oracle as knn_pairs: exactness must hold at
+        whatever salt the skew probe chooses."""
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        out = knn.knn_join(pts, k=KNN_K, res=11, id_col="image_id",
+                           exact=True, salt="auto")
+        return out.select_columns(["id", "neighbor_id"])
+    q["knn_pairs_autosalt"] = knn_pairs_autosalt
+
     def oldest_events_sorted(sf_dir):
         """API coverage for the native range-partition ``Dataset.sort``
         (everywhere else small-k uses distributed_topk): global multi-key
@@ -2504,4 +2516,6 @@ def oracle_sql():
                          / len(ring), 9) AS centroid_lat
             FROM read_parquet('{_fxp('polygons')}')""",
     }
+    # the auto-salted kNN must equal the unsalted oracle bit-for-bit
+    o["knn_pairs_autosalt"] = o["knn_pairs"]
     return o

@@ -248,9 +248,39 @@ def _laggard_topk(ds, laggards: pd.DataFrame, k, id_col, lon_col, lat_col):
     return bucketed_group_apply(partials, ["id"], reduce_topk, n_buckets=256)
 
 
+def auto_salt(ds, res: int, lon_col: str = "lon", lat_col: str = "lat",
+              target_cell_rows: int = 1500, max_salt: int = 16) -> int:
+    """Pick the salt factor FROM MEASURED SKEW: one narrow pass computes
+    per-batch partial per-cell counts (combiner — the shuffle carries
+    ≤ distinct-cells × blocks rows), a tiny groupby sums them, and the
+    hottest cell's occupancy sets salt = ceil(max_cell / target).
+
+    This is the "explicit salted repartitioning" of the north star made
+    data-driven: dense urban cells (the known hot keys) get split over
+    exactly as many sub-groups as their measured occupancy requires, and
+    uniform data pays salt=1 (no ghost replication). The salted pass is
+    proven byte-identical to unsalted (knn_pairs_salted oracle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cells = geo.cell_encode(b[lon_col].to_numpy(), b[lat_col].to_numpy(),
+                                res)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby("cell").aggregate(Sum("cnt", alias_name="cnt"))
+    hottest = counts.max("cnt")
+    if hottest is None:
+        return 1
+    return int(min(max_salt, max(1, -(-int(hottest) // target_cell_rows))))
+
+
 def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
-             lon_col: str = "lon", lat_col: str = "lat", salt: int = 1,
-             exact: bool = True, laggard_cap: int = 200_000,
+             lon_col: str = "lon", lat_col: str = "lat",
+             salt: int | str = 1, exact: bool = True,
+             laggard_cap: int = 200_000,
              round1_laggard_cap: int = 2_000_000):
     """Self-kNN join → Dataset (id, neighbor_id, dist_m), exactly k rows per
     point (unless the whole dataset has < k+1 points).
@@ -268,6 +298,9 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
     to the point density and the retry round would be most of the corpus."""
     import ray
     ds = ds.select_columns([id_col, lon_col, lat_col])  # narrow the shuffle
+    if salt == "auto":
+        ds = ds.materialize()       # feeds the skew probe AND the passes
+        salt = auto_salt(ds, res, lon_col, lat_col)
     out = _one_pass(ds, k, res, id_col, lon_col, lat_col, salt, None)
     if not exact:
         return out.drop_columns(["satisfied"])
