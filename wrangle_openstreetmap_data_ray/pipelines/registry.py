@@ -1812,6 +1812,34 @@ def queries():
         return out.map_batches(f, batch_format="pyarrow")
     q["jaccard_doc_pairs"] = jaccard_doc_pairs
 
+    def parts_order_coverage(sf_dir):
+        """Native LEFT OUTER hash join (the one join type the registry
+        didn't yet surface; anti/semi/full-outer live in util and
+        user_customer_coverage): per-brand part counts split by whether
+        the part was ever ordered — the narrow pre-aggregated lineitem
+        side left-joins onto part, null probes counted vectorized."""
+        li = fx.driver_table(sf_dir, "lineitem", columns=["l_partkey"])
+        ordered = li.groupby("l_partkey").count() \
+                    .rename_columns({"count()": "n_li",
+                                     "l_partkey": "p_partkey"})
+        parts = fx.driver_table(sf_dir, "part",
+                                columns=["p_partkey", "p_brand"])
+        joined = parts.join(ordered, on=("p_partkey",),
+                            join_type="left_outer",
+                            **join_kwargs(fx.table_join_partitions(
+                                sf_dir, "part", "lineitem")))
+
+        def flags(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "p_brand": b["p_brand"],
+                "never": pc.cast(pc.is_null(b["n_li"]), pa.int64())})
+        from ray.data.aggregate import Count, Sum
+        return joined.map_batches(flags, batch_format="pyarrow") \
+                     .groupby("p_brand").aggregate(
+                         Count(alias_name="n_parts"),
+                         Sum("never", alias_name="n_never_ordered"))
+    q["parts_order_coverage"] = parts_order_coverage
+
     def near_dedup_docs_check(sf_dir):
         """END-TO-END near-dedup oracle-pinned (pairs → distributed
         connected components → min-id representative kept): the DuckDB
@@ -2477,6 +2505,15 @@ def oracle_sql():
                              AS raw_j
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             WHERE raw_j >= 0.8""",
+        "parts_order_coverage": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(COUNT(*) FILTER (WHERE o.n_li IS NULL) AS BIGINT)
+                     AS n_never_ordered
+            FROM part LEFT JOIN (
+                SELECT l_partkey, COUNT(*) AS n_li
+                FROM lineitem GROUP BY l_partkey) o
+            ON p_partkey = o.l_partkey
+            GROUP BY p_brand""",
         "near_dedup_docs_check": f"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id,
