@@ -98,6 +98,10 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
     dependency along x handled per-pixel-column in C-speed numpy slices."""
     stride = w * bpp
     rows = raw.reshape(h, 1 + stride)
+    # fast path: every scanline filter 0 (what encode_png emits) — the
+    # payload IS the pixels; skip the per-row reconstruction loop
+    if not rows[:, 0].any():
+        return np.ascontiguousarray(rows[:, 1:])
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
