@@ -37,6 +37,16 @@ KNN_K = 3
 _SQL_ORACLE_TAG = "sf0.01"   # driver runs correctness at sf0.01
 
 
+def _round_half_away(col, ndigits: int = 6):
+    """DuckDB-compatible ROUND for non-negative doubles: half AWAY from
+    zero (std::round), not numpy/pandas banker's rounding — ratio columns
+    are small rationals that land exactly on .5 boundaries, where the two
+    modes differ (seen: 12/500 rows off by 1e-6)."""
+    x = col.to_numpy(zero_copy_only=False)
+    p = 10.0 ** ndigits
+    return pa.array(np.floor(x * p + 0.5) / p, pa.float64())
+
+
 def _fxp(name: str) -> str:
     """Fixture parquet path as referenced from oracle SQL (sf0.01)."""
     import os
@@ -1565,11 +1575,32 @@ def queries():
             return pa.table({
                 "doc_id": b["doc_id"],
                 "n_tokens_ws": b["n_tokens_ws"],
-                "mean_token_len": pc.round(b["mean_token_len"], ndigits=6),
-                "punct_ratio": pc.round(b["punct_ratio"], ndigits=6),
+                "mean_token_len": _round_half_away(b["mean_token_len"]),
+                "punct_ratio": _round_half_away(b["punct_ratio"]),
             })
         return feats.map_batches(f, batch_format="pyarrow")
     q["doc_quality_features_check"] = doc_quality_features_check
+
+    def doc_quality_full_check(sf_dir):
+        """The REMAINING quality-scoring floats oracle-paired (stopword /
+        upper ratios and the composite quality_score): the DuckDB twin
+        reproduces the exact clip-and-blend formula with LEAST/GREATEST
+        and list lambdas. Valid because the driver docs contain no cased
+        non-ASCII characters (audited), so Python isupper() == [A-Z].
+        Together with doc_quality_features_check this pins every
+        doc_quality column except the heuristic lang_pred."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        feats = textstage.analyze_text(ds)
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "stopword_ratio": _round_half_away(b["stopword_ratio"]),
+                "upper_ratio": _round_half_away(b["upper_ratio"]),
+                "quality_score": _round_half_away(b["quality_score"]),
+            })
+        return feats.map_batches(f, batch_format="pyarrow")
+    q["doc_quality_full_check"] = doc_quality_full_check
 
     def tpch_q6_revenue(sf_dir):
         """TPC-H Q6 shape: predicate-pruned scan + one global product sum
@@ -2421,6 +2452,36 @@ def oracle_sql():
                                   text, '[.,;:!?''"()\[\]{}<>-]')) AS DOUBLE)
                          / greatest(1, length(text)), 6) AS punct_ratio
             FROM documents""",
+        "doc_quality_full_check": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS ntok,
+                       CAST(len(list_filter(
+                               regexp_extract_all(lower(text), '\S+'),
+                               w -> w IN ('the','a','and','of','to','in',
+                                          'is','it','that','for','on','with')
+                           )) AS DOUBLE)
+                         / greatest(1, len(regexp_extract_all(text, '\S+')))
+                         AS stop_ratio,
+                       CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                         / greatest(1, length(text)) AS upper_ratio,
+                       CAST(len(regexp_extract_all(
+                               text, '[.,;:!?''"()\[\]{}<>-]')) AS DOUBLE)
+                         / greatest(1, length(text)) AS punct_ratio
+                FROM documents)
+            SELECT doc_id,
+                   ROUND(stop_ratio, 6) AS stopword_ratio,
+                   ROUND(upper_ratio, 6) AS upper_ratio,
+                   ROUND(0.4 * (LEAST(GREATEST(ntok / 50.0, 0), 1)
+                                * LEAST(GREATEST((2000 - ntok) / 2000.0,
+                                                 0), 1))
+                         + 0.3 * LEAST(GREATEST(stop_ratio * 5, 0), 1)
+                         + 0.15 * (1 - LEAST(GREATEST(punct_ratio * 5,
+                                                      0), 1))
+                         + 0.15 * (1 - LEAST(GREATEST(upper_ratio * 3,
+                                                      0), 1)),
+                         6) AS quality_score
+            FROM f""",
         "tpch_q6_revenue": """
             SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0.0), 2)
                      AS revenue
