@@ -1602,6 +1602,18 @@ def queries():
         return feats.map_batches(f, batch_format="pyarrow")
     q["doc_quality_full_check"] = doc_quality_full_check
 
+    def doc_langid_check(sf_dir):
+        """Language-ID oracle-paired: the stopword-vote classifier
+        (functions/text.langid — CJK codepoint check on the first 400
+        chars, else argmax of per-language stopword hits over the first
+        2000 chars with earliest-alphabetical tie-break) reproduced in
+        SQL via list lambdas + a CASE argmax chain. With this, EVERY
+        doc_quality column is oracle-pinned."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        feats = textstage.analyze_text(ds)
+        return feats.select_columns(["doc_id", "lang_pred"])
+    q["doc_langid_check"] = doc_langid_check
+
     def tpch_q6_revenue(sf_dir):
         """TPC-H Q6 shape: predicate-pruned scan + one global product sum
         (per-batch partial, on-cluster Sum — no groupby, no driver rows)."""
@@ -2482,6 +2494,35 @@ def oracle_sql():
                                                       0), 1)),
                          6) AS quality_score
             FROM f""",
+        "doc_langid_check": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       regexp_matches(substr(text, 1, 400), '[一-鿿]') AS zh,
+                       regexp_extract_all(lower(substr(text, 1, 2000)),
+                                          '\S+') AS t
+                FROM documents),
+            h AS (
+                SELECT doc_id, zh,
+                       len(list_filter(t, w -> w IN ('der','die','das','und',
+                           'ist','nicht','ein','mit','auf','für'))) AS de,
+                       len(list_filter(t, w -> w IN ('the','a','and','of',
+                           'to','in','is','it','that','for','on','with')))
+                           AS en,
+                       len(list_filter(t, w -> w IN ('el','la','los','las',
+                           'y','es','en','un','una','con','por','que')))
+                           AS es,
+                       len(list_filter(t, w -> w IN ('le','la','les','et',
+                           'est','un','une','dans','pour','que','des')))
+                           AS fr
+                FROM f)
+            SELECT doc_id,
+                   CASE WHEN zh THEN 'zh'
+                        WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h""",
         "tpch_q6_revenue": """
             SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0.0), 2)
                      AS revenue
