@@ -444,6 +444,34 @@ def queries():
         return ds.map_batches(f, batch_format="pyarrow")
     q["tile_assignments"] = tile_assignments
 
+    def cell_cover_compact_roundtrip(sf_dir):
+        """compact/uncompact cell covers in the CONTRACT (previously
+        pytest-only): the distinct occupied cells at CELL_RES survive a
+        compact→uncompact roundtrip exactly, so the returned (qx, qy) set
+        must equal plain per-point quantization — which is what the SQL
+        twin computes. Distinct-cell set is bounded (occupied cells), so
+        the roundtrip runs in one task after a pre-aggregated distinct."""
+        ds = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+
+        def part(b: pa.Table) -> pa.Table:
+            cells = geo.cell_encode(b["lon"].to_numpy(),
+                                    b["lat"].to_numpy(), CELL_RES)
+            return pa.table({"cell": pa.array(np.unique(cells), pa.int64())})
+
+        distinct = ds.map_batches(part, batch_format="pyarrow") \
+                     .groupby("cell").count().drop_columns(["count()"])
+
+        def roundtrip(b: pa.Table) -> pa.Table:
+            cells = b["cell"].to_numpy()
+            cover = geo.compact_cells(cells)
+            back = geo.uncompact_cells(cover, CELL_RES)
+            qx, qy = geo.cell_decode(back)[:2]
+            return pa.table({"qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64())})
+        return distinct.repartition(1).map_batches(
+            roundtrip, batch_format="pyarrow", batch_size=None)
+    q["cell_cover_compact_roundtrip"] = cell_cover_compact_roundtrip
+
     def pip_join_pairs(sf_dir):
         """J3 — cell-prefiltered point-in-polygon spatial join."""
         import pyarrow.parquet as pq
@@ -2095,6 +2123,11 @@ def oracle_sql():
             SELECT (lon >= {w} AND lon <= {e} AND lat >= {s} AND lat <= {n})
                    AS in_bbox, COUNT(*) AS cnt
             FROM {geo_p} GROUP BY 1""",
+        "cell_cover_compact_roundtrip": f"""
+            SELECT DISTINCT
+                   {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
+                   {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy
+            FROM {geo_p}""",
         "cell_encode_points": f"""
             SELECT image_id,
                    {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
