@@ -178,6 +178,10 @@ def minhash_verified_pairs(ds, id_col: str, text_col: str, tau: float = 0.8,
                                     shingle_n, concurrency)
     docs = ds.select_columns([id_col, text_col])
 
+    if small_cap > 0:
+        # pin the (narrow) candidate pairs so an over-cap abort falls back
+        # to the distributed judge WITHOUT recomputing signature+LSH
+        pairs = pairs.materialize()
     pairs_df = _pairs_df_capped(pairs, small_cap) if small_cap > 0 else None
     if pairs_df is not None:
         import ray.data as rd
@@ -635,6 +639,8 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     pairs = _pairs_from_buckets(sigs, id_col=id_col)
     vecs_ds = ds.select_columns([id_col, vec_col])
 
+    if small_cap > 0:
+        pairs = pairs.materialize()   # see minhash_verified_pairs
     pairs_df = _pairs_df_capped(pairs, small_cap) if small_cap > 0 else None
     if pairs_df is not None:
         import ray.data as rd
