@@ -80,7 +80,9 @@ def scaling_workload() -> dict:
 
 def cpu_envelope(n_tasks: int = 64) -> float:
     """Pure-CPU (zlib) makespan at the current cluster size — the box's own
-    parallel-scaling ceiling, independent of this engine."""
+    COMPUTE parallel-scaling ceiling, independent of this engine. zlib on a
+    2 MB buffer is cache-resident, so this envelope does NOT see memory-bus
+    saturation (see bw_envelope)."""
     import os as _os
     import zlib
 
@@ -92,6 +94,32 @@ def cpu_envelope(n_tasks: int = 64) -> float:
         for _ in range(12):
             zlib.compress(data, 6)
         return 0
+
+    t0 = time.time()
+    ray.get([work.remote(i) for i in range(n_tasks)])
+    return round(time.time() - t0, 2)
+
+
+def bw_envelope(n_tasks: int = 64) -> float:
+    """Memory-BANDWIDTH makespan: each task streams ~1.6 GB through RAM
+    (64 MB buffer, far beyond L3, copied 24×). Data pipelines (parquet
+    decode, Arrow copies, object-store transfers) are bandwidth-heavy, and
+    a shared memory bus does NOT scale linearly with busy cores — this
+    envelope is the honest ceiling for the streaming stages, alongside the
+    compute envelope for the kernel stages."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote
+    def work(i):
+        src = np.empty(64 * 1024 * 1024 // 8, dtype=np.int64)
+        src[:] = i
+        acc = 0
+        for _ in range(24):
+            dst = src.copy()
+            acc += int(dst[0])
+        return acc
 
     t0 = time.time()
     ray.get([work.remote(i) for i in range(n_tasks)])
@@ -179,6 +207,7 @@ def main() -> None:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         res = scaling_workload()
         res["envelope_sec"] = cpu_envelope()
+        res["bw_envelope_sec"] = bw_envelope()
         ray.shutdown()
         print(json.dumps(res))
         return
@@ -201,6 +230,8 @@ def main() -> None:
         ratio = hi // lo
         eff = rlo["total_sec"] / (ratio * rhi["total_sec"])
         env_eff = rlo["envelope_sec"] / (ratio * rhi["envelope_sec"])
+        bw_eff = (rlo["bw_envelope_sec"] / (ratio * rhi["bw_envelope_sec"])
+                  if rhi.get("bw_envelope_sec") else None)
         print(json.dumps({
             "metric": "spatial_join_tiling_scaling", "value": round(eff, 3),
             "unit": f"efficiency_{lo}to{hi}cpus",
@@ -209,6 +240,8 @@ def main() -> None:
                 f"t_{hi}cpus_sec": rhi["total_sec"],
                 "speedup": round(rlo["total_sec"] / rhi["total_sec"], 2),
                 "hardware_envelope_eff": round(env_eff, 3),
+                "bandwidth_envelope_eff": (round(bw_eff, 3)
+                                           if bw_eff else None),
                 "eff_vs_envelope": round(eff / env_eff, 3),
                 "detail": {"lo": rlo, "hi": rhi},
             },
