@@ -476,3 +476,79 @@ def test_text_analyze(ray_session):
     assert by_id[2]["lang_pred"] == "de"
     assert by_id[1]["n_tokens_ws"] == 7
     assert 0 <= by_id[1]["quality_score"] <= 1
+
+
+def test_raster_vectorize_regions_golden(ray_session):
+    """Known point layout → known regions: an L-shaped 3-px region, a
+    2-px bar, and a singleton, all in one tile; a second tile holds one
+    pixel. Pixel math: tile_res=2, grid_bits=2 → fine grid 16×16 over
+    the world; tile (tqx,tqy) = fine//4, px = fine%4, py = 3 - fine%4."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import rastervec
+
+    # world at res 4 (16×16 fine pixels): pixel width 22.5° lon, 11.25° lat
+    def fine(qx, qy):  # center of fine cell (qx, qy)
+        return (-180 + (qx + 0.5) * 22.5, -90 + (qy + 0.5) * 11.25)
+
+    pts = [
+        # tile (1,1): L-region pixels (fine 4..7 grid → px=fine%4)
+        fine(4, 4), fine(4, 4), fine(5, 4), fine(4, 5),   # L (3 px, 4 pts)
+        fine(6, 6), fine(7, 6),                           # bar (2 px)
+        fine(7, 4),                                       # singleton
+        # tile (2,2): one pixel
+        fine(9, 9),
+    ]
+    t = pa.table({"lon": pa.array([p[0] for p in pts], pa.float64()),
+                  "lat": pa.array([p[1] for p in pts], pa.float64())})
+    out = rastervec.rasterize_vectorize(
+        rd.from_arrow(t), tile_res=2, grid_bits=2, n_buckets=8).to_pandas()
+    out = out.sort_values(["tile_qx", "tile_qy", "region_id"],
+                          ignore_index=True)
+    assert len(out) == 4
+    # tile (1,1): fine qy=4 → py = 3-0 = 3; qy=5 → py=2; qy=6 → py=1
+    l_row = out[(out.tile_qx == 1) & (out.region_id == 2 * 4 + 0)].iloc[0]
+    assert l_row.n_px == 3 and l_row.n_points == 4
+    assert (l_row.px_min, l_row.px_max, l_row.py_min, l_row.py_max) == (0, 1, 2, 3)
+    bar = out[(out.tile_qx == 1) & (out.region_id == 1 * 4 + 2)].iloc[0]
+    assert bar.n_px == 2 and bar.n_points == 2
+    single = out[(out.tile_qx == 1) & (out.region_id == 3 * 4 + 3)].iloc[0]
+    assert single.n_px == 1
+    t2 = out[out.tile_qx == 2].iloc[0]
+    assert t2.tile_qy == 2 and t2.n_px == 1
+    # exact degree bbox: tile (1,1) px (0..1, py 2..3) → fine x 4..6, y 4..6
+    assert l_row.west == -180 + 4 * 22.5 and l_row.east == -180 + 6 * 22.5
+    assert l_row.south == -90 + 4 * 11.25 and l_row.north == -90 + 6 * 11.25
+
+
+def test_raster_vectorize_parallelism_invariant(ray_session):
+    """Same rows at any bucket count / block split (determinism at any
+    parallelism — the north_rule tile-assignment invariant)."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import rastervec
+    from wrangle_openstreetmap_data_ray import synth
+
+    tbl = synth.gen_geo_table(0, 2000)
+    a = rastervec.rasterize_vectorize(
+        rd.from_arrow(tbl), tile_res=12, n_buckets=4).to_pandas()
+    b = rastervec.rasterize_vectorize(
+        rd.from_arrow(tbl).repartition(13), tile_res=12,
+        n_buckets=64).to_pandas()
+    key = ["tile_qx", "tile_qy", "region_id"]
+    a = a.sort_values(key, ignore_index=True)
+    b = b.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby(["tile_qx", "tile_qy"])["n_points"].sum().sum()
+            == len(tbl))
+
+
+def test_raster_label_stack_diagonal_not_connected():
+    """Diagonal pixels are separate regions (4-connectivity, not 8)."""
+    from wrangle_openstreetmap_data_ray.stages.rastervec import _label_stack
+    occ = np.zeros((1, 4, 4), dtype=bool)
+    occ[0, 0, 0] = occ[0, 1, 1] = True          # diagonal pair
+    occ[0, 2, 2] = occ[0, 2, 3] = occ[0, 3, 3] = True  # L: connected
+    lab = _label_stack(occ)
+    assert lab[0, 0, 0] != lab[0, 1, 1]
+    assert lab[0, 2, 2] == lab[0, 2, 3] == lab[0, 3, 3] == 2 * 4 + 2
