@@ -21,11 +21,15 @@ def cluster_cpus(default: int = 4) -> int:
 
 def join_partitions(requested: int | None = None) -> int:
     """Partition count for hash joins: capped at half the cluster CPUs so
-    the join aggregator pool never starves the upstream map stages."""
+    the join aggregator pool never starves the upstream map stages, and
+    floored at CPUs/8 — a size-derived request of 2 serializes the whole
+    join through two aggregator actors (measured 11 s vs 3 s at 4
+    partitions for the 40 MB images⋈geo attach at 32 CPUs)."""
     cap = max(2, cluster_cpus() // 2)
+    floor = max(2, min(cluster_cpus() // 8, cap))
     if requested is None:
         return cap
-    return max(2, min(requested, cap))
+    return max(floor, min(requested, cap))
 
 
 # Hash-join aggregator actors default to 1 whole CPU each; on a small
