@@ -1968,6 +1968,107 @@ def queries():
         return rastervec.rasterize_vectorize(pts, tile_res=RASTER_RES)
     q["raster_vectorize_regions"] = raster_vectorize_regions
 
+    SEQ_LEN = 2048
+
+    def pack_sequences(sf_dir):
+        """LLM corpus prep — sequence packing (concat-then-chunk): per
+        language, documents are concatenated in doc_id order and the
+        token stream is chunked into SEQ_LEN-token bins; each doc is
+        assigned the bin its first token lands in (start_offset //
+        SEQ_LEN). Per-lang ordered prefix sums run vectorized inside one
+        bucketed group apply; partitioning assumption: one language's
+        docs fit one bucket (shard by (lang, doc_id range) at corpus
+        scale — the offsets then need one tiny per-shard base-offset
+        exchange, same two-pass shape)."""
+        from ..functions import text
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "lang", "text"])
+
+        def tok(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"], "lang": b["lang"],
+                "ntok": pa.array(text.token_count_ws(b["text"].to_pylist()),
+                                 pa.int64())})
+
+        def pack(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["lang", "doc_id"], kind="mergesort")
+            start = (g.groupby("lang", sort=False)["ntok"].cumsum()
+                     - g["ntok"])
+            g = g.assign(bin_idx=(start // SEQ_LEN).astype("int64"))
+            out = (g.groupby(["lang", "bin_idx"], as_index=False)
+                    .agg(n_docs=("doc_id", "size"), n_tokens=("ntok", "sum")))
+            return out
+        return bucketed_group_apply(
+            ds.map_batches(tok, batch_format="pyarrow"), ["lang"], pack,
+            n_buckets=16)
+    q["pack_sequences"] = pack_sequences
+
+    def tpch_q10_returns(sf_dir):
+        """TPC-H Q10 shape: revenue lost to returned items per customer —
+        σ(lineitem: returnflag='R') ⋈ orders ⋈ customer ⋈ nation(broadcast
+        LUT) → groupby customer revenue → distributed top-20."""
+        import ray
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Sum
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_extendedprice",
+                                      "l_discount", "l_returnflag"])
+
+        def l_filt(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+            # exact integer ten-thousandths: float Sum is order-dependent
+            # (association varies with block arrival), which flips
+            # round(2) on boundary values run-to-run — int64 sums are
+            # exact at ANY parallelism; the SQL twin mirrors the cast
+            rev = pc.multiply(f["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), f["l_discount"]))
+            rev4 = np.floor(rev.to_numpy(zero_copy_only=False) * 1e4
+                            + 0.5).astype(np.int64)
+            return pa.table({"o_orderkey": f["l_orderkey"],
+                             "rev4": pa.array(rev4, pa.int64())})
+
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey"])
+        lo = li.map_batches(l_filt, batch_format="pyarrow") \
+               .join(orders, on=("o_orderkey",), join_type="inner",
+                     **join_kwargs(fx.table_join_partitions(
+                         sf_dir, "lineitem", "orders")))
+        cust = fx.driver_table(sf_dir, "customer",
+                               columns=["c_custkey", "c_name",
+                                        "c_acctbal", "c_nationkey"]) \
+                 .rename_columns({"c_custkey": "o_custkey"})
+        j = lo.select_columns(["o_custkey", "rev4"]) \
+              .join(cust, on=("o_custkey",), join_type="inner",
+                    **join_kwargs(fx.table_join_partitions(
+                        sf_dir, "lineitem", "customer")))
+        agg = j.groupby(["o_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+               .aggregate(Sum("rev4", alias_name="rev4sum"))
+        # nation is a 25-row dim: broadcast once, attach map-side
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        lut = np.empty(int(pc.max(nat["n_nationkey"]).as_py()) + 1, object)
+        for k, v in zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()):
+            lut[k] = v
+        ref = ray.put(lut)
+
+        def attach(b: pa.Table) -> pa.Table:
+            names = ray.get(ref)[b["c_nationkey"].to_numpy()]
+            return pa.table({
+                "c_custkey": b["o_custkey"], "c_name": b["c_name"],
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "c_acctbal": b["c_acctbal"],
+                # exact double: int ten-thousandths / 1e4 is bit-identical
+                # to the SQL twin's BIGINT-sum / 10000.0
+                "revenue": pc.divide(pc.cast(b["rev4sum"], pa.float64()),
+                                     pa.scalar(1e4))})
+        rounded = agg.map_batches(attach, batch_format="pyarrow")
+        return distributed_topk(rounded, 20, [("revenue", "descending"),
+                                              ("c_custkey", "ascending")])
+    q["tpch_q10_returns"] = tpch_q10_returns
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2687,6 +2788,35 @@ def oracle_sql():
             lab AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
             SELECT doc_id FROM read_parquet('{_fxp('docs_dup')}')
             WHERE doc_id NOT IN (SELECT u FROM lab WHERE mn < u)""",
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT lang, doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS ntok
+                FROM documents),
+            c AS (
+                SELECT lang, ntok,
+                       COALESCE(SUM(ntok) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start
+                FROM t)
+            SELECT lang, CAST(start // 2048 AS BIGINT) AS bin_idx,
+                   COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM c GROUP BY lang, bin_idx""",
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name, n_name, c_acctbal, revenue FROM (
+                SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+                       SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                      * 10000 + 0.5) AS BIGINT)) / 10000.0
+                           AS revenue
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal)
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
         "raster_vectorize_regions": f"""
             WITH RECURSIVE pix AS (
                 SELECT qxf // 16 AS tile_qx, qyf // 16 AS tile_qy,
