@@ -552,3 +552,54 @@ def test_raster_label_stack_diagonal_not_connected():
     lab = _label_stack(occ)
     assert lab[0, 0, 0] != lab[0, 1, 1]
     assert lab[0, 2, 2] == lab[0, 2, 3] == lab[0, 3, 3] == 2 * 4 + 2
+
+
+def test_broadcast_inner_join_matches_hash_join(ray_session):
+    """broadcast_inner_join == Dataset.join (inner, unique small side),
+    including unmatched-key drops on both sides; the >max_rows fallback
+    routes through the hash join and must agree too."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import (broadcast_inner_join,
+                                                     join_kwargs)
+    rng = np.random.default_rng(7)
+    big = pa.table({
+        "k": pa.array(rng.integers(0, 400, 3000), pa.int64()),
+        "payload": pa.array(rng.integers(0, 1 << 30, 3000), pa.int64())})
+    # small side: keys 100..349 (so 1/4 of big's keys miss), unique
+    small = pa.table({
+        "k": pa.array(np.arange(100, 350), pa.int64()),
+        "dim_a": pa.array(rng.integers(0, 9, 250), pa.int64()),
+        "dim_b": pa.array([f"s{i}" for i in range(250)], pa.string())})
+
+    def run(max_rows):
+        out = broadcast_inner_join(
+            rd.from_arrow(big).repartition(7), rd.from_arrow(small),
+            "k", max_rows=max_rows).to_pandas()
+        return out.sort_values(list(out.columns), ignore_index=True)
+
+    ref = rd.from_arrow(big).join(
+        rd.from_arrow(small), on=("k",), join_type="inner",
+        **join_kwargs(4)).to_pandas()
+    ref = ref[["k", "payload", "dim_a", "dim_b"]] \
+        .sort_values(["k", "payload", "dim_a", "dim_b"], ignore_index=True)
+    bc = run(max_rows=10_000)[["k", "payload", "dim_a", "dim_b"]]
+    fb = run(max_rows=10)[["k", "payload", "dim_a", "dim_b"]]    # fallback
+    pd.testing.assert_frame_equal(bc, ref)
+    pd.testing.assert_frame_equal(fb, ref)
+
+
+def test_broadcast_inner_join_rejects_dup_keys_and_collisions(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import broadcast_inner_join
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                  "v": pa.array([1, 2], pa.int64())}))
+    dup = rd.from_arrow(pa.table({"k": pa.array([1, 1], pa.int64()),
+                                  "d": pa.array([9, 9], pa.int64())}))
+    with pytest.raises(ValueError, match="not unique"):
+        broadcast_inner_join(big, dup, "k")
+    clash = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "v": pa.array([7], pa.int64())}))
+    with pytest.raises(ValueError, match="collision"):
+        broadcast_inner_join(big, clash, "k")

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 from ..functions import geo, normalize
 from ..sources import lancelike
 from ..stages import pip_join
-from ..util import join_kwargs
+from ..util import broadcast_inner_join
 from . import fixtures as fx
 
 CELL_RES = 12
@@ -48,9 +48,9 @@ def flagship(sf_dir: str, out_root: str | None = None):
     imgs = fx.read_fixture(sf_dir, "images",
                            columns=["image_id", "caption", "phash"])
     g = fx.read_fixture(sf_dir, "geo")
-    joined = imgs.join(g, on=("image_id",), join_type="inner",
-                       **join_kwargs(fx.table_join_partitions(
-                           sf_dir, "images", "geo")))
+    # geo is a unique-keyed dimension side: broadcast-attach map-side
+    # (capped, hash-join fallback past 2M rows) — no join shuffle at all
+    joined = broadcast_inner_join(imgs, g, "image_id")
     cleaned = joined.map_batches(clean_and_encode, batch_format="pyarrow")
 
     import pyarrow.parquet as pq
@@ -98,9 +98,9 @@ def flagship_full(sf_dir: str, out_root: str | None = None,
     from ..stages import dedup, knn, tiles
     imgs = fx.read_fixture(sf_dir, "images")
     g = fx.read_fixture(sf_dir, "geo")
-    joined = imgs.join(g, on=("image_id",), join_type="inner",
-                       **join_kwargs(fx.table_join_partitions(
-                           sf_dir, "images", "geo")))
+    # full image rows carry `bytes` — broadcast the narrow geo side so
+    # the payload column never crosses a join shuffle
+    joined = broadcast_inner_join(imgs, g, "image_id")
 
     def clean_plus(batch: pa.Table) -> pa.Table:
         out = clean_and_encode(batch)

@@ -823,12 +823,14 @@ def queries():
         """T3 — per-tile render over images⋈geo (png hashed to a stable
         crc so the check pins pixel bytes without shipping them)."""
         import zlib
+        from ..util import broadcast_inner_join
         imgs = fx.read_fixture(sf_dir, "images",
                                columns=["image_id", "bytes", "w", "h", "fmt"])
         g = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
-        joined = imgs.join(g, on=("image_id",), join_type="inner",
-                           **join_kwargs(fx.table_join_partitions(
-                               sf_dir, "images", "geo")))
+        # geo is the narrow dimension side (~1% of the byte volume):
+        # broadcast it so the image BYTES never cross a join shuffle —
+        # they move once, in the tile-bucket exchange inside render_tiles
+        joined = broadcast_inner_join(imgs, g, "image_id")
         out = tiles.render_tiles(joined, tile_res=TILE_RES)
 
         def crc(b: pa.Table) -> pa.Table:

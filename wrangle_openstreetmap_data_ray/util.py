@@ -141,6 +141,67 @@ def anti_semi_join(ds, keys, on: str, keys_on: str | None = None,
     return bucketed_group_apply(u, [on], fn, n_buckets)
 
 
+# per-worker-process memo for broadcast join sides, keyed by object-ref
+# hex; bounded to ONE entry (cleared on miss) so long-lived workers
+# serving many joins never accumulate dead tables (round-2 ADVICE on the
+# analogous PIP cache)
+_BCAST_JOIN_CACHE: dict = {}
+
+
+def broadcast_inner_join(ds, small_ds, on: str, max_rows: int = 2_000_000,
+                         fallback_partitions: int | None = None):
+    """Inner join where the right side is a SMALL, unique-keyed dimension
+    table: the small side is fetched once, ``ray.put`` once, and attached
+    map-side via ``pc.index_in`` — the big side never crosses a shuffle.
+
+    This is the scale rule "broadcast small sides instead of a shuffle
+    join" made first-class: for the images⋈geo attach the byte-heavy
+    image rows otherwise pay a full hash-shuffle exchange (measured 4.3 s
+    for 40 MB at 32 CPUs vs ~0.3 s map-side) AND a second exchange at the
+    next groupby. Falls back to the hash join when the small side exceeds
+    ``max_rows`` (count comes from parquet metadata — no scan), so the
+    caller's pipeline stays correct when the "dimension" side grows.
+
+    Requirements (checked): ``on`` must be unique in ``small_ds`` — with
+    duplicates ``index_in`` would silently keep only the first match,
+    which is a different join. Non-key column names must not collide.
+    """
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if small_ds.count() > max_rows:
+        return ds.join(small_ds, on=(on,), join_type="inner",
+                       **join_kwargs(fallback_partitions))
+    small = pa.concat_tables(ray.get(small_ds.to_arrow_refs()))
+    small = small.combine_chunks()
+    if small.num_rows and \
+            pc.count_distinct(small[on]).as_py() != small.num_rows:
+        raise ValueError(f"broadcast_inner_join: key {on!r} is not unique "
+                         "in the small side; use a hash join")
+    overlap = (set(small.column_names) - {on}) & set(ds.schema().names)
+    if overlap:
+        raise ValueError(f"broadcast_inner_join: column collision {overlap}")
+    ref = ray.put(small)
+    key = ref.hex()
+
+    def attach(b: pa.Table) -> pa.Table:
+        t = _BCAST_JOIN_CACHE.get(key)
+        if t is None:
+            _BCAST_JOIN_CACHE.clear()
+            t = _BCAST_JOIN_CACHE[key] = ray.get(ref)
+        idx = pc.index_in(b[on], t[on])
+        mask = pc.is_valid(idx)
+        left = b.filter(mask)
+        rows = t.take(idx.filter(mask))
+        for name in t.column_names:
+            if name != on:
+                left = left.append_column(name, rows[name])
+        return left
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def distributed_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
     """Global top-k WITHOUT materializing the input on the driver.
 
