@@ -603,3 +603,37 @@ def test_broadcast_inner_join_rejects_dup_keys_and_collisions(ray_session):
                                     "v": pa.array([7], pa.int64())}))
     with pytest.raises(ValueError, match="collision"):
         broadcast_inner_join(big, clash, "k")
+
+
+def test_heavy_hitters_exact_under_heavy_truncation(ray_session):
+    """20k-item zipf vocab, capacity 64 (300x smaller than the vocab):
+    the sketch-then-verify op must still return EXACTLY the items with
+    count >= threshold, with exact counts (recall guaranteed by the
+    undercount bounds, precision by the verify pass)."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import sketch
+    rng = np.random.default_rng(11)
+    ids = rng.zipf(1.3, 300_000) % 20_000          # skewed item ids
+    items = pa.table({"item": pa.array([f"w{i}" for i in ids], pa.string())})
+    exact = pd.Series([f"w{i}" for i in ids]).value_counts()
+    threshold = 200
+    want = exact[exact >= threshold].sort_index()
+    got = sketch.heavy_hitters(rd.from_arrow(items).repartition(23),
+                               "item", threshold, capacity=64)
+    assert list(got["item"]) == list(want.index)
+    assert list(got["cnt"]) == [int(v) for v in want.values]
+    assert len(got) > 5            # the fixture actually has hitters
+
+
+def test_heavy_hitters_int_keys_and_empty_result(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import sketch
+    t = pa.table({"k": pa.array([1, 1, 1, 2, 2, 3], pa.int64())})
+    got = sketch.heavy_hitters(rd.from_arrow(t).repartition(3), "k", 2,
+                               capacity=2)
+    assert list(got["k"]) == [1, 2] and list(got["cnt"]) == [3, 2]
+    empty = sketch.heavy_hitters(rd.from_arrow(t).repartition(3), "k", 99,
+                                 capacity=2)
+    assert len(empty) == 0

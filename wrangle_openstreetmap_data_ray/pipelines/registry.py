@@ -2071,6 +2071,28 @@ def queries():
                                               ("c_custkey", "ascending")])
     q["tpch_q10_returns"] = tpch_q10_returns
 
+    def heavy_hitter_tokens(sf_dir):
+        """Vocab mining — EXACT counts of every token occurring ≥500
+        times, via the sketch-then-verify heavy-hitter operator
+        (bounded per-block summaries with undercount bounds → guaranteed
+        recall; broadcast exact recheck → exact precision). capacity=16
+        is deliberately below the corpus vocabulary so the truncation /
+        bound machinery genuinely exercises in the paired check."""
+        from ..functions import text
+        from ..stages import sketch
+        ds = fx.driver_table(sf_dir, "documents", columns=["text"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            toks: list[str] = []
+            for t in b["text"].to_pylist():
+                toks.extend(text.WS_RE.findall(t))
+            return pa.table({"token": pa.array(toks, pa.string())})
+
+        stream = ds.map_batches(explode, batch_format="pyarrow")
+        return sketch.heavy_hitters(stream, "token", threshold=500,
+                                    capacity=16)
+    q["heavy_hitter_tokens"] = heavy_hitter_tokens
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2819,6 +2841,11 @@ def oracle_sql():
                 WHERE l.l_returnflag = 'R'
                 GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal)
             ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "heavy_hitter_tokens": r"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+                FROM documents)
+            GROUP BY token HAVING COUNT(*) >= 500""",
         "raster_vectorize_regions": f"""
             WITH RECURSIVE pix AS (
                 SELECT qxf // 16 AS tile_qx, qyf // 16 AS tile_qy,

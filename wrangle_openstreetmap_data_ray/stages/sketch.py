@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_str_array
 
@@ -67,6 +68,132 @@ def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
     if e <= 2.5 * m and zeros > 0:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+def _block_summary(col: str, capacity: int):
+    """map_batches fn: block → ≤capacity (item, cnt) rows + one null-item
+    sentinel carrying the block's undercount bound ``delta``.
+
+    Per block we count exactly (pandas value_counts), then truncate to the
+    top-``capacity`` items. Any item dropped by the truncation had a block
+    count ≤ the (capacity+1)-th largest count, so ``delta`` = that count
+    bounds the per-block undercount of every unobserved item — the
+    offline form of the Misra-Gries decrement bound (d_b ≤ n_b/(cap+1),
+    so Σ_b d_b ≤ n/(cap+1) across the dataset)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[col].to_pandas().value_counts()   # sorted desc, exact
+        if len(s) > capacity:
+            delta = int(s.iloc[capacity])
+            s = s.iloc[:capacity]
+        else:
+            delta = 0
+        items = pa.array(list(s.index) + [None], batch[col].type)
+        cnts = np.append(s.to_numpy().astype(np.int64), 0)
+        deltas = np.full(len(s) + 1, delta, np.int64)
+        return pa.table({col: items,
+                         "cnt": pa.array(cnts, pa.int64()),
+                         "delta": pa.array(deltas, pa.int64())})
+    return fn
+
+
+def heavy_hitters(ds, col: str, threshold: int, capacity: int = 4096,
+                  max_candidates: int = 2_000_000) -> pd.DataFrame:
+    """EXACT counts of every item occurring ≥ ``threshold`` times, without
+    ever shuffling the full distinct-item table.
+
+    Two passes (the classic sketch-then-verify shape for 100 TB vocab
+    mining, where a plain ``groupby(item).count()`` would exchange
+    billions of near-unique keys):
+
+    1. *Candidates with guaranteed recall*: per-block truncated summaries
+       (≤ ``capacity``+1 narrow rows per block) merge in one bounded
+       groupby; an item's count upper bound is
+       ``Σ observed cnt + (Δ_total − Σ delta of blocks that observed
+       it)``, so filtering ``upper ≥ threshold`` can only OVER-select.
+       Recall needs ``Δ_total < threshold`` (else an item truncated in
+       EVERY block could be a hitter invisibly — the Misra-Gries
+       condition); since Δ_total ≤ n/(capacity+1), the op auto-escalates
+       capacity ×8 and re-summarizes until the condition holds.
+    2. *Exact verify*: candidate set broadcast once (``ray.put``), the
+       stream re-scans with a map-side ``pc.is_in`` filter + per-block
+       pre-count, and one small groupby produces exact counts; the final
+       ``cnt ≥ threshold`` filter makes precision exact too.
+
+    ``capacity`` trades summary size against candidate-set inflation;
+    ``max_candidates`` guards the driver pull (raise capacity or
+    threshold if it trips). Item dtype is preserved (string tokens,
+    integer keys). Returns (col, cnt) for the exact hitters.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sentinel_delta(b: pa.Table) -> pa.Table:
+        m = pc.is_null(b[col])
+        d = pc.sum(pc.if_else(m, b["delta"], pa.scalar(0, pa.int64())))
+        return pa.table({"d": pa.array([d.as_py() or 0], pa.int64())})
+
+    # escalate capacity until the merged undercount budget cannot hide a
+    # hitter; each retry is one extra narrow pass, and Δ_total shrinks at
+    # least ×8 per step so the loop is logarithmic in n/threshold
+    while True:
+        summ = ds.map_batches(_block_summary(col, capacity),
+                              batch_format="pyarrow").materialize()
+        delta_total = int(summ.map_batches(
+            sentinel_delta, batch_format="pyarrow").to_pandas()["d"].sum())
+        if delta_total < threshold:
+            break
+        capacity *= 8
+        if capacity > 64 * 1024 * 1024:
+            raise ValueError(
+                f"heavy_hitters: undercount budget {delta_total} still ≥ "
+                f"threshold {threshold} at capacity {capacity // 8}; "
+                "threshold is too small for sketch-based mining")
+
+    def drop_sentinels(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b[col]))
+
+    merged = summ.map_batches(drop_sentinels, batch_format="pyarrow") \
+                 .groupby(col) \
+                 .aggregate(Sum("cnt", alias_name="lower"),
+                            Sum("delta", alias_name="delta_seen"))
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        upper = pc.add(b["lower"],
+                       pc.subtract(pa.scalar(delta_total, pa.int64()),
+                                   b["delta_seen"]))
+        return b.filter(pc.greater_equal(
+            upper, pa.scalar(threshold, pa.int64()))).select([col])
+
+    cand_ds = merged.map_batches(keep_candidates, batch_format="pyarrow") \
+                    .materialize()
+    n_cand = cand_ds.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: {n_cand} candidates exceed the "
+            f"{max_candidates} driver-pull guard; raise capacity "
+            f"(tighter bounds) or threshold")
+    # zero-row candidate blocks can carry a drifted (schema-less) layout
+    # out of the aggregate — drop them before concat
+    tabs = [t for t in ray.get(cand_ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pd.DataFrame({col: pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64")})
+    cand = pa.concat_tables(tabs)[col]
+    cand_ref = ray.put(cand.combine_chunks())
+
+    def exact_precount(b: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        hits = b.filter(pc.is_in(b[col], value_set=cset))
+        s = hits[col].to_pandas().value_counts()
+        return pa.table({col: pa.array(list(s.index), b[col].type),
+                         "cnt": pa.array(s.to_numpy().astype(np.int64),
+                                         pa.int64())})
+
+    exact = ds.map_batches(exact_precount, batch_format="pyarrow") \
+              .groupby(col).aggregate(Sum("cnt", alias_name="cnt")) \
+              .to_pandas()
+    exact = exact[exact["cnt"] >= threshold]
+    return exact.sort_values([col], ignore_index=True)
 
 
 def hll_distinct(ds, col: str, p: int = 12) -> float:
