@@ -637,3 +637,31 @@ def test_heavy_hitters_int_keys_and_empty_result(ray_session):
     empty = sketch.heavy_hitters(rd.from_arrow(t).repartition(3), "k", 99,
                                  capacity=2)
     assert len(empty) == 0
+
+
+def test_bloom_semi_filter_no_false_negatives_and_prunes(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import bloom_semi_filter
+    rng = np.random.default_rng(3)
+    big = pa.table({"k": pa.array(rng.integers(0, 100_000, 50_000), pa.int64()),
+                    "v": pa.array(np.arange(50_000), pa.int64())})
+    keys = pa.table({"kk": pa.array(np.arange(500, 900), pa.int64())})
+    out = bloom_semi_filter(rd.from_arrow(big).repartition(9),
+                            rd.from_arrow(keys), on="k", keys_on="kk",
+                            n_bits=1 << 16).to_pandas()
+    in_keys = pd.Series(big["k"].to_numpy()).isin(range(500, 900))
+    want_true = set(big.filter(pa.array(in_keys.to_numpy()))["v"].to_pylist())
+    got = set(out["v"])
+    assert want_true <= got                       # no false negatives
+    # real pruning: survivors are a small superset of the true matches
+    assert len(got) < 0.05 * len(big["k"])
+    # string keys path
+    sbig = pa.table({"k": pa.array([f"id{i}" for i in
+                                    rng.integers(0, 5000, 8000)], pa.string())})
+    skeys = pa.table({"k": pa.array([f"id{i}" for i in range(50)], pa.string())})
+    sout = bloom_semi_filter(rd.from_arrow(sbig).repartition(5),
+                             rd.from_arrow(skeys), on="k",
+                             n_bits=1 << 16).to_pandas()
+    truth = {f"id{i}" for i in range(50)}
+    assert truth & set(sbig["k"].to_pylist()) <= set(sout["k"])

@@ -25,7 +25,7 @@ from ..functions import geo, normalize
 from ..functions.normalize import (EXPECTED_STREET_TYPES, FIRST_TOKEN_RE,
                                    MALAY_FIRST_TOKEN_TYPES, STREET_TYPE_RE)
 from ..stages import dedup, knn, multimodal, pip_join, simsearch, textstage, tiles
-from ..util import distributed_topk, join_kwargs
+from ..util import cluster_cpus, distributed_topk, join_kwargs
 from . import fixtures as fx
 
 # ---------------------------------------------------------------- helpers
@@ -2093,6 +2093,60 @@ def queries():
                                     capacity=16)
     q["heavy_hitter_tokens"] = heavy_hitter_tokens
 
+    def bloom_join_march_revenue(sf_dir):
+        """Bloom-filtered big⋈big join: lineitem is pre-filtered map-side
+        by a bloom filter of March-1995 order keys (~1.2% selectivity),
+        so ~99% of lineitem never enters the join shuffle; the exact hash
+        join then removes the bloom's false positives, making the result
+        identical to the plain join (the SQL twin). Revenue summed in
+        exact integer ten-thousandths (parallelism-stable)."""
+        import datetime
+
+        from ..util import bloom_semi_filter
+
+        lo = datetime.datetime(1995, 3, 1)
+        hi = datetime.datetime(1995, 4, 1)
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_orderdate"])
+
+        def o_filt(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                        pc.less(b["o_orderdate"], pa.scalar(hi)))
+            return b.filter(m).select(["o_orderkey"])
+
+        okeys = orders.map_batches(o_filt, batch_format="pyarrow") \
+                      .repartition(max(2, cluster_cpus() // 8))
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_extendedprice",
+                                      "l_discount"])
+
+        def l_rev(b: pa.Table) -> pa.Table:
+            rev = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            rev4 = np.floor(rev.to_numpy(zero_copy_only=False) * 1e4
+                            + 0.5).astype(np.int64)
+            return pa.table({"o_orderkey": b["l_orderkey"],
+                             "rev4": pa.array(rev4, pa.int64())})
+
+        survivors = bloom_semi_filter(
+            li.map_batches(l_rev, batch_format="pyarrow"), okeys,
+            on="o_orderkey", n_bits=1 << 20) \
+            .repartition(max(2, cluster_cpus() // 8))
+        j = survivors.join(okeys, on=("o_orderkey",), join_type="inner",
+                           **join_kwargs(max(2, cluster_cpus() // 8)))
+
+        def summ(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_items": pa.array([b.num_rows], pa.int64()),
+                "rev4": pa.array([pc.sum(b["rev4"]).as_py() or 0],
+                                 pa.int64())})
+
+        parts = j.map_batches(summ, batch_format="pyarrow").to_pandas()
+        return pd.DataFrame({
+            "n_items": [int(parts["n_items"].sum())],
+            "revenue": [int(parts["rev4"].sum()) / 1e4]})
+    q["bloom_join_march_revenue"] = bloom_join_march_revenue
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2846,6 +2900,15 @@ def oracle_sql():
                 SELECT unnest(regexp_extract_all(text, '\S+')) AS token
                 FROM documents)
             GROUP BY token HAVING COUNT(*) >= 500""",
+        "bloom_join_march_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '1995-03-01'
+              AND o.o_orderdate <  DATE '1995-04-01'""",
         "raster_vectorize_regions": f"""
             WITH RECURSIVE pix AS (
                 SELECT qxf // 16 AS tile_qx, qyf // 16 AS tile_qy,

@@ -141,11 +141,23 @@ def anti_semi_join(ds, keys, on: str, keys_on: str | None = None,
     return bucketed_group_apply(u, [on], fn, n_buckets)
 
 
-# per-worker-process memo for broadcast join sides, keyed by object-ref
-# hex; bounded to ONE entry (cleared on miss) so long-lived workers
-# serving many joins never accumulate dead tables (round-2 ADVICE on the
-# analogous PIP cache)
+# per-worker-process memo for broadcast state (join sides, bloom
+# bitmaps), keyed by object-ref hex; bounded to a few entries (cleared
+# when full) so long-lived workers serving many pipelines never
+# accumulate dead tables (round-2 ADVICE on the analogous PIP cache)
 _BCAST_JOIN_CACHE: dict = {}
+_BCAST_CACHE_CAP = 4
+
+
+def _bcast_get(ref):
+    import ray
+    key = ref.hex()
+    v = _BCAST_JOIN_CACHE.get(key)
+    if v is None:
+        if len(_BCAST_JOIN_CACHE) >= _BCAST_CACHE_CAP:
+            _BCAST_JOIN_CACHE.clear()
+        v = _BCAST_JOIN_CACHE[key] = ray.get(ref)
+    return v
 
 
 def broadcast_inner_join(ds, small_ds, on: str, max_rows: int = 2_000_000,
@@ -183,13 +195,9 @@ def broadcast_inner_join(ds, small_ds, on: str, max_rows: int = 2_000_000,
     if overlap:
         raise ValueError(f"broadcast_inner_join: column collision {overlap}")
     ref = ray.put(small)
-    key = ref.hex()
 
     def attach(b: pa.Table) -> pa.Table:
-        t = _BCAST_JOIN_CACHE.get(key)
-        if t is None:
-            _BCAST_JOIN_CACHE.clear()
-            t = _BCAST_JOIN_CACHE[key] = ray.get(ref)
+        t = _bcast_get(ref)
         idx = pc.index_in(b[on], t[on])
         mask = pc.is_valid(idx)
         left = b.filter(mask)
@@ -200,6 +208,74 @@ def broadcast_inner_join(ds, small_ds, on: str, max_rows: int = 2_000_000,
         return left
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def bloom_semi_filter(ds, keys_ds, on: str, keys_on: str | None = None,
+                      n_bits: int = 1 << 23, n_hashes: int = 4):
+    """Bloom-filter pre-filter for big⋈big joins with low key overlap.
+
+    The keys side crosses the cluster ONCE as fixed-size per-block
+    bitmaps (``n_bits/8`` bytes each, OR-merged on the driver while
+    holding a single bitmap, then broadcast once); ``ds`` is filtered
+    map-side before any shuffle. The filter has NO false negatives, so
+    ``bloom_semi_filter(big, keys) ⋈ keys`` returns exactly the plain
+    join's rows — only the (mostly matching) survivors pay the exchange.
+    False-positive rate ≈ ``(1 − e^{−n_hashes·m/n_bits})^n_hashes`` for
+    ``m`` distinct keys (~2.4% at the 8M-bit default with 1M keys);
+    false positives cost shuffle bytes, never correctness. At larger key
+    cardinalities scale ``n_bits`` (bitmap cost is fixed per block and
+    tiny next to the shuffle it avoids).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .functions.hashing import hash64_ints, hash64_str_array
+
+    keys_on = keys_on or on
+    words = n_bits // 64
+    nb = np.uint64(n_bits)
+
+    def col_hashes(col) -> np.ndarray:
+        if pa.types.is_integer(col.type):
+            return hash64_ints(col.to_numpy(zero_copy_only=False))
+        return hash64_str_array([str(x) for x in col.to_pylist()])
+
+    def positions(h: np.ndarray, i: int) -> np.ndarray:
+        # double hashing: idx_i = (h1 + i·h2) mod n_bits, h2 odd
+        h1 = h % nb
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            return (h1 + np.uint64(i) * h2) % nb
+
+    def block_bitmap(b: pa.Table) -> pa.Table:
+        bm = np.zeros(words, np.uint64)
+        h = col_hashes(b[keys_on])
+        for i in range(n_hashes):
+            idx = positions(h, i)
+            np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = keys_ds.map_batches(block_bitmap, batch_format="pyarrow")
+    bm = np.zeros(words, np.uint64)
+    for tref in parts.to_arrow_refs():        # stream the OR-merge
+        for buf in ray.get(tref)["bm"].to_pylist():
+            bm |= np.frombuffer(buf, np.uint64)
+    ref = ray.put(bm)
+
+    def probe(b: pa.Table) -> pa.Table:
+        filt = _bcast_get(ref)
+        h = col_hashes(b[on])
+        keep = np.ones(len(h), bool)
+        for i in range(n_hashes):
+            idx = positions(h, i)
+            word = filt[(idx >> np.uint64(6)).astype(np.int64)]
+            keep &= ((word >> (idx & np.uint64(63)))
+                     & np.uint64(1)).astype(bool)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def distributed_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
