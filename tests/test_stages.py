@@ -665,3 +665,34 @@ def test_bloom_semi_filter_no_false_negatives_and_prunes(ray_session):
                              n_bits=1 << 16).to_pandas()
     truth = {f"id{i}" for i in range(50)}
     assert truth & set(sbig["k"].to_pylist()) <= set(sout["k"])
+
+
+def test_hash_stratified_sample_deterministic_and_join_consistent(ray_session):
+    """Same key ⇒ same keep decision across tables, parallelism and
+    re-runs; observed rates track the permille targets."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import hash_stratified_sample
+    n = 20_000
+    keys = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                     "g": pa.array(["a" if i % 2 else "b" for i in range(n)],
+                                   pa.string())})
+    a = hash_stratified_sample(rd.from_arrow(keys).repartition(3), "k",
+                               {"a": 100, "b": 700}, strata_col="g",
+                               seed=9).to_pandas()
+    b = hash_stratified_sample(rd.from_arrow(keys).repartition(17), "k",
+                               {"a": 100, "b": 700}, strata_col="g",
+                               seed=9).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"])          # layout-independent
+    ga = a[a["g"] == "a"]; gb = a[a["g"] == "b"]
+    assert abs(len(ga) / (n / 2) - 0.1) < 0.02
+    assert abs(len(gb) / (n / 2) - 0.7) < 0.02
+    # join consistency: uniform-rate sample of a second table by the
+    # same key keeps exactly the same key set
+    other = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                      "v": pa.array(np.arange(n) * 3, pa.int64())})
+    c = hash_stratified_sample(rd.from_arrow(other).repartition(5), "k",
+                               250, seed=9).to_pandas()
+    d = hash_stratified_sample(rd.from_arrow(keys), "k", 250,
+                               seed=9).to_pandas()
+    assert sorted(c["k"]) == sorted(d["k"])

@@ -34,6 +34,12 @@ CELL_RES = 12        # cell_encode_points resolution
 TILE_RES = 10        # tile_assignments resolution
 RASTER_RES = 12      # raster_vectorize_regions tile resolution (16px grid)
 KNN_K = 3
+# stratified hash-sampling contract: permille keep-rates per event type
+# (downsample the frequent, keep the rare) + the shared hash seed; the
+# SQL twin embeds the SAME integers, so both sides are exact
+SAMPLE_RATES_PERMILLE = {"view": 50, "click": 100, "purchase": 500,
+                         "signup": 250, "error": 900}
+SAMPLE_SEED = 1234
 
 _SQL_ORACLE_TAG = "sf0.01"   # driver runs correctness at sf0.01
 
@@ -2147,6 +2153,22 @@ def queries():
             "revenue": [int(parts["rev4"].sum()) / 1e4]})
     q["bloom_join_march_revenue"] = bloom_join_march_revenue
 
+    def stratified_sample_events(sf_dir):
+        """Deterministic hash-based stratified sampling: frequent event
+        types downsampled hard, rare ones kept — the keep decision is
+        splitmix64(event_id ^ seed) < rate, a pure function of the key,
+        so the sample is parallelism/resume-stable, join-consistent,
+        and EXACTLY reproduced by the SQL twin (splitmix64 in HUGEINT
+        modular arithmetic) — seeded sampling as a value-pinned check,
+        not a rows-only one."""
+        from ..util import hash_stratified_sample
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "user_id", "event_type"])
+        return hash_stratified_sample(
+            ds, "event_id", SAMPLE_RATES_PERMILLE,
+            strata_col="event_type", seed=SAMPLE_SEED)
+    q["stratified_sample_events"] = stratified_sample_events
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2909,6 +2931,32 @@ def oracle_sql():
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderdate >= DATE '1995-03-01'
               AND o.o_orderdate <  DATE '1995-04-01'""",
+        # splitmix64 reproduced exactly in SQL: UBIGINT xor/shift, and
+        # 64-bit modular multiply split into 32-bit halves so the
+        # HUGEINT (int128) intermediate never overflows
+        "stratified_sample_events": f"""
+            CREATE OR REPLACE MACRO mulmod64(a, b) AS CAST((
+                (CAST(a & 4294967295::UBIGINT AS HUGEINT) * b)
+                    % 18446744073709551616::HUGEINT
+                + ((CAST(a >> 32 AS HUGEINT) * b) % 4294967296::HUGEINT)
+                    * 4294967296::HUGEINT
+            ) % 18446744073709551616::HUGEINT AS UBIGINT);
+            CREATE OR REPLACE MACRO sm64(x) AS (
+                WITH s0 AS (SELECT CAST((CAST(x AS HUGEINT)
+                        + 11400714819323198485::HUGEINT)
+                        % 18446744073709551616::HUGEINT AS UBIGINT) AS z),
+                s1 AS (SELECT mulmod64(xor(z, z >> 30),
+                        13787848793156543929::HUGEINT) AS z FROM s0),
+                s2 AS (SELECT mulmod64(xor(z, z >> 27),
+                        10723151780598845931::HUGEINT) AS z FROM s1)
+                SELECT xor(z, z >> 31) FROM s2);
+            SELECT event_id, user_id, event_type FROM events
+            WHERE CAST(sm64(xor(CAST(event_id AS UBIGINT),
+                                {SAMPLE_SEED}::UBIGINT)) AS HUGEINT)
+                  < CASE event_type {' '.join(
+                      f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
+                      for k, v in SAMPLE_RATES_PERMILLE.items())}
+                    ELSE 0::HUGEINT END""",
         "raster_vectorize_regions": f"""
             WITH RECURSIVE pix AS (
                 SELECT qxf // 16 AS tile_qx, qyf // 16 AS tile_qy,

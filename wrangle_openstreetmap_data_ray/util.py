@@ -278,6 +278,58 @@ def bloom_semi_filter(ds, keys_ds, on: str, keys_on: str | None = None,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+#: 1‰ of the uint64 hash space — the sampling unit shared with the SQL
+#: twin (thresholds are permille × this, exact integers on both sides)
+_SAMPLE_UNIT = (1 << 64) // 1000
+
+
+def hash_stratified_sample(ds, key_col: str, rates_permille,
+                           strata_col: str | None = None, seed: int = 0):
+    """Deterministic Bernoulli-by-key sampling: keep a row iff
+    ``splitmix64(key ^ seed) < permille × (2^64 // 1000)``.
+
+    Unlike ``random_sample(frac, seed)`` (whose outcome depends on block
+    layout and is not reproducible outside the engine), the decision is
+    a pure function of the KEY, so it is: stable across parallelism /
+    resume / re-runs; join-consistent (sample two tables by the same
+    foreign key and the FK relation survives sampling); and exactly
+    reproducible in SQL (splitmix64 reimplemented with HUGEINT modular
+    arithmetic — see the paired oracle), which turns sampling from a
+    rows-only check into a value-pinned one.
+
+    ``rates_permille``: int (uniform) or dict strata→permille with
+    ``strata_col`` (e.g. downsample frequent event types, keep rare
+    ones). Rates are permille (0..1000); keys must be non-negative
+    (SQL ``CAST(x AS UBIGINT)`` rejects negatives).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .functions.hashing import hash64_ints
+
+    if isinstance(rates_permille, dict):
+        if strata_col is None:
+            raise ValueError("dict rates need strata_col")
+        thr = {k: np.uint64(v * _SAMPLE_UNIT)
+               for k, v in rates_permille.items()}
+    else:
+        thr = np.uint64(int(rates_permille) * _SAMPLE_UNIT)
+
+    def fn(b: pa.Table) -> pa.Table:
+        h = hash64_ints(b[key_col].to_numpy(zero_copy_only=False),
+                        seed=seed)
+        if isinstance(thr, dict):
+            import pandas as pd
+            t = pd.Series(b[strata_col].to_pandas()) \
+                  .map(lambda s: thr.get(s, np.uint64(0))) \
+                  .to_numpy(dtype=np.uint64)
+        else:
+            t = thr
+        return b.filter(pa.array(h < t))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def distributed_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
     """Global top-k WITHOUT materializing the input on the driver.
 
