@@ -696,3 +696,42 @@ def test_hash_stratified_sample_deterministic_and_join_consistent(ray_session):
     d = hash_stratified_sample(rd.from_arrow(keys), "k", 250,
                                seed=9).to_pandas()
     assert sorted(c["k"]) == sorted(d["k"])
+
+
+def test_tfidf_top_terms_exact_and_parallelism_invariant(ray_session):
+    """Hand-checked tiny corpus + identical output across block layouts."""
+    import math
+
+    import ray.data as rd
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["apple banana apple", "banana cherry",
+                          "apple cherry cherry date"], pa.string())})
+    out = textstage.tfidf_top_terms(
+        rd.from_arrow(docs), 3, k=2, n_buckets=8).to_pandas()
+    out = out.sort_values(["doc_id", "score_e4", "token"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+    def s(tf, df):
+        return math.floor(tf * (math.log(3.0) - math.log(float(df)))
+                          * 1e4 + 0.5)
+    # doc1: apple tf2 df2, banana tf1 df2 -> both kept (k=2)
+    # doc3: cherry tf2 df2, date tf1 df1 -> date score ln3 > cherry 2*ln1.5
+    want = {(1, "apple", s(2, 2)), (1, "banana", s(1, 2)),
+            (2, "banana", s(1, 2)), (2, "cherry", s(1, 2)),
+            (3, "date", s(1, 1)), (3, "cherry", s(2, 2))}
+    assert set(map(tuple, out[["doc_id", "token", "score_e4"]]
+                   .itertuples(index=False))) == want
+
+    big = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "text": pa.array([f"w{i % 7} w{i % 13} common w{i % 29} w{i}"
+                          for i in range(200)], pa.string())})
+    a = textstage.tfidf_top_terms(rd.from_arrow(big).repartition(2), 200,
+                                  k=3).to_pandas()
+    b = textstage.tfidf_top_terms(rd.from_arrow(big).repartition(23), 200,
+                                  k=3).to_pandas()
+    key = ["doc_id", "score_e4", "token"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))

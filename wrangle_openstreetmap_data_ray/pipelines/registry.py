@@ -2169,6 +2169,18 @@ def queries():
             strata_col="event_type", seed=SAMPLE_SEED)
     q["stratified_sample_events"] = stratified_sample_events
 
+    def tfidf_top_terms(sf_dir):
+        """Corpus TF-IDF (the classic two-statistic text-vectorization
+        pass): per-doc top-3 whitespace terms by tf·ln(N/df). tf is a
+        map-only pass, df a combiner-pre-aggregated vocab shuffle
+        broadcast back map-side; scores fixed-point e4 and ORDERED BY
+        the rounded integer on both sides (ties by token) so engine
+        float ulps cannot reorder the top-k."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        n_docs = ds.count()   # metadata-only on a pure parquet read
+        return textstage.tfidf_top_terms(ds, n_docs, k=3)
+    q["tfidf_top_terms"] = tfidf_top_terms
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2957,6 +2969,28 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        # same float expression as the Ray kernel (ln N − ln df, not
+        # ln(N/df)) so both engines round the identical double
+        "tfidf_top_terms": r"""
+            WITH tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+')) AS token
+                      FROM documents)
+                GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       CAST(floor(tf.tf * (ln(n.n) - ln(CAST(df.df AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS score_e4
+                FROM tf JOIN df USING (token) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_e4 DESC, token) AS rk
+                FROM scored)
+            SELECT doc_id, token, score_e4 FROM ranked WHERE rk <= 3""",
         "raster_vectorize_regions": f"""
             WITH RECURSIVE pix AS (
                 SELECT qxf // 16 AS tile_qx, qyf // 16 AS tile_qy,

@@ -49,3 +49,82 @@ def analyze_text(ds, text_col: str = "text", keep_text: bool = False,
     def task(batch):
         return TextAnalyze(text_col, keep_text)(batch)
     return ds.map_batches(task, batch_format="pyarrow", batch_size=batch_size)
+
+
+def tfidf_top_terms(ds, n_docs: int, doc_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    vocab_broadcast_cap: int = 2_000_000,
+                    n_buckets: int = 256):
+    """Corpus TF-IDF: per-document top-``k`` terms by ``tf · ln(N/df)``.
+
+    Distributed shape (the two corpus-wide statistics never meet a
+    row-level shuffle of the text):
+    1. **tf pass** (map-only): tokenize each doc (whitespace tokens — the
+       SQL twin's ``regexp_extract_all(text,'\\S+')``) and emit one
+       ``(doc, token, tf)`` row per DISTINCT doc-term — materialized once
+       (narrow: int, dict-encodable str, int) so the df branch and the
+       score branch don't re-tokenize.
+    2. **df pass**: per-batch partial distinct-doc counts per token
+       (map-side combiner), then one ``groupby(token).sum`` shuffle whose
+       rows are bounded by vocab-per-batch, not token occurrences.
+    3. **attach**: df is a sub-linear "dimension" side → broadcast
+       map-side under ``vocab_broadcast_cap`` (hash-join fallback past
+       it, same rule as ``util.broadcast_inner_join``).
+    4. **score + top-k**: fixed-point ``floor(tf·ln(N/df)·1e4 + 0.5)``
+       (float discipline — ordering uses the ROUNDED integer on both
+       sides so engine ulps can't reorder ties), per-doc top-k via
+       ``bucketed_group_apply`` (bounded group overhead at corpus scale).
+
+    ``n_docs`` is passed in (metadata-only count at the call site) so
+    this stage adds no extra pass over the corpus.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import broadcast_inner_join, bucketed_group_apply
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        docs, toks, tfs = [], [], []
+        ids = batch[doc_col].to_pylist()
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            c = Counter(tx.WS_RE.findall(t))
+            docs.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table({doc_col: pa.array(docs, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # rows are distinct (doc, token) pairs → count per token IS the
+        # per-batch distinct-doc partial
+        vc = pc.value_counts(batch["token"])
+        return pa.table({"token": vc.field("values"),
+                         "df_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    df = tf.map_batches(df_partial, batch_format="pyarrow") \
+           .groupby("token").sum("df_part") \
+           .rename_columns({"sum(df_part)": "df"}).materialize()
+
+    scored_in = broadcast_inner_join(tf, df, on="token",
+                                     max_rows=vocab_broadcast_cap)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_v = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_v = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.floor(tf_v * (np.log(float(n_docs)) - np.log(df_v))
+                     * 1e4 + 0.5).astype(np.int64)
+        return batch.drop_columns(["tf", "df"]).append_column(
+            "score_e4", pa.array(s, pa.int64()))
+
+    scored = scored_in.map_batches(score, batch_format="pyarrow")
+
+    def topk(g):
+        g = g.sort_values([doc_col, "score_e4", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby(doc_col, sort=False).head(k) \
+                .drop(columns=["_bucket"])
+
+    return bucketed_group_apply(scored, [doc_col], topk, n_buckets)

@@ -185,8 +185,15 @@ def broadcast_inner_join(ds, small_ds, on: str, max_rows: int = 2_000_000,
     if small_ds.count() > max_rows:
         return ds.join(small_ds, on=(on,), join_type="inner",
                        **join_kwargs(fallback_partitions))
-    small = pa.concat_tables(ray.get(small_ds.to_arrow_refs()))
-    small = small.combine_chunks()
+    # groupby/sum outputs can contain zero-column empty blocks whose
+    # schema differs from the data blocks — drop them before concat
+    tabs = [t for t in ray.get(small_ds.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    if not tabs:   # empty small side: keep schema, match zero rows
+        sch = small_ds.schema()
+        tabs = [pa.table({n: pa.array([], t)
+                          for n, t in zip(sch.names, sch.types)})]
+    small = pa.concat_tables(tabs).combine_chunks()
     if small.num_rows and \
             pc.count_distinct(small[on]).as_py() != small.num_rows:
         raise ValueError(f"broadcast_inner_join: key {on!r} is not unique "
