@@ -735,3 +735,38 @@ def test_tfidf_top_terms_exact_and_parallelism_invariant(ray_session):
     key = ["doc_id", "score_e4", "token"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_pagerank_regimes_match_numpy_reference(ray_session):
+    """Broadcast and distributed regimes both equal a dense numpy power
+    iteration at e6 fixed point (multigraph semantics, d=0.85)."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import graph
+
+    rng = np.random.default_rng(7)
+    n = 60
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    # symmetrize so every node has in+out edges; ensure coverage
+    s = np.concatenate([src, dst, np.arange(n), (np.arange(n) + 1) % n])
+    t = np.concatenate([dst, src, (np.arange(n) + 1) % n, np.arange(n)])
+    edges = pa.table({"src": pa.array(s, pa.int64()),
+                      "dst": pa.array(t, pa.int64())})
+
+    # dense reference
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    r = np.ones(n)
+    for _ in range(3):
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, r[s] / deg[s])
+        r = 0.15 + 0.85 * contrib
+    want = np.floor(r * 1e6 + 0.5).astype(np.int64)
+
+    for cap in (2_000_000, 1):   # broadcast regime, then forced distributed
+        out = graph.pagerank(rd.from_arrow(edges).repartition(7),
+                             n_iters=3, broadcast_cap=cap).to_pandas()
+        got = out.sort_values("node").reset_index(drop=True)
+        assert len(got) == n
+        e6 = np.floor(got["r"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        assert np.array_equal(e6, want), cap

@@ -2181,6 +2181,43 @@ def queries():
         return textstage.tfidf_top_terms(ds, n_docs, k=3)
     q["tfidf_top_terms"] = tfidf_top_terms
 
+    def pagerank_order_part(sf_dir):
+        """Iterative distributed PageRank (3 power iterations, d=0.85)
+        over the symmetrized order⋈part bipartite MULTIGRAPH from
+        lineitem (nodes namespaced 2k / 2k+1; parallel edges each
+        contribute — the twin matches by not deduplicating). In the
+        broadcast regime (nodes ≤ 2M) every iteration is one map-only
+        pass with driver-merged node-sized partials — zero shuffles;
+        past the cap it's hash-join + groupby-sum per round. Output is
+        the global top-20 by fixed-point e6 rank via distributed_topk —
+        ordering uses the rounded integer on both sides."""
+        from ..stages import graph
+        ds = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_partkey"])
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            o = pc.multiply(b["l_orderkey"], pa.scalar(2, pa.int64()))
+            p = pc.add(pc.multiply(b["l_partkey"], pa.scalar(2, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+            return pa.table({"src": pa.concat_arrays([o.combine_chunks(),
+                                                      p.combine_chunks()]),
+                             "dst": pa.concat_arrays([p.combine_chunks(),
+                                                      o.combine_chunks()])})
+
+        edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+        ranks = graph.pagerank(edges, n_iters=3, d=0.85)
+
+        def fixed(b: pa.Table) -> pa.Table:
+            r = b["r"].to_numpy(zero_copy_only=False)
+            e6 = np.floor(r * 1e6 + 0.5).astype(np.int64)
+            return pa.table({"node": b["node"],
+                             "rank_e6": pa.array(e6, pa.int64())})
+
+        return distributed_topk(
+            ranks.map_batches(fixed, batch_format="pyarrow"), 20,
+            [("rank_e6", "descending"), ("node", "ascending")])
+    q["pagerank_order_part"] = pagerank_order_part
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -2969,6 +3006,27 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        # identical float expressions to the Ray kernel: w = 1.0/deg
+        # precomputed, update = (1.0-0.85) + 0.85*SUM(w*r) — so both
+        # engines round the same doubles at every iteration
+        "pagerank_order_part": """
+            WITH base AS (
+                SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst
+                FROM lineitem),
+            edges AS (SELECT src, dst FROM base
+                      UNION ALL SELECT dst, src FROM base),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            ew AS (SELECT e.src, e.dst, 1.0/deg AS w
+                   FROM edges e JOIN deg USING (src)),
+            r0 AS (SELECT src AS node, 1.0::DOUBLE AS r FROM deg),
+            r1 AS (SELECT ew.dst AS node, (1.0-0.85) + 0.85*SUM(ew.w*r.r) AS r
+                   FROM ew JOIN r0 r ON ew.src = r.node GROUP BY ew.dst),
+            r2 AS (SELECT ew.dst AS node, (1.0-0.85) + 0.85*SUM(ew.w*r.r) AS r
+                   FROM ew JOIN r1 r ON ew.src = r.node GROUP BY ew.dst),
+            r3 AS (SELECT ew.dst AS node, (1.0-0.85) + 0.85*SUM(ew.w*r.r) AS r
+                   FROM ew JOIN r2 r ON ew.src = r.node GROUP BY ew.dst)
+            SELECT node, CAST(floor(r*1000000 + 0.5) AS BIGINT) AS rank_e6
+            FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20""",
         # same float expression as the Ray kernel (ln N − ln df, not
         # ln(N/df)) so both engines round the identical double
         "tfidf_top_terms": r"""
