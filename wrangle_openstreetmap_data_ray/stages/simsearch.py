@@ -177,3 +177,70 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         num_cpus=1)
     return partials.groupby("query_id").map_groups(_final_topk(k),
                                                    batch_format="pandas")
+
+
+def kmeans_fit(ds, vec_col: str, id_col: str, k: int, n_iters: int = 2,
+               broadcast_cap_bytes: int = 64 << 20):
+    """Distributed Lloyd k-means over an embedding column — the standard
+    scalable shape: centroids (k × d doubles, broadcast ``ray.put`` once
+    per round) never outgrow ``broadcast_cap_bytes``; each round is ONE
+    map-only pass where every block emits its (≤ k)-row partial
+    (cluster, count, per-dim sums) and the k-sized partials are merged
+    driver-side (the mergeable-partial pattern — no shuffle anywhere).
+
+    Deterministic: init centroids are the vectors of the ``k`` smallest
+    ids (distributed_topk — no data-order dependence); assignment ties
+    break to the lowest cluster index (np.argmin). Raises on an empty
+    cluster rather than silently diverging from the SQL twin. All math
+    in float64 with the same expressions as the twin (explicit
+    Σ(x_j − c_j)²); callers fix-point the output.
+
+    Returns ``(centroids (k, d) float64, counts (k,) int64)`` of the
+    FINAL assignment round (the means ARE that round's assignment).
+    """
+    import ray
+
+    from ..util import _bcast_get, distributed_topk
+
+    ds = ds.materialize()   # iterated over n_iters+1 times — read once
+    seeds = distributed_topk(ds, k, [(id_col, "ascending")])
+    C = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seeds[vec_col]])
+    if C.nbytes > broadcast_cap_bytes:
+        raise ValueError("k × d centroid matrix exceeds broadcast cap")
+
+    counts = None
+    for _ in range(n_iters):
+        c_ref = ray.put(C)
+
+        def partial(b: pa.Table, _c=c_ref):
+            cen = _bcast_get(_c)                       # (k, d)
+            x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+                  .astype(np.float64)                  # (n, d)
+            d2 = ((x[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)                  # ties -> lowest c
+            kk = cen.shape[0]
+            sums = np.zeros_like(cen)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            keep = cnt > 0
+            return pa.table({
+                "c": pa.array(np.nonzero(keep)[0].astype(np.int64)),
+                "cnt": pa.array(cnt[keep]),
+                "sums": pa.array(list(sums[keep]),
+                                 pa.list_(pa.float64()))})
+
+        parts = [t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+              .to_arrow_refs()) if t.num_rows and t.num_columns]
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), np.int64)
+        for t in parts:   # k-sized per block, merged in block order
+            cs = t["c"].to_numpy(zero_copy_only=False)
+            counts[cs] += t["cnt"].to_numpy(zero_copy_only=False)
+            sums[cs] += np.stack(t["sums"].to_numpy(zero_copy_only=False))
+        if (counts == 0).any():
+            raise ValueError(f"empty cluster(s) {np.nonzero(counts == 0)[0]}"
+                             " — choose a different k/init")
+        C = sums / counts[:, None]
+    return C, counts
