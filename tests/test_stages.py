@@ -802,3 +802,27 @@ def test_kmeans_fit_matches_local_reference(ray_session):
                             "embedding", "vec_id", k=3, n_iters=2)
         assert np.array_equal(cnt, cnt_ref)
         assert np.allclose(C, C_ref, rtol=0, atol=1e-12)
+
+
+def test_broadcast_left_join_nulls_and_fallback(ray_session):
+    """Missing keys yield nulls (not dropped); the past-cap hash
+    fallback produces the same rows."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import broadcast_left_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"])}))
+    small = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4], pa.int64()),
+        "w": pa.array([20.0, 40.0], pa.float64())}))
+
+    def got(cap):
+        df = broadcast_left_join(big, small, on="k", max_rows=cap) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        return list(zip(df["k"], df["w"].fillna(-1.0)))
+
+    want = [(1, -1.0), (2, 20.0), (3, -1.0), (4, 40.0)]
+    assert got(2_000_000) == want          # broadcast path
+    assert got(1) == want                  # hash left_outer fallback

@@ -2241,6 +2241,86 @@ def queries():
             "n_points": np.repeat(counts, d)})
     q["kmeans_embeddings"] = kmeans_embeddings
 
+    def tpch_q13_order_distribution(sf_dir):
+        """TPC-H Q13 shape — distribution of customers by order count,
+        INCLUDING zero-order customers: per-customer counts (one
+        groupby shuffle) are LEFT-attached back onto the customer
+        dimension via broadcast_left_join (missing → 0), then the tiny
+        second groupby histograms the counts."""
+        from ..util import broadcast_left_join
+        cust = fx.driver_table(sf_dir, "customer", columns=["c_custkey"])
+        orders = fx.driver_table(sf_dir, "orders", columns=["o_custkey"])
+        counts = orders.groupby("o_custkey").count() \
+            .rename_columns({"o_custkey": "c_custkey", "count()": "c_count"})
+        per_cust = broadcast_left_join(cust, counts, on="c_custkey")
+
+        def fill0(b: pa.Table) -> pa.Table:
+            c = pc.fill_null(b["c_count"], 0)
+            return b.set_column(b.schema.get_field_index("c_count"),
+                                "c_count", pc.cast(c, pa.int64()))
+
+        return per_cust.map_batches(fill0, batch_format="pyarrow") \
+            .groupby("c_count").count() \
+            .rename_columns({"count()": "custdist"})
+    q["tpch_q13_order_distribution"] = tpch_q13_order_distribution
+
+    def tpch_q17_small_quantity_revenue(sf_dir):
+        """TPC-H Q17 shape — the correlated scalar subquery
+        ("l_quantity < 0.2 × that part's average quantity") as
+        pre-aggregate + broadcast: the brand's ~1/25 of parts is
+        broadcast as a semi-filter so 96% of lineitem never leaves the
+        scan; per-part qty sums/counts (small) come back as a broadcast
+        threshold map; revenue sums on-cluster in integer cents.
+        Quantities are integer-valued floats so the per-part average is
+        EXACT and the < comparison is engine-stable."""
+        from ray.data.aggregate import Count, Sum
+        from ..util import broadcast_inner_join
+        import ray
+
+        li = fx.driver_table(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        parts = fx.driver_table(sf_dir, "part",
+                                columns=["p_partkey", "p_brand"]) \
+            .filter(expr="p_brand == 'Brand#23'").select_columns(["p_partkey"])
+        pk = pa.concat_tables(
+            [t for t in ray.get(parts.to_arrow_refs())
+             if t.num_rows and t.num_columns])
+        pk_ref = ray.put(pk["p_partkey"].combine_chunks())
+
+        def semi(b: pa.Table) -> pa.Table:
+            from ..util import _bcast_get
+            return b.filter(pc.is_in(b["l_partkey"], _bcast_get(pk_ref)))
+
+        brand_li = li.map_batches(semi, batch_format="pyarrow").materialize()
+        stats = brand_li.groupby("l_partkey") \
+            .aggregate(Sum("l_quantity"), Count()) \
+            .rename_columns({"sum(l_quantity)": "sq", "count()": "cq"})
+
+        def thresh(b: pa.Table) -> pa.Table:
+            avg = b["sq"].to_numpy(zero_copy_only=False) \
+                / b["cq"].to_numpy(zero_copy_only=False)
+            return pa.table({"l_partkey": b["l_partkey"],
+                             "lim": pa.array(0.2 * avg, pa.float64())})
+
+        limited = broadcast_inner_join(
+            brand_li, stats.map_batches(thresh, batch_format="pyarrow"),
+            on="l_partkey")
+
+        def cents(b: pa.Table) -> pa.Table:
+            keep = pc.less(b["l_quantity"], b["lim"])
+            ep = b.filter(keep)["l_extendedprice"] \
+                .to_numpy(zero_copy_only=False)
+            c = np.floor(ep * 100 + 0.5).astype(np.int64)
+            return pa.table({"cents": pa.array(c, pa.int64())})
+
+        agg = limited.map_batches(cents, batch_format="pyarrow") \
+            .aggregate(Sum("cents"))
+        total = 0 if agg is None else int(agg.get("sum(cents)") or 0)
+        e4 = int(np.floor((total / 100.0) / 7.0 * 10000 + 0.5))
+        return pd.DataFrame({"avg_yearly_e4": [e4]})
+    q["tpch_q17_small_quantity_revenue"] = tpch_q17_small_quantity_revenue
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3029,6 +3109,29 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "tpch_q13_order_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c LEFT JOIN orders o
+                     ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY c_count""",
+        # quantities are integer-valued floats: the per-part AVG is an
+        # exact double on both engines, so the < comparison is stable
+        "tpch_q17_small_quantity_revenue": """
+            SELECT CAST(floor((SUM(cents)/100.0)/7.0*10000 + 0.5)
+                        AS BIGINT) AS avg_yearly_e4
+            FROM (
+                SELECT CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                       AS cents
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#23'
+                  AND l.l_quantity < (
+                      SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey))""",
         # two Lloyd rounds as chained CTEs; same float expressions as the
         # Ray kernel (explicit squared-diff sums, plain means)
         "kmeans_embeddings": """

@@ -217,6 +217,49 @@ def broadcast_inner_join(ds, small_ds, on: str, max_rows: int = 2_000_000,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def broadcast_left_join(ds, small_ds, on: str, max_rows: int = 2_000_000):
+    """LEFT-outer variant of ``broadcast_inner_join``: every ``ds`` row
+    survives; small-side columns are null where the key has no match
+    (``pa.Table.take`` with null indices). Same cap / uniqueness /
+    collision rules; falls back to a hash ``left_outer`` join past the
+    cap. The canonical use is attaching an aggregate back to its
+    dimension table where "no rows aggregated" must surface as null/0
+    rather than dropping the row (e.g. order counts per customer
+    including zero-order customers)."""
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if small_ds.count() > max_rows:
+        return ds.join(small_ds, on=(on,), join_type="left_outer",
+                       **join_kwargs())
+    tabs = [t for t in ray.get(small_ds.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    if not tabs:
+        sch = small_ds.schema()
+        tabs = [pa.table({n: pa.array([], t)
+                          for n, t in zip(sch.names, sch.types)})]
+    small = pa.concat_tables(tabs).combine_chunks()
+    if small.num_rows and \
+            pc.count_distinct(small[on]).as_py() != small.num_rows:
+        raise ValueError(f"broadcast_left_join: key {on!r} is not unique "
+                         "in the small side")
+    overlap = (set(small.column_names) - {on}) & set(ds.schema().names)
+    if overlap:
+        raise ValueError(f"broadcast_left_join: column collision {overlap}")
+    ref = ray.put(small)
+
+    def attach(b: pa.Table) -> pa.Table:
+        t = _bcast_get(ref)
+        idx = pc.index_in(b[on], t[on])
+        for name in t.column_names:
+            if name != on:
+                b = b.append_column(name, t[name].take(idx))
+        return b
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def bloom_semi_filter(ds, keys_ds, on: str, keys_on: str | None = None,
                       n_bits: int = 1 << 23, n_hashes: int = 4):
     """Bloom-filter pre-filter for big⋈big joins with low key overlap.
