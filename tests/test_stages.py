@@ -826,3 +826,37 @@ def test_broadcast_left_join_nulls_and_fallback(ray_session):
     want = [(1, -1.0), (2, 20.0), (3, -1.0), (4, 40.0)]
     assert got(2_000_000) == want          # broadcast path
     assert got(1) == want                  # hash left_outer fallback
+
+
+def test_prefix_filtered_pairs_matches_bruteforce(ray_session):
+    """PPJoin-style exact ssjoin == brute-force all-pairs Jaccard at two
+    block layouts (exhaustiveness of prefix filtering)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    texts = list(base)
+    for i in range(0, 20, 2):        # near-dups: small perturbations
+        toks = base[i].split()
+        toks[rng.integers(len(toks))] = "zzz"
+        texts.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+
+    tau = 0.6
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = jaccard_shingles(WS_RE.findall(texts[i].lower()),
+                                   WS_RE.findall(texts[j].lower()), 3)
+            if jac >= tau:
+                want.add((i, j))
+    assert want, "fixture must contain true pairs"
+
+    for nparts in (3, 17):
+        got = dedup.prefix_filtered_pairs(
+            rd.from_arrow(t).repartition(nparts), "doc_id", "text",
+            tau=tau, n_buckets=32).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == want
+        assert not got.duplicated(["id_a", "id_b"]).any()

@@ -2321,6 +2321,24 @@ def queries():
         return pd.DataFrame({"avg_yearly_e4": [e4]})
     q["tpch_q17_small_quantity_revenue"] = tpch_q17_small_quantity_revenue
 
+    def ssjoin_prefix_pairs(sf_dir):
+        """EXACT set-similarity join via prefix filtering (AllPairs /
+        PPJoin family) at τ=0.7 — deterministic exhaustiveness by
+        construction (vs jaccard_doc_pairs' probabilistic LSH at
+        τ=0.8): docs sharing a rarest-first prefix shingle meet in one
+        bucketed shuffle and verify exact shingle Jaccard. The twin
+        computes the same Jaccard over ALL pairs, so the check pins
+        that prefix filtering lost no pair."""
+        ds = fx.read_fixture(sf_dir, "docs_dup", columns=["doc_id", "text"])
+        out = dedup.prefix_filtered_pairs(ds, "doc_id", "text", tau=0.7)
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "id_a": b["id_a"], "id_b": b["id_b"],
+                "jaccard": pc.round(b["jaccard"], ndigits=6)})
+        return out.map_batches(f, batch_format="pyarrow")
+    q["ssjoin_prefix_pairs"] = ssjoin_prefix_pairs
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3109,6 +3127,27 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "ssjoin_prefix_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS t
+                FROM read_parquet('{_fxp('docs_dup')}')),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]
+                       )) AS s
+                FROM toks)
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.s, b.s))),
+                             6) AS jaccard,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.s, b.s)))
+                             AS raw_j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE raw_j >= 0.7""",
         "tpch_q13_order_distribution": """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
                 SELECT c.c_custkey,

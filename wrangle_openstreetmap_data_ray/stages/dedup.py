@@ -20,8 +20,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.text import (WS_RE, hamming64, jaccard_shingles,
-                              minhash_bands, minhash_signature, simhash64)
+from ..functions.text import (WS_RE, _shingle_hashes, hamming64,
+                              jaccard_shingles, minhash_bands,
+                              minhash_signature, simhash64)
 from ..util import pool_spec
 
 # ------------------------------------------------------------------ exact
@@ -698,3 +699,127 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     return bucketed_group_apply(sided, ["id_a", "id_b"], judge_bucket,
                                 n_buckets=256)
+
+
+def prefix_filtered_pairs(ds, id_col: str, text_col: str, tau: float = 0.7,
+                          shingle_n: int = 3,
+                          rank_broadcast_cap: int = 4_000_000,
+                          n_buckets: int = 256):
+    """EXACT set-similarity join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): any pair with shingle Jaccard ≥ tau must share a shingle
+    inside BOTH docs' prefixes — the first ``|s| − ceil(tau·|s|) + 1``
+    shingles under one GLOBAL rarest-first order — so grouping by
+    prefix shingle and verifying inside groups is exhaustive by
+    construction (deterministic; no LSH miss probability), while the
+    fan-out is driven by RARE shingles only.
+
+    Distributed shape: one map pass builds shingle-hash sets
+    (materialized, reused); a combiner-pre-aggregated groupby computes
+    global shingle frequencies, broadcast once as a rank LUT under
+    ``rank_broadcast_cap`` (the LUT is vocabulary-sized — past the cap
+    use ``minhash_verified_pairs``, the probabilistic scale path; this
+    operator's contract is exactness where the vocabulary fits);
+    prefix rows (one per prefix shingle, carrying the doc's set) meet
+    one bucketed shuffle; verification and the pair-dedup are bucketed
+    group applies. Shuffle volume is Σ_d ℓ_d·|s_d| — the known cost of
+    exact ssjoin, paid only on the prefix fraction (≈ 1−tau of rows).
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import _bcast_get, bucketed_group_apply
+
+    def mk_sets(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        sets = [_shingle_hashes(WS_RE.findall(t.lower()), shingle_n)
+                for t in b[text_col].to_pylist()]
+        return pa.table({id_col: ids,
+                         "s": pa.array([s for s in sets],
+                                       pa.list_(pa.uint64()))})
+
+    sets = ds.map_batches(mk_sets, batch_format="pyarrow").materialize()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        # int64 bit-view: Ray's groupby pickles uint64 keys
+        flat = pc.list_flatten(b["s"]).to_numpy(zero_copy_only=False) \
+                 .view(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"sh": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    vocab = sets.map_batches(df_partial, batch_format="pyarrow") \
+                .groupby("sh").sum("cnt") \
+                .rename_columns({"sum(cnt)": "cnt"}).materialize()
+    if vocab.count() > rank_broadcast_cap:
+        raise ValueError(
+            "shingle vocabulary exceeds rank_broadcast_cap — use "
+            "minhash_verified_pairs (LSH) at this scale")
+    vt = pa.concat_tables(
+        [t for t in ray.get(vocab.to_arrow_refs())
+         if t.num_rows and t.num_columns]).combine_chunks()
+    sh = vt["sh"].to_numpy(zero_copy_only=False)
+    cnt = vt["cnt"].to_numpy(zero_copy_only=False)
+    o = np.argsort(sh, kind="stable")
+    sh_sorted, cnt_sorted = sh[o], cnt[o]
+    # rank: rarest first, shingle value as the tie-break (total order)
+    rank_sorted = np.empty(len(sh_sorted), np.int64)
+    rank_sorted[np.lexsort((sh_sorted, cnt_sorted))] = \
+        np.arange(len(sh_sorted))
+    lut_ref = ray.put((sh_sorted, rank_sorted))
+
+    def prefix_rows(b: pa.Table, _lut=lut_ref) -> pa.Table:
+        sh_s, rk = _bcast_get(_lut)
+        ids_out, psh_out, set_out = [], [], []
+        for did, s in zip(b[id_col].to_pylist(), b["s"].to_pylist()):
+            s = np.asarray(s, np.uint64)
+            r = rk[np.searchsorted(sh_s, s.view(np.int64))]
+            ell = len(s) - math.ceil(tau * len(s)) + 1
+            pref = s[np.argsort(r, kind="stable")[:ell]]
+            ids_out.extend([did] * len(pref))
+            psh_out.extend(pref.tolist())
+            set_out.extend([s] * len(pref))
+        return pa.table({"psh": pa.array(psh_out, pa.uint64()),
+                         id_col: pa.array(ids_out),
+                         "s": pa.array(set_out, pa.list_(pa.uint64()))})
+
+    prefixed = sets.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for _, grp in g.groupby("psh", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            ss = grp["s"].to_numpy()
+            o = np.argsort(ids, kind="stable")
+            ids, ss = ids[o], ss[o]
+            for i in range(len(ids)):
+                a = np.asarray(ss[i], np.uint64)
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    bset = np.asarray(ss[j], np.uint64)
+                    inter = np.intersect1d(a, bset,
+                                           assume_unique=True).size
+                    union = a.size + bset.size - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= tau:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(jac)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=g[id_col].dtype),
+            "id_b": pd.Series(out_b, dtype=g[id_col].dtype),
+            "jaccard": pd.Series(out_j, dtype=np.float64)})
+
+    pairs = bucketed_group_apply(prefixed, ["psh"], verify_bucket,
+                                 n_buckets)
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["_bucket"])
+
+    return bucketed_group_apply(pairs, ["id_a", "id_b"], dedup_pairs,
+                                n_buckets)
