@@ -860,3 +860,41 @@ def test_prefix_filtered_pairs_matches_bruteforce(ray_session):
             tau=tau, n_buckets=32).to_pandas()
         assert set(zip(got["id_a"], got["id_b"])) == want
         assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+def test_merge_upsert_carryover_and_semantics(ray_session, tmp_path):
+    """Untouched fragments carry over by reference (zero rewrite I/O);
+    matched keys replaced, new keys inserted; duplicate keys refused."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.sources import lancelike
+
+    root = str(tmp_path / "store")
+    base = pa.table({"k": pa.array(np.arange(100), pa.int64()),
+                     "v": pa.array(np.arange(100) * 10, pa.int64())})
+    # 4 fragments of 25 keys each — updates touch only keys 0..24
+    lancelike.write_dataset(rd.from_arrow(base).repartition(4), root,
+                            stage="base", resume=False)
+    man0 = lancelike.latest_manifest(root)
+
+    upd = pa.table({"k": pa.array([3, 7, 200], pa.int64()),
+                    "v": pa.array([-3, -7, -200], pa.int64())})
+    man1 = lancelike.merge_upsert(rd.from_arrow(upd), root, "k",
+                                  stage="merge1")
+    got = lancelike.read_dataset(root).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert len(got) == 101
+    v = dict(zip(got["k"], got["v"]))
+    assert v[3] == -3 and v[7] == -7 and v[200] == -200
+    assert v[5] == 50 and v[99] == 990
+
+    # fragments whose key range was untouched must be the SAME files
+    old = {f["path"] for f in man0["fragments"]}
+    carried = [f["path"] for f in man1["fragments"] if f["path"] in old]
+    assert len(carried) >= 1, "expected carried-over fragments"
+    assert man1["metrics"]["carried_fragments"] == len(carried)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                        "v": pa.array([0, 0], pa.int64())})
+        lancelike.merge_upsert(rd.from_arrow(dup), root, "k", stage="m2")

@@ -16,6 +16,8 @@ doubles hash-unstable. Columns passed through untouched keep raw values.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2339,6 +2341,61 @@ def queries():
         return out.map_batches(f, batch_format="pyarrow")
     q["ssjoin_prefix_pairs"] = ssjoin_prefix_pairs
 
+    def lancelike_merge_upsert_check(sf_dir):
+        """Copy-on-write MERGE into the lancelike store, value-pinned:
+        base = orders; update batch doubles o_totalprice (exact float
+        ×2) and stamps priority for keys %7==0, inserts NEW keys
+        (+1e8) for %13==0; the merged store is read back and
+        aggregated. The twin computes the same NOT IN ∪ updates merge
+        relationally — pinning replace, insert, and carry-over
+        semantics in one check. Untouched fragments are carried by
+        manifest reference (no rewrite I/O)."""
+        import shutil
+
+        from ray.data.aggregate import Count, Sum
+        from ..sources import lancelike
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_merge/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        lancelike.write_dataset(orders, root, stage="base", resume=False)
+
+        def mk_upd(b: pa.Table) -> pa.Table:
+            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            i_key = b.schema.get_field_index("o_orderkey")
+            i_tp = b.schema.get_field_index("o_totalprice")
+            i_pr = b.schema.get_field_index("o_orderpriority")
+            t7 = b.filter(pa.array(kk % 7 == 0))
+            t7 = t7.set_column(i_tp, "o_totalprice",
+                               pc.multiply(t7["o_totalprice"], 2.0))
+            t7 = t7.set_column(i_pr, "o_orderpriority",
+                               pa.array(["MERGED"] * t7.num_rows))
+            t13 = b.filter(pa.array(kk % 13 == 0))
+            t13 = t13.set_column(
+                i_key, "o_orderkey",
+                pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
+            t13 = t13.set_column(i_pr, "o_orderpriority",
+                                 pa.array(["NEWROW"] * t13.num_rows))
+            return pa.concat_tables([t7, t13])
+
+        upd = orders.map_batches(mk_upd, batch_format="pyarrow")
+        lancelike.merge_upsert(upd, root, "o_orderkey", stage="merge1")
+
+        merged = lancelike.read_dataset(
+            root, columns=["o_orderpriority", "o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+            return pa.table({"o_orderpriority": b["o_orderpriority"],
+                             "cents": pa.array(c, pa.int64())})
+
+        return merged.map_batches(cents, batch_format="pyarrow") \
+            .groupby("o_orderpriority").aggregate(Count(), Sum("cents")) \
+            .rename_columns({"count()": "n", "sum(cents)": "cents"})
+    q["lancelike_merge_upsert_check"] = lancelike_merge_upsert_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3127,6 +3184,25 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "lancelike_merge_upsert_check": """
+            WITH upd AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice*2 AS o_totalprice, o_orderdate,
+                       'MERGED' AS o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, 'NEWROW'
+                FROM orders WHERE o_orderkey % 13 = 0),
+            merged AS (
+                SELECT o_orderpriority, o_totalprice FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+                UNION ALL
+                SELECT o_orderpriority, o_totalprice FROM upd)
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM merged GROUP BY o_orderpriority""",
         "ssjoin_prefix_pairs": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -252,3 +252,99 @@ def dataset_row_count(root: str) -> int:
     """Row count from manifest metadata alone — no data read."""
     man = latest_manifest(root)
     return 0 if man is None else man["total_rows"]
+
+
+def merge_upsert(updates, root: str, key_col: str, stage: str,
+                 key_broadcast_cap: int = 2_000_000) -> dict:
+    """Copy-on-write MERGE (upsert by key) committing a new version:
+    matched keys are replaced, unmatched keys inserted.
+
+    Fragment-granular, the Lance/Iceberg play: the update key set is
+    broadcast once; every EXISTING fragment is probed in parallel and
+    either CARRIED OVER by manifest reference (no key hit — zero I/O,
+    the overwhelmingly common case when updates are localized) or
+    rewritten without its matched rows; the updates dataset itself
+    streams in as new fragments. Total I/O is O(touched fragments +
+    updates), never O(table). Readers only ever see the old or the new
+    committed version (manifest-last protocol).
+
+    ``updates`` must have unique keys (checked — duplicate keys make
+    "replace" ambiguous) and at most ``key_broadcast_cap`` of them
+    (split bigger batches; the broadcast key probe is the design).
+    Re-running the same merge is result-idempotent (replacing twice ==
+    replacing once) but commits a new version each time.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+
+    ktabs = [t for t in
+             ray.get(updates.select_columns([key_col]).to_arrow_refs())
+             if t.num_rows and t.num_columns]
+    keys = (pa.concat_tables(ktabs)[key_col].combine_chunks()
+            if ktabs else pa.array([]))
+    if len(keys) > key_broadcast_cap:
+        raise ValueError("update batch exceeds key_broadcast_cap — "
+                         "split it into smaller merges")
+    if len(keys) != pc.count_distinct(keys).as_py():
+        raise ValueError(f"duplicate {key_col!r} in updates — replace "
+                         "semantics are ambiguous")
+    kref = ray.put(keys)
+
+    frag_meta = pa.table({
+        "path": pa.array([f["path"] for f in man["fragments"]]),
+        "rows": pa.array([int(f["rows"]) for f in man["fragments"]],
+                         pa.int64()),
+        "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
+                          pa.int64())})
+
+    def probe(b: pa.Table) -> pa.Table:
+        from ..util import _bcast_get
+        ks = _bcast_get(kref)
+        paths, rows, sizes = [], [], []
+        for path, nrows, nbytes in zip(b["path"].to_pylist(),
+                                       b["rows"].to_pylist(),
+                                       b["bytes"].to_pylist()):
+            t = pq.read_table(os.path.join(root, path))
+            hit = pc.is_in(t[key_col], ks)
+            n_hit = pc.sum(hit).as_py() or 0
+            if not n_hit:                     # carried over by reference
+                paths.append(path)
+                rows.append(nrows)
+                sizes.append(nbytes)
+                continue
+            kept = t.filter(pc.invert(hit))
+            if not kept.num_rows:             # fully replaced fragment
+                continue
+            name = f"frag-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(frag_dir, f".{name}.tmp")
+            pq.write_table(kept, tmp, compression="zstd")
+            final = os.path.join(frag_dir, name)
+            os.replace(tmp, final)
+            paths.append(os.path.join(_FRAGMENT_DIR, name))
+            rows.append(kept.num_rows)
+            sizes.append(os.path.getsize(final))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "rows": pa.array(rows, pa.int64()),
+                         "bytes": pa.array(sizes, pa.int64())})
+
+    surv = rd.from_arrow(frag_meta).map_batches(
+        probe, batch_format="pyarrow", batch_size=4)
+    new = updates.map_batches(_FragmentWriter(frag_dir),
+                              batch_format="pyarrow", batch_size=None)
+    frags = [{"path": r["path"], "rows": int(r["rows"]),
+              "bytes": int(r["bytes"])}
+             for r in surv.union(new).take_all()]
+    old_paths = {f["path"] for f in man["fragments"]}
+    carried = sum(1 for f in frags if f["path"] in old_paths)
+    metrics = {"merge_key": key_col, "updates": len(keys),
+               "carried_fragments": carried,
+               "rewritten_or_new_fragments": len(frags) - carried}
+    return _commit(root, stage, parent=man["stage"], fragments=frags,
+                   metrics=metrics, fingerprint=None)
