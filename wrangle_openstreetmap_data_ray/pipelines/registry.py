@@ -2479,22 +2479,26 @@ def queries():
 # twin); everything else here is oracle-paired.
 _DRIVER_WINDOW = [
     "flagship_full_summary", "tpch_q3_topk", "tpch_q5_volume",
-    "render_tile_stats", "knn_pairs", "knn_pairs_salted", "pip_join_pairs",
+    "render_tile_stats", "knn_pairs", "pip_join_pairs",
     "way_node_resolution", "way_geometry", "normalize_streets",
     "audit_street_types", "clean_postcodes", "corpus_prep_summary",
     "bbox_quarantine", "cell_encode_points", "tile_assignments",
     "shape_elements", "shape_documents_flat_check", "tag_counts",
-    "tag_key_classification", "tags_clean", "osm_distinct_users",
-    "osm_top_contributors", "doc_token_counts", "count_by_elem_type",
-    "systematic_sample_nodes", "quarantine_rows", "per_cell_counts",
-    "hot_cells", "exact_dedup_images", "exact_dedup_docs",
+    "tag_key_classification", "osm_distinct_users",
+    "osm_top_contributors", "doc_token_counts",
+    "quarantine_rows", "per_cell_counts",
+    "hot_cells", "exact_dedup_images",
     "image_phash_verify", "image_phash_near_dup", "near_dedup_docs_check",
     "doc_fingerprint_cluster_sizes", "resize_images_thumb",
     "embedding_dup_pairs", "embedding_topk", "embedding_topk_ivf_fullprobe",
     "audio_features", "video_frame_index", "lancelike_partition_counts",
-    "events_hourly", "events_sliding_1h15m", "sessionize_events",
-    "events_running_sum", "event_type_pivot", "orders_rollup",
+    "events_hourly", "sessionize_events",
+    "event_type_pivot", "orders_rollup",
     "lineitem_quantity_quantiles", "asof_next_event",
+    # round-3 additions — each a distinct operator family, all paired
+    "pagerank_order_part", "kmeans_embeddings", "tfidf_top_terms",
+    "ssjoin_prefix_pairs", "lancelike_merge_upsert_check",
+    "stratified_sample_events", "bigram_pmi_top",
 ]
 
 
