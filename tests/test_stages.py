@@ -898,3 +898,33 @@ def test_merge_upsert_carryover_and_semantics(ray_session, tmp_path):
         dup = pa.table({"k": pa.array([1, 1], pa.int64()),
                         "v": pa.array([0, 0], pa.int64())})
         lancelike.merge_upsert(rd.from_arrow(dup), root, "k", stage="m2")
+
+
+def test_grouped_vector_mean_and_ncm(ray_session):
+    """Per-label means == dense numpy at two layouts; NCM assigns the
+    blob points back to their own label prototype."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.simsearch import (
+        grouped_vector_mean, nearest_class_mean_confusion)
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(3, 6)) * 8
+    labels = np.repeat(np.arange(3), 50)
+    x = centers[labels] + rng.normal(size=(150, 6)) * 0.1
+    t = pa.table({"label": pa.array(labels.astype(np.int64)),
+                  "embedding": pa.array(list(x.astype(np.float64)),
+                                        pa.list_(pa.float64()))})
+
+    want = np.stack([x[labels == c].sum(axis=0) / 50 for c in range(3)])
+    for nparts in (2, 13):
+        keys, means, cnt = grouped_vector_mean(
+            rd.from_arrow(t).repartition(nparts), "embedding", "label")
+        assert np.array_equal(keys, np.arange(3))
+        assert np.array_equal(cnt, np.full(3, 50))
+        assert np.allclose(means, want, atol=1e-12)
+
+    conf = nearest_class_mean_confusion(
+        rd.from_arrow(t).repartition(7), "embedding", "label").to_pandas()
+    diag = conf[conf["label"] == conf["pred"]]["n"].sum()
+    assert diag == 150, conf   # tight blobs: perfect diagonal

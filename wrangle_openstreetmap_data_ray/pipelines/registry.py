@@ -2460,6 +2460,21 @@ def queries():
              ("w2", "ascending")])
     q["bigram_pmi_top"] = bigram_pmi_top
 
+    def ncm_confusion(sf_dir):
+        """Embedding-quality evaluation by nearest-class-mean: class
+        prototypes (per-label vector means — one map-only pass with
+        label-sized per-block partials merged driver-side) are
+        broadcast once and every vector assigns to its nearest
+        prototype (explicit Σ(x_j−c_j)², ties to the lowest label) in a
+        second map-only pass; the (label, pred) confusion matrix
+        reduces through one tiny groupby. Same float expressions in
+        the twin's lateral-UNNEST CTEs."""
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["embedding", "label"])
+        return simsearch.nearest_class_mean_confusion(
+            ds, "embedding", "label")
+    q["ncm_confusion"] = ncm_confusion
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3252,6 +3267,23 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "ncm_confusion": """
+            WITH emb AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+            cen AS (SELECT label AS c, list(m ORDER BY j) AS v FROM (
+                        SELECT label, j, AVG(v[j]) AS m
+                        FROM emb, UNNEST(generate_series(1, len(v))) AS t(j)
+                        GROUP BY label, j) GROUP BY label),
+            d AS (SELECT e.vec_id, e.label, cen.c,
+                      list_sum(list_transform(generate_series(1, len(e.v)),
+                          j -> (e.v[j] - cen.v[j])**2)) AS dist
+                  FROM emb e CROSS JOIN cen),
+            a AS (SELECT vec_id, label, c AS pred FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, c) AS rn FROM d) WHERE rn = 1)
+            SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM a GROUP BY label, pred""",
         # same float expression as the Ray kernel: ln c_ab + ln T −
         # ln c_a − ln c_b, rounded e4 before the top-k ordering
         "bigram_pmi_top": r"""

@@ -244,3 +244,82 @@ def kmeans_fit(ds, vec_col: str, id_col: str, k: int, n_iters: int = 2,
                              " — choose a different k/init")
         C = sums / counts[:, None]
     return C, counts
+
+
+def grouped_vector_mean(ds, vec_col: str, key_col: str,
+                        key_cap: int = 100_000):
+    """Per-key mean of an embedding column (class prototypes): each
+    block emits a ≤distinct-keys-per-block partial (key, count, per-dim
+    sums) and the key-sized partials merge driver-side — one map-only
+    pass, no shuffle (keys must be a label-like column with ≤
+    ``key_cap`` distinct values; raises loudly otherwise).
+
+    Returns ``(keys (k,) sorted ascending, means (k, d) float64,
+    counts (k,) int64)``.
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+              .astype(np.float64)
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros((len(uniq), x.shape[1]))
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"k": pa.array(uniq),
+                         "cnt": pa.array(cnt),
+                         "sums": pa.array(list(sums),
+                                          pa.list_(pa.float64()))})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and t.num_columns]
+    acc: dict = {}
+    for t in parts:   # key-sized per block, merged in block order
+        ks = t["k"].to_numpy(zero_copy_only=False)
+        cs = t["cnt"].to_numpy(zero_copy_only=False)
+        ss = t["sums"].to_numpy(zero_copy_only=False)
+        for k, c, s in zip(ks, cs, ss):
+            if k in acc:
+                acc[k][0] += c
+                acc[k][1] += np.asarray(s)
+            else:
+                acc[k] = [int(c), np.asarray(s, np.float64).copy()]
+            if len(acc) > key_cap:
+                raise ValueError(f"more than {key_cap} distinct "
+                                 f"{key_col!r} values — not a label-like "
+                                 "column; shuffle-aggregate instead")
+    keys = np.array(sorted(acc))
+    counts = np.array([acc[k][0] for k in keys], np.int64)
+    means = np.stack([acc[k][1] / acc[k][0] for k in keys])
+    return keys, means, counts
+
+
+def nearest_class_mean_confusion(ds, vec_col: str, label_col: str):
+    """Nearest-class-mean evaluation (embedding-quality check): class
+    prototypes from ``grouped_vector_mean`` are broadcast once and every
+    vector is assigned to its nearest prototype (explicit Σ(x_j−c_j)²,
+    ties to the lowest label) in a second map-only pass; the (label,
+    pred) confusion counts reduce through one tiny groupby. Returns a
+    Dataset ``(label, pred, n)``.
+    """
+    import ray
+
+    from ..util import _bcast_get
+
+    keys, means, _ = grouped_vector_mean(ds, vec_col, label_col)
+    ref = ray.put((keys, means))
+
+    def assign(b: pa.Table, _r=ref) -> pa.Table:
+        ks, cen = _bcast_get(_r)
+        x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+              .astype(np.float64)
+        d2 = ((x[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        pred = ks[np.argmin(d2, axis=1)]
+        return pa.table({"label": b[label_col],
+                         "pred": pa.array(pred)})
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby(["label", "pred"]).count() \
+        .rename_columns({"count()": "n"})
