@@ -928,3 +928,43 @@ def test_grouped_vector_mean_and_ncm(ray_session):
         rd.from_arrow(t).repartition(7), "embedding", "label").to_pandas()
     diag = conf[conf["label"] == conf["pred"]]["n"].sum()
     assert diag == 150, conf   # tight blobs: perfect diagonal
+
+
+def test_dp_simplify_matches_recursive_reference():
+    """Iterative DP kernel == textbook recursive DP on random walks,
+    plus the degenerate closed-ring (A==B) branch."""
+    from wrangle_openstreetmap_data_ray.functions.geo import dp_simplify_indices
+
+    def ref(lon, lat, eps, i, j, keep):
+        if j <= i + 1:
+            return
+        ax, ay, bx, by = lon[i], lat[i], lon[j], lat[j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best_k, best_s = -1, -1.0
+        for k in range(i + 1, j):
+            if seg2 == 0.0:
+                s = (lon[k] - ax) ** 2 + (lat[k] - ay) ** 2
+                thr = eps * eps
+            else:
+                cr = dx * (lat[k] - ay) - dy * (lon[k] - ax)
+                s, thr = cr * cr, eps * eps * seg2
+            if s > best_s:
+                best_k, best_s, best_thr = k, s, thr
+        if best_s > best_thr:
+            keep.add(best_k)
+            ref(lon, lat, eps, i, best_k, keep)
+            ref(lon, lat, eps, best_k, j, keep)
+
+    rng = np.random.default_rng(2)
+    for trial in range(30):
+        n = int(rng.integers(2, 40))
+        lon = np.cumsum(rng.normal(size=n) * 0.01) + 103.8
+        lat = np.cumsum(rng.normal(size=n) * 0.01) + 1.3
+        if trial % 5 == 0:
+            lon[-1], lat[-1] = lon[0], lat[0]   # closed ring: A==B root
+        for eps in (0.001, 0.01, 0.05):
+            keep = {0, n - 1}
+            ref(lon, lat, eps, 0, n - 1, keep)
+            got = dp_simplify_indices(lon, lat, eps)
+            assert set(got.tolist()) == keep, (trial, eps)

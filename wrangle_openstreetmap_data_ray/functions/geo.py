@@ -296,3 +296,46 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlon, dlat = lon2 - lon1, lat2 - lat1
     a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
     return 2 * EARTH_R_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def dp_simplify_indices(lon, lat, eps: float):
+    """Douglas-Peucker polyline simplification: indices of KEPT points.
+
+    Iterative (explicit stack); the split test compares squared cross
+    product against ``eps² · |AB|²`` (no division, no sqrt — exactly the
+    expression the SQL twin runs, so both engines branch on identical
+    doubles); degenerate A==B segments fall back to squared euclidean
+    distance vs ``eps²``. Ties in the farthest-point argmax break to
+    the LOWEST index (np.argmax first-max == ORDER BY score DESC, idx).
+    """
+    import numpy as np
+
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    n = len(lon)
+    keep = np.zeros(n, bool)
+    keep[0] = keep[n - 1] = True
+    eps2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay, bx, by = lon[i], lat[i], lon[j], lat[j]
+        px, py = lon[i + 1:j], lat[i + 1:j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            score = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+            thr = eps2
+        else:
+            cr = dx * (py - ay) - dy * (px - ax)
+            score = cr * cr
+            thr = eps2 * seg2
+        k = int(np.argmax(score))
+        if score[k] > thr:
+            kk = i + 1 + k
+            keep[kk] = True
+            stack.append((i, kk))
+            stack.append((kk, j))
+    return np.nonzero(keep)[0]

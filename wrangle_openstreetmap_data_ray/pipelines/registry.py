@@ -2475,6 +2475,39 @@ def queries():
             ds, "embedding", "label")
     q["ncm_confusion"] = ncm_confusion
 
+    def simplify_ways_dp(sf_dir):
+        """Douglas-Peucker polyline simplification (ε=0.05°) over the
+        resolved way geometries: nodes broadcast onto way_nodes
+        map-side, one bucketed shuffle groups each way, and the
+        iterative DP kernel keeps the indices whose squared cross
+        product exceeds ε²·|AB|² (division-free — the twin's recursive
+        CTE branches on the identical doubles; argmax ties to the
+        lowest index). Output (way_id, idx) of KEPT points."""
+        from ..functions.geo import dp_simplify_indices
+        from ..util import broadcast_inner_join, bucketed_group_apply
+
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat"]) \
+            .rename_columns({"id": "node_id"})
+        pts = broadcast_inner_join(wn, nodes, on="node_id")
+
+        def simplify(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            out_w, out_i = [], []
+            for wid, grp in g.groupby("way_id", sort=False):
+                idx = dp_simplify_indices(grp["lon"].to_numpy(),
+                                          grp["lat"].to_numpy(), eps=0.05)
+                out_w.extend([wid] * len(idx))
+                out_i.extend(idx.tolist())
+            return pd.DataFrame({
+                "way_id": pd.Series(out_w, dtype=g["way_id"].dtype),
+                "idx": pd.Series(out_i, dtype=np.int64)})
+
+        return bucketed_group_apply(pts, ["way_id"], simplify,
+                                    n_buckets=64)
+    q["simplify_ways_dp"] = simplify_ways_dp
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3267,6 +3300,56 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        # Douglas-Peucker as a worklist recursive CTE: every segment row
+        # either stops (no interior point beyond eps) or expands into its
+        # two halves; kept points = all segment endpoints ever created.
+        # Identical division-free expressions to the numpy kernel.
+        "simplify_ways_dp": f"""
+            WITH RECURSIVE pts AS (
+                SELECT wn.way_id,
+                       row_number() OVER (PARTITION BY wn.way_id
+                           ORDER BY wn.position) - 1 AS idx,
+                       n.lon, n.lat
+                FROM {way_nodes_p} wn
+                JOIN {nodes_p} n ON wn.node_id = n.id),
+            ends AS (SELECT way_id, MAX(idx) AS last FROM pts
+                     GROUP BY way_id),
+            segs(way_id, i, j) AS (
+                SELECT way_id, CAST(0 AS BIGINT), last FROM ends
+                UNION ALL
+                SELECT t.way_id,
+                       CASE WHEN sides.side = 0 THEN t.i ELSE t.k END,
+                       CASE WHEN sides.side = 0 THEN t.k ELSE t.j END
+                FROM (
+                    SELECT s.way_id, s.i, s.j, sp.idx AS k
+                    FROM segs s, LATERAL (
+                        SELECT p.idx,
+                            CASE WHEN (b.lon-a.lon)*(b.lon-a.lon)
+                                      + (b.lat-a.lat)*(b.lat-a.lat) = 0
+                                 THEN (p.lon-a.lon)*(p.lon-a.lon)
+                                      + (p.lat-a.lat)*(p.lat-a.lat)
+                                 ELSE ((b.lon-a.lon)*(p.lat-a.lat)
+                                       - (b.lat-a.lat)*(p.lon-a.lon))
+                                      * ((b.lon-a.lon)*(p.lat-a.lat)
+                                         - (b.lat-a.lat)*(p.lon-a.lon))
+                            END AS score,
+                            CASE WHEN (b.lon-a.lon)*(b.lon-a.lon)
+                                      + (b.lat-a.lat)*(b.lat-a.lat) = 0
+                                 THEN 0.05*0.05
+                                 ELSE (0.05*0.05)
+                                      * ((b.lon-a.lon)*(b.lon-a.lon)
+                                         + (b.lat-a.lat)*(b.lat-a.lat))
+                            END AS thr
+                        FROM pts p, pts a, pts b
+                        WHERE p.way_id = s.way_id AND a.way_id = s.way_id
+                          AND b.way_id = s.way_id AND a.idx = s.i
+                          AND b.idx = s.j AND p.idx > s.i AND p.idx < s.j
+                        ORDER BY score DESC, p.idx LIMIT 1) sp
+                    WHERE s.j > s.i + 1 AND sp.score > sp.thr) t
+                CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) sides)
+            SELECT DISTINCT way_id, i AS idx FROM segs
+            UNION
+            SELECT DISTINCT way_id, j FROM segs""",
         "ncm_confusion": """
             WITH emb AS (SELECT vec_id, label,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
