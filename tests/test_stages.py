@@ -894,6 +894,10 @@ def test_merge_upsert_carryover_and_semantics(ray_session, tmp_path):
     assert len(carried) >= 1, "expected carried-over fragments"
     assert man1["metrics"]["carried_fragments"] == len(carried)
 
+    # time travel: the pre-merge version stays readable and unmodified
+    v1 = lancelike.read_dataset(root, version=man0["version"]).to_pandas()
+    assert len(v1) == 100 and dict(zip(v1["k"], v1["v"]))[3] == 30
+
     with pytest.raises(ValueError, match="duplicate"):
         dup = pa.table({"k": pa.array([1, 1], pa.int64()),
                         "v": pa.array([0, 0], pa.int64())})
