@@ -972,3 +972,43 @@ def test_dp_simplify_matches_recursive_reference():
             ref(lon, lat, eps, 0, n - 1, keep)
             got = dp_simplify_indices(lon, lat, eps)
             assert set(got.tolist()) == keep, (trial, eps)
+
+
+def test_ed1_pairs_matches_bruteforce(ray_session):
+    """Deletion-signature fuzzy join == brute-force Levenshtein<=1 over
+    typo-injected names, at two layouts; _ed_le1 == DP reference."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.dedup import _ed_le1, ed1_pairs
+
+    def lev(a, b):
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return m[-1]
+
+    rng = np.random.default_rng(21)
+    base = ["".join(rng.choice(list("abcdef"), 8)) for _ in range(60)]
+    names = set(base)
+    for s in base[:30]:        # typos: substitution, deletion, insertion
+        i = int(rng.integers(len(s)))
+        names.add(s[:i] + "z" + s[i + 1:])
+        names.add(s[:i] + s[i + 1:])
+        names.add(s[:i] + "q" + s[i:])
+    names = sorted(names)
+
+    for a, b in [("abc", "abd"), ("abc", "ab"), ("abc", "zabc"),
+                 ("abc", "abc"), ("abc", "cba"), ("ab", "ba")]:
+        assert _ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    want = {(a, b) for i, a in enumerate(names) for b in names[i + 1:]
+            if lev(a, b) <= 1}
+    t = pa.table({"value": pa.array(names, pa.string())})
+    for nparts in (2, 11):
+        got = ed1_pairs(rd.from_arrow(t).repartition(nparts),
+                        "value", n_buckets=32).to_pandas()
+        assert set(zip(got["name_a"], got["name_b"])) == want
+        assert not got.duplicated().any()

@@ -2508,6 +2508,20 @@ def queries():
                                     n_buckets=64)
     q["simplify_ways_dp"] = simplify_ways_dp
 
+    def street_typo_pairs(sf_dir):
+        """Fuzzy street-name matching (the wrangling theme's typo
+        clustering): all pairs of DISTINCT street spellings within edit
+        distance 1, via deletion-neighborhood signatures (FastSS /
+        SymSpell — exhaustive for k=1 by pigeonhole) grouped in one
+        bucketed shuffle and verified with the exact two-pointer check.
+        The twin brute-forces levenshtein(a,b) <= 1 over all pairs."""
+        streets = fx.read_fixture(sf_dir, "tags",
+                                  columns=["key", "value"]) \
+            .filter(expr="key == 'addr:street'") \
+            .groupby("value").count().select_columns(["value"])
+        return dedup.ed1_pairs(streets, "value")
+    q["street_typo_pairs"] = street_typo_pairs
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3300,6 +3314,12 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "street_typo_pairs": f"""
+            WITH s AS (SELECT DISTINCT value AS name FROM {tags_p}
+                       WHERE key = 'addr:street')
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM s a JOIN s b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1""",
         # Douglas-Peucker as a worklist recursive CTE: every segment row
         # either stops (no interior point beyond eps) or expands into its
         # two halves; kept points = all segment endpoints ever created.

@@ -823,3 +823,71 @@ def prefix_filtered_pairs(ds, id_col: str, text_col: str, tau: float = 0.7,
 
     return bucketed_group_apply(pairs, ["id_a", "id_b"], dedup_pairs,
                                 n_buckets)
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (two-pointer, no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def ed1_pairs(ds, col: str, n_buckets: int = 128):
+    """Fuzzy string-match join: all UNORDERED pairs of distinct values
+    of ``col`` with edit distance ≤ 1 (the data-cleaning primitive
+    behind near-duplicate street spellings / typo clustering).
+
+    Candidate generation is the deletion-neighborhood signature scheme
+    (FastSS / SymSpell): sig(s) = {s} ∪ {s minus one char}; ed(a,b) ≤ 1
+    guarantees a shared signature (substitution: delete the differing
+    position from both; insertion: the shorter string IS a deletion of
+    the longer), so grouping by signature hash is EXHAUSTIVE — hash
+    collisions only add candidates, and every candidate is verified
+    with the exact two-pointer check. Per-string fan-out is |s|+1
+    signature rows carrying only the string itself; groups are
+    near-duplicate neighborhoods, naturally tiny. For k > 1 the same
+    shuffle shape takes Pass-Join-style segment signatures.
+    """
+    from ..functions.hashing import hash64_str
+    from ..util import bucketed_group_apply
+
+    def sigs(b: pa.Table) -> pa.Table:
+        hs, names = [], []
+        for s in b[col].to_pylist():
+            variants = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            hs.extend(np.uint64(hash64_str(v)).astype(np.int64)
+                      for v in variants)
+            names.extend([s] * len(variants))
+        return pa.table({"sig": pa.array(hs, pa.int64()),
+                         "name": pa.array(names, pa.string())})
+
+    sig_rows = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("sig", sort=False):
+            names = sorted(set(grp["name"]))
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    if _ed_le1(names[i], names[j]):
+                        out_a.append(names[i])
+                        out_b.append(names[j])
+        return pd.DataFrame({"name_a": pd.Series(out_a, dtype=object),
+                             "name_b": pd.Series(out_b, dtype=object)})
+
+    pairs = bucketed_group_apply(sig_rows, ["sig"], verify, n_buckets)
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["name_a", "name_b"]) \
+                .drop(columns=["_bucket"])
+
+    return bucketed_group_apply(pairs, ["name_a", "name_b"], dedup_pairs,
+                                n_buckets)
