@@ -1012,3 +1012,33 @@ def test_ed1_pairs_matches_bruteforce(ray_session):
                         "value", n_buckets=32).to_pandas()
         assert set(zip(got["name_a"], got["name_b"])) == want
         assert not got.duplicated().any()
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    """Two-phase distributed skyline == O(n^2) dominance brute force,
+    with duplicate points (mutually non-dominating) kept."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import skyline
+
+    rng = np.random.default_rng(6)
+    n = 500
+    price = rng.integers(1, 60, n).astype(np.float64)
+    size = rng.integers(1, 60, n)
+    price[10], size[10] = price[11], size[11]   # exact duplicate pair
+    t = pa.table({"pk": pa.array(np.arange(n), pa.int64()),
+                  "price": pa.array(price),
+                  "size": pa.array(size.astype(np.int64))})
+
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        dominated[i] = bool(np.any(
+            (price <= price[i]) & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))))
+    want = set(np.nonzero(~dominated)[0].tolist())
+
+    for nparts in (1, 9):
+        got = skyline(rd.from_arrow(t).repartition(nparts),
+                      min_cols=["price"], max_cols=["size"],
+                      batch_size=64)
+        assert set(got["pk"].tolist()) == want

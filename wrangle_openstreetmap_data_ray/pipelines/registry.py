@@ -2522,6 +2522,19 @@ def queries():
         return dedup.ed1_pairs(streets, "value")
     q["street_typo_pairs"] = street_typo_pairs
 
+    def parts_skyline(sf_dir):
+        """Distributed skyline (Pareto frontier): parts not dominated on
+        (price low, size high). Two phases: each block drops its
+        locally-dominated rows (the global skyline is a subset of the
+        union of local skylines), one exact pass over the tiny union.
+        Comparisons only — no arithmetic, engine-exact."""
+        from ..util import skyline
+        parts = fx.driver_table(
+            sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+        return skyline(parts, min_cols=["p_retailprice"],
+                       max_cols=["p_size"])
+    q["parts_skyline"] = parts_skyline
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -3314,6 +3327,14 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "parts_skyline": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))""",
         "street_typo_pairs": f"""
             WITH s AS (SELECT DISTINCT value AS name FROM {tags_p}
                        WHERE key = 'addr:street')

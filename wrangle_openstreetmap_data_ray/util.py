@@ -425,3 +425,59 @@ def default_pool() -> tuple[int, int]:
     A hardcoded (2, 8) cap silently limits every stage to 8 cores — the
     single biggest scaling bug found in this sandbox."""
     return (1, max(2, cluster_cpus() - 2))
+
+
+def skyline(ds, min_cols: list[str], max_cols: list[str],
+            batch_size: int = 2048, final_cap: int = 1_000_000):
+    """Distributed skyline (Pareto frontier): rows not dominated by any
+    other row (dominator ≤ on every ``min_cols``, ≥ on every
+    ``max_cols``, strict somewhere).
+
+    Classic two-phase shape: each block drops its locally-dominated
+    rows (vectorized pairwise dominance — the global skyline is always
+    a subset of the union of local skylines, since dominance survives
+    restriction to any subset containing the dominator), then ONE final
+    exact pass over the (typically tiny) union of survivors. The union
+    is pulled driver-side under ``final_cap`` — past it the data is
+    pathological (near-antichain) and the caller should pre-bucket by a
+    dominance-compatible grid; we raise loudly rather than OOM.
+    No arithmetic is performed on the values — comparisons only, so the
+    result is engine-exact with no float discipline needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _survivors(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n <= 1:
+            return df
+        ok = np.ones((n, n), bool)
+        for c in min_cols:
+            v = df[c].to_numpy()
+            ok &= v[:, None] <= v[None, :]       # ok[j,i]: j ≤ i on c
+        for c in max_cols:
+            v = df[c].to_numpy()
+            ok &= v[:, None] >= v[None, :]
+        strict = np.zeros((n, n), bool)
+        for c in min_cols:
+            v = df[c].to_numpy()
+            strict |= v[:, None] < v[None, :]
+        for c in max_cols:
+            v = df[c].to_numpy()
+            strict |= v[:, None] > v[None, :]
+        dominated = (ok & strict).any(axis=0)
+        return df[~dominated]
+
+    local = ds.map_batches(_survivors, batch_format="pandas",
+                           batch_size=batch_size)
+    chunks, total = [], 0
+    for b in local.iter_batches(batch_format="pandas"):
+        chunks.append(b)
+        total += len(b)
+        if total > final_cap:
+            raise ValueError("skyline union exceeds final_cap — "
+                             "near-antichain data; pre-bucket first")
+    if not chunks:
+        return pd.DataFrame(columns=list(ds.schema().names))
+    u = pd.concat(chunks, ignore_index=True)
+    return _survivors(u).reset_index(drop=True)
