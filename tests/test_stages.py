@@ -69,6 +69,29 @@ def test_knn_salted_same_result(ray_session):
     assert ka == kb
 
 
+def test_radius_join_matches_brute_force(ray_session):
+    import ray.data as rd
+    t = synth.gen_geo_table(7, 400)
+    ds = rd.from_arrow(t)
+    radius = 900.0
+    got = knn.radius_join(ds, radius_m=radius, id_col="image_id").take_all()
+    got_pairs = {(r["id"], r["neighbor_id"]) for r in got}
+    lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+    ids = np.asarray(t["image_id"].to_pylist())
+    d = geo.haversine_m(lon[:, None], lat[:, None], lon[None, :], lat[None, :])
+    np.fill_diagonal(d, np.inf)
+    rows, cols = np.nonzero(d <= radius)
+    want = {(ids[i], ids[j]) for i, j in zip(rows, cols)}
+    assert got_pairs == want and len(want) > 50
+    # every directed pair emitted exactly once (no dup from ghost groups)
+    assert len(got) == len(got_pairs)
+    # salted path identical (hot-cell split preserves exactness)
+    salted = knn.radius_join(ds, radius_m=radius, id_col="image_id",
+                             salt=3).take_all()
+    assert {(r["id"], r["neighbor_id"]) for r in salted} == want
+    assert len(salted) == len(want)
+
+
 def test_tiles_deterministic_and_decodable(ray_session):
     import ray.data as rd
     imgs = synth.gen_images_table(0, 120)

@@ -36,6 +36,7 @@ CELL_RES = 12        # cell_encode_points resolution
 TILE_RES = 10        # tile_assignments resolution
 RASTER_RES = 12      # raster_vectorize_regions tile resolution (16px grid)
 KNN_K = 3
+RADIUS_M = 250.0     # radius_join_pairs query radius (meters)
 # stratified hash-sampling contract: permille keep-rates per event type
 # (downsample the frequent, keep the rare) + the shared hash seed; the
 # SQL twin embeds the SAME integers, so both sides are exact
@@ -519,6 +520,22 @@ def queries():
                            exact=True, salt="auto")
         return out.select_columns(["id", "neighbor_id"])
     q["knn_pairs_autosalt"] = knn_pairs_autosalt
+
+    def radius_join_pairs(sf_dir):
+        """J4b — within-distance spatial RANGE join (the radius variant of
+        the north rule's compact-cell kNN): all directed pairs within
+        RADIUS_M great-circle meters, exact by construction — the cell
+        resolution is auto-picked so ring-1 ghosts cover the radius at
+        every latitude, so ONE explode + ONE bounded-bucket shuffle
+        resolves everything (no retry rounds, unlike top-k kNN)."""
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        out = knn.radius_join(pts, radius_m=RADIUS_M, id_col="image_id")
+
+        def rnd(b: pa.Table) -> pa.Table:
+            return pa.table({"id": b["id"], "neighbor_id": b["neighbor_id"],
+                             "dist_m": _round_half_away(b["dist_m"], 1)})
+        return out.map_batches(rnd, batch_format="pyarrow")
+    q["radius_join_pairs"] = radius_join_pairs
 
     def oldest_events_sorted(sf_dir):
         """API coverage for the native range-partition ``Dataset.sort``
@@ -2747,6 +2764,11 @@ def oracle_sql():
               FROM {knn_p} a, {knn_p} b
               WHERE a.image_id != b.image_id)
             WHERE rn <= {KNN_K}""",
+        "radius_join_pairs": f"""
+            SELECT a.image_id AS id, b.image_id AS neighbor_id,
+                   ROUND({hav}, 1) AS dist_m
+            FROM {knn_p} a, {knn_p} b
+            WHERE a.image_id != b.image_id AND {hav} <= {RADIUS_M}""",
         "oldest_events_sorted": """
             SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
             FROM events ORDER BY ts, event_id LIMIT 50""",

@@ -388,6 +388,100 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
     return result.union(_laggard_topk(ds, residue, k, id_col, lon_col, lat_col))
 
 
+def _max_radius_res(max_abs_lat: float, radius_m: float, max_res: int = 18) -> int:
+    """Finest cell resolution whose ring-1 guarantee radius covers
+    ``radius_m`` at every latitude the data reaches (finer cells = smaller
+    groups = less per-pair compute, so pick the largest res that is still
+    correct)."""
+    for res in range(max_res, 0, -1):
+        lat_step_deg = 180.0 / (1 << res)
+        lat_step = lat_step_deg * _M_PER_DEG
+        wlat = min(max_abs_lat + 2.0 * lat_step_deg, 90.0)
+        lon_step = 360.0 / (1 << res) * _M_PER_DEG * np.cos(np.radians(wlat))
+        if min(lat_step, lon_step) * 0.999 >= radius_m:
+            return res
+    raise ValueError(
+        f"radius_m={radius_m} exceeds ring-1 coverage even at res=1 — a "
+        f"radius that wide is a near-cross-join; pre-partition differently")
+
+
+def _bucket_radius(radius_m: float, chunk: int = 192):
+    """All (cell, salt) groups of one shuffle bucket: per group, home rows ×
+    all rows haversine, emit every DIRECTED pair (home, other) with
+    dist ≤ radius. Each point is home in exactly one group and its ring-1
+    ghosts bring every candidate within the guarantee radius into that
+    group, so pairs are emitted exactly once per direction — no dedup
+    shuffle needed. Chunked like ``_one_cell_knn`` so hot-cell distance
+    matrices stay cache-resident."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell", "salt"], kind="mergesort")
+        cell = g["cell"].to_numpy()
+        salt = g["salt"].to_numpy()
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        ids, home = g["id"].to_numpy(), g["is_home"].to_numpy()
+        out_i, out_j, out_d = [], [], []
+        new = np.empty(len(g), bool)
+        if len(g):
+            new[0] = True
+            new[1:] = (cell[1:] != cell[:-1]) | (salt[1:] != salt[:-1])
+        starts = np.append(np.nonzero(new)[0], len(g))
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            hm = home[s:e]
+            if not hm.any() or (e - s) < 2:
+                continue
+            glon, glat, gids = lon[s:e], lat[s:e], ids[s:e]
+            hlon, hlat, hids = glon[hm], glat[hm], gids[hm]
+            for c in range(0, len(hids), chunk):
+                cl, cla, cid = (hlon[c:c + chunk], hlat[c:c + chunk],
+                                hids[c:c + chunk])
+                d = geo.haversine_m(cl[:, None], cla[:, None],
+                                    glon[None, :], glat[None, :])
+                m = (d <= radius_m) & (cid[:, None] != gids[None, :])
+                rows, cols = np.nonzero(m)
+                if len(rows):
+                    out_i.append(cid[rows])
+                    out_j.append(gids[cols])
+                    out_d.append(d[rows, cols])
+        if not out_i:
+            return pd.DataFrame({"id": ids[:0], "neighbor_id": ids[:0],
+                                 "dist_m": np.empty(0, np.float64)})
+        return pd.DataFrame({"id": np.concatenate(out_i),
+                             "neighbor_id": np.concatenate(out_j),
+                             "dist_m": np.concatenate(out_d)})
+    return fn
+
+
+def radius_join(ds, radius_m: float, id_col: str = "image_id",
+                lon_col: str = "lon", lat_col: str = "lat",
+                res: int | None = None, salt: int = 1):
+    """Self spatial RANGE join: every directed pair within ``radius_m``
+    great-circle meters → Dataset (id, neighbor_id, dist_m). EXACT by
+    construction — the cell resolution is chosen (or validated) so the
+    ring-1 ghost neighborhood covers the query radius at every latitude
+    in the data, so one explode + one hash shuffle resolves every point
+    with no retry rounds.
+
+    Scale shape: identical to ``knn_join``'s single pass — narrow columns
+    through the shuffle, 1024 bounded buckets, ``salt`` splits hot cells'
+    home points with ghost replication. Output size is data-dependent
+    (Θ(pairs within radius)); pick ``radius_m`` accordingly."""
+    ds = ds.select_columns([id_col, lon_col, lat_col])
+    if res is None:
+        def maxabs(b: pa.Table) -> pa.Table:
+            la = b[lat_col].to_numpy()
+            v = float(np.max(np.abs(la))) if len(la) else 0.0
+            return pa.table({"al": pa.array([v], pa.float64())})
+        ds = ds.materialize()        # feeds both the lat probe and the pass
+        mal = ds.map_batches(maxabs, batch_format="pyarrow").max("al")
+        res = _max_radius_res(float(mal or 0.0), radius_m)
+    exploded = ds.map_batches(
+        _explode(lon_col, lat_col, id_col, res, salt, None),
+        batch_format="pyarrow", batch_size=16384)
+    return exploded.groupby("_bucket").map_groups(
+        _bucket_radius(radius_m), batch_format="pandas")
+
+
 def knn_join_exact_small(points: pa.Table, k: int, id_col="image_id",
                          lon_col="lon", lat_col="lat") -> pd.DataFrame:
     """O(n²) exact reference implementation (tests / oracle twin only)."""
