@@ -92,6 +92,31 @@ def test_radius_join_matches_brute_force(ray_session):
     assert len(salted) == len(want)
 
 
+def test_interval_overlap_join_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import interval
+    rng = np.random.default_rng(11)
+    W = 1000
+
+    def mk(prefix, n):
+        s = rng.integers(0, 50_000, n)
+        # adversarial lengths: zero-length, sub-bucket, multi-bucket spans
+        ln = rng.choice([0, 1, 37, 999, 1000, 1001, 4999], n)
+        return pd.DataFrame({"iid": [f"{prefix}{i}" for i in range(n)],
+                             "s": s, "e": s + ln})
+    A, B = mk("a", 300), mk("b", 260)
+    got = interval.interval_overlap_join(
+        rd.from_pandas(A).repartition(5), rd.from_pandas(B).repartition(4),
+        bucket_us=W, a_id="iid", b_id="iid",
+        out_a="a", out_b="b").take_all()
+    pairs = [(r["a"], r["b"]) for r in got]
+    want = {(ra.iid, rb.iid) for ra in A.itertuples() for rb in B.itertuples()
+            if ra.s <= rb.e and rb.s <= ra.e}
+    assert set(pairs) == want and len(want) > 100
+    assert len(pairs) == len(set(pairs))   # canonical-bucket emission: no dups
+
+
 def test_tiles_deterministic_and_decodable(ray_session):
     import ray.data as rd
     imgs = synth.gen_images_table(0, 120)

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from ..functions import geo, normalize
 from ..functions.normalize import (EXPECTED_STREET_TYPES, FIRST_TOKEN_RE,
                                    MALAY_FIRST_TOKEN_TYPES, STREET_TYPE_RE)
-from ..stages import dedup, knn, multimodal, pip_join, simsearch, textstage, tiles
+from ..stages import (dedup, interval, knn, multimodal, pip_join, simsearch,
+                      textstage, tiles)
 from ..util import cluster_cpus, distributed_topk, join_kwargs
 from . import fixtures as fx
 
@@ -536,6 +537,30 @@ def queries():
                              "dist_m": _round_half_away(b["dist_m"], 1)})
         return out.map_batches(rnd, batch_format="pyarrow")
     q["radius_join_pairs"] = radius_join_pairs
+
+    def interval_overlap_pairs(sf_dir):
+        """Interval OVERLAP join via temporal bucketing: each view's
+        30-min attention window × each purchase's 2-h window, all
+        overlapping (view, purchase) pairs. One bounded-bucket shuffle;
+        pairs spanning several time buckets are emitted only from the
+        canonical bucket of max(starts) — exact, no dedup pass."""
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "event_type", "ts"])
+        VIEW_US, PURCH_US = 1_800_000_000, 7_200_000_000
+
+        def mk(kind: str, dur: int):
+            def fn(b: pa.Table) -> pa.Table:
+                f = b.filter(pc.equal(b["event_type"], kind))
+                ts = f["ts"].cast(pa.int64())
+                return pa.table({"event_id": f["event_id"], "s": ts,
+                                 "e": pc.add(ts, dur)})
+            return fn
+        a = ds.map_batches(mk("view", VIEW_US), batch_format="pyarrow")
+        b = ds.map_batches(mk("purchase", PURCH_US), batch_format="pyarrow")
+        return interval.interval_overlap_join(
+            a, b, bucket_us=PURCH_US, a_id="event_id", b_id="event_id",
+            out_a="view_id", out_b="purchase_id")
+    q["interval_overlap_pairs"] = interval_overlap_pairs
 
     def oldest_events_sorted(sf_dir):
         """API coverage for the native range-partition ``Dataset.sort``
@@ -2769,6 +2794,15 @@ def oracle_sql():
                    ROUND({hav}, 1) AS dist_m
             FROM {knn_p} a, {knn_p} b
             WHERE a.image_id != b.image_id AND {hav} <= {RADIUS_M}""",
+        "interval_overlap_pairs": """
+            WITH a AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                              CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS e
+                       FROM events WHERE event_type = 'view'),
+                 b AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                              CAST(epoch_us(ts) AS BIGINT) + 7200000000 AS e
+                       FROM events WHERE event_type = 'purchase')
+            SELECT a.event_id AS view_id, b.event_id AS purchase_id
+            FROM a, b WHERE a.s <= b.e AND b.s <= a.e""",
         "oldest_events_sorted": """
             SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
             FROM events ORDER BY ts, event_id LIMIT 50""",
