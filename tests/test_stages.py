@@ -92,6 +92,40 @@ def test_radius_join_matches_brute_force(ray_session):
     assert len(salted) == len(want)
 
 
+def test_decontaminate_matches_string_brute_force(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import textstage
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 25)))
+            for _ in range(120)]          # some docs shorter than n=3
+    # leak bench phrases into some corpus docs (the thing to detect)
+    for i in range(15, 120, 7):
+        src = docs[i % 10].split()
+        if len(src) >= 4:
+            docs[i] = docs[i] + " " + " ".join(src[:4])
+    bench = pd.DataFrame({"doc_id": np.arange(10), "text": docs[:10]})
+    corpus = pd.DataFrame({"doc_id": np.arange(10, 120), "text": docs[10:]})
+
+    def shingles(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    bset = set().union(*[shingles(t) for t in bench["text"]])
+    want = {(int(r.doc_id), len(shingles(r.text) & bset))
+            for r in corpus.itertuples() if shingles(r.text) & bset}
+    got = textstage.decontaminate(
+        rd.from_pandas(corpus).repartition(6), rd.from_pandas(bench),
+        shingle_n=3).take_all()
+    assert {(r["doc_id"], r["n_hits"]) for r in got} == want and len(want) > 5
+    clean = textstage.decontaminate(
+        rd.from_pandas(corpus), rd.from_pandas(bench), shingle_n=3,
+        keep_clean=True).take_all()
+    contaminated_ids = {r["doc_id"] for r in got}
+    assert ({r["doc_id"] for r in clean}
+            == set(corpus["doc_id"]) - contaminated_ids)
+
+
 def test_interval_overlap_join_matches_brute_force(ray_session):
     import ray.data as rd
 

@@ -251,6 +251,28 @@ def queries():
         return ds.map_batches(f, batch_format="pyarrow")
     q["doc_char_stats"] = doc_char_stats
 
+    def decontaminate_docs(sf_dir):
+        """Benchmark decontamination: docs whose doc_id % 97 == 0 stand in
+        for a held-out eval set; every OTHER doc sharing a word trigram
+        with it is flagged with its distinct-shared-shingle count. The
+        bench shingle-hash set broadcasts once; the corpus streams through
+        one map pass, zero shuffles. (Real corpora use longer n-grams —
+        the fixture docs are 50-550 chars, so trigrams are the analogue.)"""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def bench_side(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.filter(pa.array(ids % 97 == 0))
+
+        def corpus_side(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.filter(pa.array(ids % 97 != 0))
+
+        bench = ds.map_batches(bench_side, batch_format="pyarrow")
+        corpus = ds.map_batches(corpus_side, batch_format="pyarrow")
+        return textstage.decontaminate(corpus, bench, shingle_n=3)
+    q["decontaminate_docs"] = decontaminate_docs
+
     def doc_fingerprint_cluster_sizes(sf_dir):
         """Dedup accounting histogram: how many content-fingerprint
         clusters exist of each size (double groupby — the shape of the
@@ -2689,6 +2711,15 @@ def oracle_sql():
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
                    AS n_tokens_ws
             FROM documents""",
+        "decontaminate_docs": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                   FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0)
+            SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_hits
+            FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id""",
         "doc_char_stats": r"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

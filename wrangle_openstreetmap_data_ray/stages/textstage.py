@@ -128,3 +128,73 @@ def tfidf_top_terms(ds, n_docs: int, doc_col: str = "doc_id",
                 .drop(columns=["_bucket"])
 
     return bucketed_group_apply(scored, [doc_col], topk, n_buckets)
+
+
+def collect_shingle_hashes(ds, text_col: str = "text", shingle_n: int = 3,
+                           cap: int = 5_000_000) -> np.ndarray:
+    """Distinct word-``shingle_n``-gram hashes of a (small) benchmark
+    dataset: per-block distinct partials stream to the driver and merge
+    under a hard ``cap`` (benchmark/eval sets are small by definition —
+    exceeding the cap means the wrong side was passed). Returns a SORTED
+    int64 array ready for ``np.searchsorted`` membership tests.
+
+    Docs with fewer than ``shingle_n`` tokens yield NO shingles (matching
+    SQL n-gram semantics — no padding)."""
+    def part(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b[text_col].to_pylist():
+            toks = tx.WS_RE.findall(t or "")
+            if len(toks) >= shingle_n:
+                out.append(tx._shingle_hashes(toks, shingle_n))
+        h = (np.unique(np.concatenate(out)) if out
+             else np.empty(0, np.uint64))
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    seen = np.empty(0, np.int64)
+    blocks = ds.map_batches(part, batch_format="pyarrow")
+    for batch in blocks.iter_batches(batch_format="pyarrow"):
+        seen = np.union1d(seen, batch["h"].to_numpy())
+        if len(seen) > cap:
+            raise ValueError(
+                f"benchmark shingle set exceeds cap={cap}; decontaminate "
+                f"expects a small held-out set on the bench side")
+    return seen
+
+
+def decontaminate(corpus, bench, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  bench_cap: int = 5_000_000, keep_clean: bool = False):
+    """Benchmark decontamination: flag every corpus doc sharing at least
+    one word ``shingle_n``-gram with the ``bench`` dataset (the held-out
+    eval set whose contents must not leak into training data).
+
+    Scale shape: the bench shingle set is collected once (bounded by
+    ``bench_cap``), ``ray.put`` once, and membership-tested map-side with
+    a vectorized ``searchsorted`` per doc — the corpus streams through in
+    ONE pass with ZERO shuffles. Returns (id, n_hits) for contaminated
+    docs by default (n_hits = distinct shared shingles), or the clean
+    corpus rows unchanged when ``keep_clean=True``."""
+    import ray
+
+    from ..util import _bcast_get
+    ref = ray.put(collect_shingle_hashes(bench, text_col, shingle_n,
+                                         bench_cap))
+
+    def flag(b: pa.Table) -> pa.Table:
+        hs = _bcast_get(ref)
+        hits = np.zeros(len(b), np.int64)
+        for i, t in enumerate(b[text_col].to_pylist()):
+            toks = tx.WS_RE.findall(t or "")
+            if len(toks) < shingle_n or not len(hs):
+                continue
+            own = tx._shingle_hashes(toks, shingle_n).view(np.int64)
+            pos = np.searchsorted(hs, own)
+            pos[pos == len(hs)] = 0
+            hits[i] = int(np.count_nonzero(hs[pos] == own)) if len(hs) else 0
+        if keep_clean:
+            return b.filter(pa.array(hits == 0))
+        m = hits > 0
+        return pa.table({id_col: b[id_col].filter(pa.array(m)),
+                         "n_hits": pa.array(hits[m], pa.int64())})
+
+    return corpus.map_batches(flag, batch_format="pyarrow")
