@@ -126,6 +126,27 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_repetition_stats_hand_computed(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import textstage
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a a a a",
+                                "x y x y x",
+                                "unique words only here",
+                                "solo"]})
+    got = {r["doc_id"]: r for r in
+           textstage.repetition_stats(rd.from_pandas(df)).take_all()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["distinct_token_ratio"] == 0.25
+    assert got[1]["top_bigram_frac"] == 1.0         # "a a" is every bigram
+    assert got[2]["distinct_token_ratio"] == 0.4
+    assert got[2]["top_bigram_frac"] == 0.5          # "x y" 2 of 4 bigrams
+    assert got[3]["distinct_token_ratio"] == 1.0
+    assert got[4]["n_tokens"] == 1                   # < 2 tokens: no bigrams
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
 def test_interval_overlap_join_matches_brute_force(ray_session):
     import ray.data as rd
 

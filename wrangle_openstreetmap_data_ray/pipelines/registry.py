@@ -273,6 +273,13 @@ def queries():
         return textstage.decontaminate(corpus, bench, shingle_n=3)
     q["decontaminate_docs"] = decontaminate_docs
 
+    def doc_repetition_stats(sf_dir):
+        """Gopher-style repetition quality signals: distinct-token ratio
+        and modal-bigram fraction per doc, one map pass, e6 fixed-point."""
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return textstage.repetition_stats(ds)
+    q["doc_repetition_stats"] = doc_repetition_stats
+
     def doc_fingerprint_cluster_sizes(sf_dir):
         """Dedup accounting histogram: how many content-fingerprint
         clusters exist of each size (double groupby — the shape of the
@@ -2720,6 +2727,20 @@ def oracle_sql():
             corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0)
             SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_hits
             FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id""",
+        "doc_repetition_stats": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                          FROM documents),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                   FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+            bgtop AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot FROM
+                      (SELECT doc_id, b, COUNT(*) AS c FROM bg
+                       GROUP BY doc_id, b) GROUP BY doc_id)
+            SELECT k.doc_id, len(k.t) AS n_tokens,
+                   ROUND(len(list_distinct(k.t)) * 1.0 / len(k.t), 6)
+                     AS distinct_token_ratio,
+                   ROUND(COALESCE(g.topc * 1.0 / g.tot, 0.0), 6)
+                     AS top_bigram_frac
+            FROM toks k LEFT JOIN bgtop g USING (doc_id)""",
         "doc_char_stats": r"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -198,3 +198,41 @@ def decontaminate(corpus, bench, text_col: str = "text",
                          "n_hits": pa.array(hits[m], pa.int64())})
 
     return corpus.map_batches(flag, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Repetition-based quality signals (the Gopher-rules family) per doc:
+    ``distinct_token_ratio`` (distinct/total tokens) and
+    ``top_bigram_frac`` (occurrences of the modal word bigram / all bigram
+    occurrences; 0 for docs with < 2 tokens). ONE map pass, zero shuffles;
+    token hashes are memoized per worker and counted with ``np.unique`` —
+    no Python loop over tokens. Ratios are fixed-point e6 (half away from
+    zero) so the distributed result hash-matches the SQL twin."""
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        n_tok = np.zeros(len(b), np.int64)
+        dratio = np.zeros(len(b), np.float64)
+        bfrac = np.zeros(len(b), np.float64)
+        for i, t in enumerate(b[text_col].to_pylist()):
+            toks = tx.WS_RE.findall(t or "")
+            n = len(toks)
+            n_tok[i] = n
+            if n == 0:
+                dratio[i] = 1.0
+                continue
+            th = tx._token_hashes(toks)
+            dratio[i] = len(np.unique(th)) / n
+            if n >= 2:
+                with np.errstate(over="ignore"):
+                    bg = th[:-1] * np.uint64(0x9E3779B97F4A7C15) + th[1:]
+                _, counts = np.unique(bg, return_counts=True)
+                bfrac[i] = counts.max() / (n - 1)
+        p = 1e6
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "distinct_token_ratio": pa.array(np.floor(dratio * p + 0.5) / p),
+            "top_bigram_frac": pa.array(np.floor(bfrac * p + 0.5) / p),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
