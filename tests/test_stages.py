@@ -126,6 +126,23 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_grouped_count_distinct_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import grouped_count_distinct
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"g1": rng.choice(["a", "b", "c"], 5000),
+                       "g2": rng.integers(0, 4, 5000),
+                       "v": rng.integers(0, 50, 5000)})
+    got = grouped_count_distinct(rd.from_pandas(df).repartition(8),
+                                 ["g1", "g2"], "v",
+                                 out_col="n_distinct").take_all()
+    got_map = {(r["g1"], r["g2"]): r["n_distinct"] for r in got}
+    want = df.groupby(["g1", "g2"])["v"].nunique()
+    assert got_map == {k: int(v) for k, v in want.items()}
+    assert len(got) == len(got_map)      # one row per group
+
+
 def test_repetition_stats_hand_computed(ray_session):
     import ray.data as rd
 

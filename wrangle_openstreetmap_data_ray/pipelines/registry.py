@@ -2394,6 +2394,134 @@ def queries():
         return pd.DataFrame({"avg_yearly_e4": [e4]})
     q["tpch_q17_small_quantity_revenue"] = tpch_q17_small_quantity_revenue
 
+    def tpch_q16_shape(sf_dir):
+        """TPC-H Q16 shape (no partsupp table in this schema, so supplier
+        counts come from lineitem): for filtered parts, EXACT
+        COUNT(DISTINCT supplier) per (brand, type, size) via
+        util.grouped_count_distinct — map-side tuple dedup combiner, one
+        bounded-bucket shuffle, no driver-side value sets. The small
+        filtered part table attaches via broadcast_inner_join."""
+        from ..util import broadcast_inner_join, grouped_count_distinct
+        part = fx.driver_table(sf_dir, "part",
+                               columns=["p_partkey", "p_brand", "p_type",
+                                        "p_size"])
+        SIZES = [1, 9, 14, 19, 23, 36, 45, 49]
+
+        def p_filt(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.and_(pc.not_equal(b["p_brand"], "Brand#5"),
+                                pc.not_equal(b["p_type"], "PROMO")),
+                        pc.is_in(b["p_size"], value_set=pa.array(SIZES)))
+            t = b.filter(m)
+            return t.rename_columns(["l_partkey", "p_brand", "p_type",
+                                     "p_size"])
+
+        small = part.map_batches(p_filt, batch_format="pyarrow")
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_partkey", "l_suppkey"])
+        joined = broadcast_inner_join(li, small, on="l_partkey")
+        return grouped_count_distinct(joined,
+                                      ["p_brand", "p_type", "p_size"],
+                                      "l_suppkey", out_col="n_supp")
+    q["tpch_q16_shape"] = tpch_q16_shape
+
+    def tpch_q19_disjunctive(sf_dir):
+        """TPC-H Q19: disjunctive (brand × size-range × quantity-range)
+        predicates across a part⋈lineitem join — part attributes broadcast
+        once (sorted-key searchsorted), the disjunction evaluates
+        map-side, and only an int-ten-thousandths revenue partial crosses
+        the exchange (one Sum aggregate)."""
+        import ray
+        from ray.data.aggregate import Sum
+        pt = fx.driver_table(sf_dir, "part",
+                             columns=["p_partkey", "p_brand",
+                                      "p_size"]).to_pandas()
+        pt = pt.sort_values("p_partkey")
+        keys = pt["p_partkey"].to_numpy()
+        brand = pt["p_brand"].to_numpy()
+        size = pt["p_size"].to_numpy()
+        # (brand, size_lo, size_hi, qty_lo, qty_hi) disjuncts
+        arms = [("Brand#12", 1, 5, 1.0, 11.0),
+                ("Brand#23", 1, 10, 10.0, 20.0),
+                ("Brand#15", 20, 35, 20.0, 30.0)]
+        arm_brand = {b: (slo, shi, qlo, qhi) for b, slo, shi, qlo, qhi in arms}
+        in_arm = np.array([b in arm_brand for b in brand])
+        ref = ray.put((keys, in_arm, brand, size))
+
+        def partial(b: pa.Table) -> pa.Table:
+            from ..util import _bcast_get
+            k, ia, br, sz = _bcast_get(ref)
+            pk = b["l_partkey"].to_numpy()
+            qty = b["l_quantity"].to_numpy()
+            pos = np.searchsorted(k, pk)
+            pos_c = np.minimum(pos, len(k) - 1)
+            hit = (pos < len(k)) & (k[pos_c] == pk) & ia[pos_c]
+            keep = np.zeros(len(pk), bool)
+            idx = np.nonzero(hit)[0]
+            for bname, (slo, shi, qlo, qhi) in arm_brand.items():
+                m = ((br[pos_c[idx]] == bname)
+                     & (sz[pos_c[idx]] >= slo) & (sz[pos_c[idx]] <= shi)
+                     & (qty[idx] >= qlo) & (qty[idx] <= qhi))
+                keep[idx[m]] = True
+            rev = (b["l_extendedprice"].to_numpy()[keep]
+                   * (1.0 - b["l_discount"].to_numpy()[keep]))
+            rev4 = np.floor(rev * 1e4 + 0.5).astype(np.int64)
+            return pa.table({"rev4": pa.array([int(rev4.sum())], pa.int64()),
+                             "n": pa.array([int(keep.sum())], pa.int64())})
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_partkey", "l_quantity",
+                                      "l_extendedprice", "l_discount"])
+        agg = li.map_batches(partial, batch_format="pyarrow") \
+                .aggregate(Sum("rev4"), Sum("n"))
+        rev4 = agg.get("sum(rev4)") or 0
+        n = agg.get("sum(n)") or 0
+        # revenue in exact integer ten-thousandths: immune to float-sum
+        # association and to ROUND boundary cases on both engines
+        return pd.DataFrame({"rev4": [int(rev4)], "n_lines": [int(n)]})
+    q["tpch_q19_disjunctive"] = tpch_q19_disjunctive
+
+    def tpch_q12_shape(sf_dir):
+        """TPC-H Q12 shape (no l_shipmode column, so priority stands in
+        for shipmode): lineitem ⋈ orders hash join (size-aware
+        partitions), late = shipped > 60 days after the order date,
+        per-priority line counts via a CASE-style conditional partial
+        pre-aggregated map-side before one tiny groupby."""
+        from ray.data.aggregate import Sum
+        LATE_US = 60 * 86_400_000_000
+
+        def l_narrow(b: pa.Table) -> pa.Table:
+            return pa.table({"o_orderkey": b["l_orderkey"],
+                             "ship_us": b["l_shipdate"].cast(pa.int64())})
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_shipdate"]) \
+               .map_batches(l_narrow, batch_format="pyarrow")
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_orderpriority",
+                                          "o_orderdate"])
+        joined = li.join(orders, on=("o_orderkey",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "lineitem", "orders")))
+
+        def pre(b: pa.Table) -> pa.Table:
+            ship = b["ship_us"].to_numpy()
+            odate = b["o_orderdate"].cast(pa.int64()).to_numpy()
+            late = (ship > odate + LATE_US).astype(np.int64)
+            df = pd.DataFrame({"o_orderpriority":
+                               b["o_orderpriority"].to_pylist(),
+                               "late": late})
+            g = df.groupby("o_orderpriority", sort=False)["late"] \
+                  .agg(["count", "sum"]).reset_index()
+            return pa.table({"o_orderpriority": pa.array(g["o_orderpriority"]),
+                             "n_lines": pa.array(g["count"], pa.int64()),
+                             "n_late": pa.array(g["sum"], pa.int64())})
+
+        return joined.map_batches(pre, batch_format="pyarrow") \
+                     .groupby("o_orderpriority") \
+                     .aggregate(Sum("n_lines", alias_name="n_lines"),
+                                Sum("n_late", alias_name="n_late"))
+    q["tpch_q12_shape"] = tpch_q12_shape
+
     def ssjoin_prefix_pairs(sf_dir):
         """EXACT set-similarity join via prefix filtering (AllPairs /
         PPJoin family) at τ=0.7 — deterministic exhaustiveness by
@@ -3592,6 +3720,33 @@ def oracle_sql():
             GROUP BY c_count""",
         # quantities are integer-valued floats: the per-part AVG is an
         # exact double on both engines, so the < comparison is stable
+        "tpch_q16_shape": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand != 'Brand#5' AND p_type != 'PROMO'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+            GROUP BY 1, 2, 3""",
+        "tpch_q19_disjunctive": """
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev4,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1.0 AND 11.0)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10.0 AND 20.0)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 35
+                   AND l_quantity BETWEEN 20.0 AND 30.0)""",
+        "tpch_q12_shape": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   SUM(CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) >
+                            CAST(epoch_us(o_orderdate) AS BIGINT)
+                            + 5184000000000
+                        THEN 1 ELSE 0 END) AS n_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""",
         "tpch_q17_small_quantity_revenue": """
             SELECT CAST(floor((SUM(cents)/100.0)/7.0*10000 + 0.5)
                         AS BIGINT) AS avg_yearly_e4

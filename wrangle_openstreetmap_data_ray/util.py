@@ -92,6 +92,34 @@ def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
                                                   batch_format="pandas")
 
 
+def grouped_count_distinct(ds, group_cols: list[str], value_col: str,
+                           out_col: str = "n_distinct",
+                           n_buckets: int = 512):
+    """EXACT ``COUNT(DISTINCT value)`` per group. Map-side combiner: each
+    block is deduped to its unique (group, value) tuples BEFORE the
+    shuffle (an Arrow group_by — repeated values never cross the wire);
+    one bounded-bucket hash shuffle on the group key; per bucket, a
+    vectorized pandas drop_duplicates + group size. Per-group value sets
+    are never materialized on the driver — at any group cardinality the
+    exchange carries at most the globally-unique tuple set."""
+    import pandas as pd
+    import pyarrow as pa
+
+    cols = list(group_cols) + [value_col]
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.select(cols).group_by(cols).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(cols)
+        return (d.groupby(list(group_cols), sort=False)
+                 .size().reset_index(name=out_col))
+
+    deduped = ds.map_batches(pre, batch_format="pyarrow")
+    return bucketed_group_apply(deduped, list(group_cols), per_bucket,
+                                n_buckets=n_buckets)
+
+
 def anti_semi_join(ds, keys, on: str, keys_on: str | None = None,
                    semi: bool = False, n_buckets: int = 512):
     """Distributed anti- (default) or semi-join: rows of ``ds`` whose
