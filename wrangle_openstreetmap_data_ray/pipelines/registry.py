@@ -896,6 +896,108 @@ def queries():
                                     n_buckets=64)
     q["way_geometry"] = way_geometry
 
+    def way_polyline_length(sf_dir):
+        """Polyline length per way: great-circle sum over consecutive
+        resolved nodes. Segment lengths go to integer millimeters BEFORE
+        the sum (floor(d*1000+0.5)) so the per-way total is exact at any
+        parallelism; ways with < 2 nodes have no segments on either side."""
+        from ..util import bucketed_group_apply, join_kwargs
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        joined = wn.join(nodes, on=("node_id",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "way_nodes", "nodes")))
+
+        def lengths(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = wid[1:] == wid[:-1]          # consecutive-in-way pairs
+            d = geo.haversine_m(lon[:-1][same], lat[:-1][same],
+                                lon[1:][same], lat[1:][same])
+            mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            df = pd.DataFrame({"way_id": wid[1:][same], "mm": mm})
+            out = df.groupby("way_id", sort=False)["mm"] \
+                    .agg(["size", "sum"]).reset_index()
+            return pd.DataFrame({"way_id": out["way_id"],
+                                 "n_segments": out["size"].astype(np.int64),
+                                 "len_mm": out["sum"].astype(np.int64)})
+
+        return bucketed_group_apply(joined, ["way_id"], lengths,
+                                    n_buckets=64)
+    q["way_polyline_length"] = way_polyline_length
+
+    def zonal_stats(sf_dir):
+        """Zonal statistics: per polygon, count + exact e6 fixed-point
+        coordinate sums of the points inside it (PIP join reused; the
+        per-block partial pre-aggregates before one tiny groupby)."""
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Sum
+        polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+        pts = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
+        out = pip_join.pip_join(pts, polys,
+                                keep_cols=["image_id", "lon", "lat"])
+
+        def part(b: pa.Table) -> pa.Table:
+            lon6 = np.floor(b["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+            lat6 = np.floor(b["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+            df = pd.DataFrame({"polygon_id": b["polygon_id"].to_numpy(),
+                               "lon6": lon6, "lat6": lat6})
+            g = df.groupby("polygon_id", sort=False).agg(
+                n_points=("lon6", "size"), sum_lon_e6=("lon6", "sum"),
+                sum_lat_e6=("lat6", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return out.map_batches(part, batch_format="pyarrow") \
+                  .groupby("polygon_id") \
+                  .aggregate(Sum("n_points", alias_name="n_points"),
+                             Sum("sum_lon_e6", alias_name="sum_lon_e6"),
+                             Sum("sum_lat_e6", alias_name="sum_lat_e6"))
+    q["zonal_stats"] = zonal_stats
+
+    def funnel_conversion(sf_dir):
+        """Funnel analysis: of users with a 'view', how many 'purchase'
+        within 24 h after their FIRST view. Narrow columns, one bounded
+        bucketed shuffle on user_id, per-bucket vectorized pandas, two
+        integer partial counters summed on-cluster."""
+        from ray.data.aggregate import Sum
+
+        from ..util import bucketed_group_apply
+        DAY = 86_400_000_000
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_type", "ts"])
+
+        def narrow(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b["event_type"],
+                         value_set=pa.array(["view", "purchase"]))
+            f = b.filter(m)
+            return pa.table({"user_id": f["user_id"],
+                             "is_view": pc.equal(f["event_type"], "view"),
+                             "ts_us": f["ts"].cast(pa.int64())})
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            gv = g[g["is_view"]]
+            if not len(gv):
+                return pd.DataFrame({"n_viewers": [0], "n_converted": [0]})
+            fv = gv.groupby("user_id")["ts_us"].min()
+            gp = g[~g["is_view"]].merge(fv.rename("fv"), left_on="user_id",
+                                        right_index=True)
+            hit = gp[(gp["ts_us"] > gp["fv"])
+                     & (gp["ts_us"] <= gp["fv"] + DAY)]
+            return pd.DataFrame({"n_viewers": [len(fv)],
+                                 "n_converted": [hit["user_id"].nunique()]})
+
+        ev = ds.map_batches(narrow, batch_format="pyarrow")
+        parts = bucketed_group_apply(ev, ["user_id"], per_bucket,
+                                     n_buckets=256)
+        agg = parts.aggregate(Sum("n_viewers"), Sum("n_converted"))
+        return pd.DataFrame({
+            "n_viewers": [int(agg.get("sum(n_viewers)") or 0)],
+            "n_converted": [int(agg.get("sum(n_converted)") or 0)]})
+    q["funnel_conversion"] = funnel_conversion
+
     # ------------------------------------------- multimodal / tile stages
 
     def render_tile_stats(sf_dir):
@@ -3304,6 +3406,44 @@ def oracle_sql():
                    arg_max(nd.lat, wn.position) AS last_lat
             FROM {way_nodes_p} wn JOIN {nodes_p} nd ON wn.node_id = nd.id
             GROUP BY wn.way_id""",
+        "way_polyline_length": f"""
+            WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
+                         FROM {way_nodes_p} wn
+                         JOIN {nodes_p} nd ON wn.node_id = nd.id),
+            segs AS (SELECT a.way_id, {hav} AS d
+                     FROM pts a JOIN pts b ON a.way_id = b.way_id
+                      AND b.position = a.position + 1)
+            SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CAST(floor(d * 1000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS len_mm
+            FROM segs GROUP BY way_id""",
+        "zonal_stats": f"""
+            WITH pip AS (
+              SELECT g.image_id, e.polygon_id,
+                     MIN(g.lon) AS lon, MIN(g.lat) AS lat
+              FROM {geo_p} g JOIN {edges_p} e
+                ON ((e.y1 <= g.lat) != (e.y2 <= g.lat)
+                    AND g.lon < e.x1 + (g.lat - e.y1)/(e.y2 - e.y1)
+                                       *(e.x2 - e.x1))
+              GROUP BY g.image_id, e.polygon_id
+              HAVING COUNT(*) % 2 = 1)
+            SELECT polygon_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(CAST(floor(lon * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_lon_e6,
+                   CAST(SUM(CAST(floor(lat * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_lat_e6
+            FROM pip GROUP BY polygon_id""",
+        "funnel_conversion": """
+            WITH v AS (SELECT user_id,
+                              MIN(CAST(epoch_us(ts) AS BIGINT)) AS fv
+                       FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT DISTINCT e.user_id
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                    AND CAST(epoch_us(e.ts) AS BIGINT) > v.fv
+                    AND CAST(epoch_us(e.ts) AS BIGINT) <= v.fv + 86400000000)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_converted""",
         "doc_quality_features_check": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
