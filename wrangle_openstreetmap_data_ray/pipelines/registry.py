@@ -44,8 +44,30 @@ RADIUS_M = 250.0     # radius_join_pairs query radius (meters)
 SAMPLE_RATES_PERMILLE = {"view": 50, "click": 100, "purchase": 500,
                          "signup": 250, "error": 900}
 SAMPLE_SEED = 1234
+SPLIT_SEED = 77      # dataset_split_counts train/val/test hash seed
 
 _SQL_ORACLE_TAG = "sf0.01"   # driver runs correctness at sf0.01
+
+# splitmix64 in DuckDB: UBIGINT xor/shift; the 64-bit modular multiply is
+# split into 32-bit halves so the HUGEINT (int128) intermediate never
+# overflows. Shared by every hash-keyed oracle (sampling, splits).
+_SM64_MACROS = """
+    CREATE OR REPLACE MACRO mulmod64(a, b) AS CAST((
+        (CAST(a & 4294967295::UBIGINT AS HUGEINT) * b)
+            % 18446744073709551616::HUGEINT
+        + ((CAST(a >> 32 AS HUGEINT) * b) % 4294967296::HUGEINT)
+            * 4294967296::HUGEINT
+    ) % 18446744073709551616::HUGEINT AS UBIGINT);
+    CREATE OR REPLACE MACRO sm64(x) AS (
+        WITH s0 AS (SELECT CAST((CAST(x AS HUGEINT)
+                + 11400714819323198485::HUGEINT)
+                % 18446744073709551616::HUGEINT AS UBIGINT) AS z),
+        s1 AS (SELECT mulmod64(xor(z, z >> 30),
+                13787848793156543929::HUGEINT) AS z FROM s0),
+        s2 AS (SELECT mulmod64(xor(z, z >> 27),
+                10723151780598845931::HUGEINT) AS z FROM s1)
+        SELECT xor(z, z >> 31) FROM s2);
+"""
 
 
 def _round_half_away(col, ndigits: int = 6):
@@ -2344,6 +2366,35 @@ def queries():
             strata_col="event_type", seed=SAMPLE_SEED)
     q["stratified_sample_events"] = stratified_sample_events
 
+    def dataset_split_counts(sf_dir):
+        """Deterministic train/val/test assignment (80/10/10): the split
+        is a pure function of splitmix64(doc_id ^ seed), so it is stable
+        across parallelism / resume / re-runs and reproducible in SQL
+        (same HUGEINT macro as the stratified sampler). Output: doc
+        counts per (lang, split) — map-side pre-aggregated."""
+        from ray.data.aggregate import Sum
+
+        from ..functions.hashing import hash64_ints
+        ds = fx.driver_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        UNIT = (1 << 64) // 1000
+        t_train = np.uint64(800 * UNIT)
+        t_val = np.uint64(900 * UNIT)
+
+        def assign(b: pa.Table) -> pa.Table:
+            u = hash64_ints(b["doc_id"].to_numpy(), SPLIT_SEED)
+            split = np.where(u < t_train, "train",
+                             np.where(u < t_val, "val", "test"))
+            df = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                               "split": split})
+            g = df.groupby(["lang", "split"], sort=False) \
+                  .size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return ds.map_batches(assign, batch_format="pyarrow") \
+                 .groupby(["lang", "split"]) \
+                 .aggregate(Sum("n", alias_name="n_docs"))
+    q["dataset_split_counts"] = dataset_split_counts
+
     def tfidf_top_terms(sf_dir):
         """Corpus TF-IDF (the classic two-statistic text-vectorization
         pass): per-doc top-3 whitespace terms by tf·ln(N/df). tf is a
@@ -2858,23 +2909,30 @@ _DRIVER_WINDOW = [
     "render_tile_stats", "knn_pairs", "pip_join_pairs",
     "way_node_resolution", "way_geometry", "normalize_streets",
     "audit_street_types", "clean_postcodes", "corpus_prep_summary",
-    "bbox_quarantine", "cell_encode_points", "tile_assignments",
-    "shape_elements", "shape_documents_flat_check", "tag_counts",
-    "tag_key_classification", "osm_distinct_users",
-    "osm_top_contributors", "doc_token_counts",
-    "quarantine_rows", "per_cell_counts",
-    "hot_cells", "exact_dedup_images",
-    "image_phash_verify", "image_phash_near_dup", "near_dedup_docs_check",
+    "bbox_quarantine", "cell_encode_points",
+    "shape_documents_flat_check", "tag_counts",
+    "tag_key_classification",
+    "osm_top_contributors", "per_cell_counts",
+    "exact_dedup_images",
+    "image_phash_verify", "near_dedup_docs_check",
     "doc_fingerprint_cluster_sizes", "resize_images_thumb",
     "embedding_dup_pairs", "embedding_topk", "embedding_topk_ivf_fullprobe",
     "audio_features", "video_frame_index", "lancelike_partition_counts",
-    "events_hourly", "sessionize_events",
+    "sessionize_events",
     "event_type_pivot", "orders_rollup",
     "lineitem_quantity_quantiles", "asof_next_event",
     # round-3 additions — each a distinct operator family, all paired
     "pagerank_order_part", "kmeans_embeddings", "tfidf_top_terms",
     "ssjoin_prefix_pairs", "lancelike_merge_upsert_check",
     "stratified_sample_events", "bigram_pmi_top",
+    # extended-session additions — again one row per NEW operator family
+    # (demoted to make room, all still paired in the full sweep:
+    # tile_assignments, shape_elements, osm_distinct_users, hot_cells,
+    # quarantine_rows, doc_token_counts, events_hourly,
+    # image_phash_near_dup)
+    "radius_join_pairs", "interval_overlap_pairs", "decontaminate_docs",
+    "doc_repetition_stats", "tpch_q16_shape", "funnel_conversion",
+    "zonal_stats", "way_polyline_length",
 ]
 
 
@@ -3680,22 +3738,7 @@ def oracle_sql():
         # splitmix64 reproduced exactly in SQL: UBIGINT xor/shift, and
         # 64-bit modular multiply split into 32-bit halves so the
         # HUGEINT (int128) intermediate never overflows
-        "stratified_sample_events": f"""
-            CREATE OR REPLACE MACRO mulmod64(a, b) AS CAST((
-                (CAST(a & 4294967295::UBIGINT AS HUGEINT) * b)
-                    % 18446744073709551616::HUGEINT
-                + ((CAST(a >> 32 AS HUGEINT) * b) % 4294967296::HUGEINT)
-                    * 4294967296::HUGEINT
-            ) % 18446744073709551616::HUGEINT AS UBIGINT);
-            CREATE OR REPLACE MACRO sm64(x) AS (
-                WITH s0 AS (SELECT CAST((CAST(x AS HUGEINT)
-                        + 11400714819323198485::HUGEINT)
-                        % 18446744073709551616::HUGEINT AS UBIGINT) AS z),
-                s1 AS (SELECT mulmod64(xor(z, z >> 30),
-                        13787848793156543929::HUGEINT) AS z FROM s0),
-                s2 AS (SELECT mulmod64(xor(z, z >> 27),
-                        10723151780598845931::HUGEINT) AS z FROM s1)
-                SELECT xor(z, z >> 31) FROM s2);
+        "stratified_sample_events": _SM64_MACROS + f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE CAST(sm64(xor(CAST(event_id AS UBIGINT),
                                 {SAMPLE_SEED}::UBIGINT)) AS HUGEINT)
@@ -3703,6 +3746,18 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "dataset_split_counts": _SM64_MACROS + f"""
+            WITH h AS (SELECT lang,
+                   CAST(sm64(xor(CAST(doc_id AS UBIGINT),
+                                 {SPLIT_SEED}::UBIGINT)) AS HUGEINT) AS u
+                       FROM documents)
+            SELECT lang,
+                   CASE WHEN u < {800 * ((1 << 64) // 1000)}::HUGEINT
+                        THEN 'train'
+                        WHEN u < {900 * ((1 << 64) // 1000)}::HUGEINT
+                        THEN 'val' ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM h GROUP BY 1, 2""",
         "parts_skyline": """
             SELECT p_partkey, p_retailprice, p_size FROM part p
             WHERE NOT EXISTS (
