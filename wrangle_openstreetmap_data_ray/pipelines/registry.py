@@ -951,6 +951,63 @@ def queries():
                                     n_buckets=64)
     q["way_polyline_length"] = way_polyline_length
 
+    def ways_crossing_polygons(sf_dir):
+        """Segment-intersection spatial join: (way, polygon) pairs where
+        any way segment PROPERLY crosses any polygon edge (strict
+        orientation tests — o1·o2 < 0 ∧ o3·o4 < 0, identical float
+        expressions on both engines). Polygon edges broadcast once
+        (small dimension side); segments are built and tested inside the
+        same bucketed pass that resolves way order — no extra shuffle,
+        distinct pairs settled in-bucket (a way lives in one bucket)."""
+        import pyarrow.parquet as pq
+        import ray
+
+        from ..util import _bcast_get, bucketed_group_apply, join_kwargs
+        ed = pq.read_table(fx.fixture_path(sf_dir, "edges"))
+        ref = ray.put((np.asarray(ed["polygon_id"].to_pylist()),
+                       ed["x1"].to_numpy(), ed["y1"].to_numpy(),
+                       ed["x2"].to_numpy(), ed["y2"].to_numpy()))
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        joined = wn.join(nodes, on=("node_id",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "way_nodes", "nodes")))
+
+        def cross(g: pd.DataFrame) -> pd.DataFrame:
+            pid, ex1, ey1, ex2, ey2 = _bcast_get(ref)
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            x, y = g["lon"].to_numpy(), g["lat"].to_numpy()
+            same = wid[1:] == wid[:-1]
+            sx1, sy1 = x[:-1][same], y[:-1][same]
+            sx2, sy2 = x[1:][same], y[1:][same]
+            swid = wid[1:][same]
+            out_w, out_p = [], []
+            for c in range(0, len(swid), 512):
+                ax, ay = sx1[c:c+512, None], sy1[c:c+512, None]
+                bx, by = sx2[c:c+512, None], sy2[c:c+512, None]
+                o1 = (bx-ax)*(ey1[None, :]-ay) - (by-ay)*(ex1[None, :]-ax)
+                o2 = (bx-ax)*(ey2[None, :]-ay) - (by-ay)*(ex2[None, :]-ax)
+                o3 = ((ex2-ex1)[None, :]*(ay-ey1[None, :])
+                      - (ey2-ey1)[None, :]*(ax-ex1[None, :]))
+                o4 = ((ex2-ex1)[None, :]*(by-ey1[None, :])
+                      - (ey2-ey1)[None, :]*(bx-ex1[None, :]))
+                m = (o1 * o2 < 0) & (o3 * o4 < 0)
+                rows, cols = np.nonzero(m)
+                if len(rows):
+                    out_w.append(swid[c:c+512][rows])
+                    out_p.append(pid[cols])
+            if not out_w:
+                return pd.DataFrame({"way_id": wid[:0],
+                                     "polygon_id": pid[:0]})
+            df = pd.DataFrame({"way_id": np.concatenate(out_w),
+                               "polygon_id": np.concatenate(out_p)})
+            return df.drop_duplicates()
+
+        return bucketed_group_apply(joined, ["way_id"], cross, n_buckets=64)
+    q["ways_crossing_polygons"] = ways_crossing_polygons
+
     def zonal_stats(sf_dir):
         """Zonal statistics: per polygon, count + exact e6 fixed-point
         coordinate sums of the points inside it (PIP join reused; the
@@ -3475,6 +3532,21 @@ def oracle_sql():
                    CAST(SUM(CAST(floor(d * 1000 + 0.5) AS BIGINT))
                         AS BIGINT) AS len_mm
             FROM segs GROUP BY way_id""",
+        "ways_crossing_polygons": f"""
+            WITH pts AS (SELECT wn.way_id, wn.position,
+                                nd.lon AS x, nd.lat AS y
+                         FROM {way_nodes_p} wn
+                         JOIN {nodes_p} nd ON wn.node_id = nd.id),
+            segs AS (SELECT a.way_id, a.x AS x1, a.y AS y1,
+                            b.x AS x2, b.y AS y2
+                     FROM pts a JOIN pts b ON a.way_id = b.way_id
+                      AND b.position = a.position + 1)
+            SELECT DISTINCT s.way_id, e.polygon_id
+            FROM segs s, {edges_p} e
+            WHERE ((s.x2-s.x1)*(e.y1-s.y1) - (s.y2-s.y1)*(e.x1-s.x1))
+                * ((s.x2-s.x1)*(e.y2-s.y1) - (s.y2-s.y1)*(e.x2-s.x1)) < 0
+              AND ((e.x2-e.x1)*(s.y1-e.y1) - (e.y2-e.y1)*(s.x1-e.x1))
+                * ((e.x2-e.x1)*(s.y2-e.y1) - (e.y2-e.y1)*(s.x2-e.x1)) < 0""",
         "zonal_stats": f"""
             WITH pip AS (
               SELECT g.image_id, e.polygon_id,
