@@ -80,6 +80,34 @@ def test_lancelike_write_read_resume(ray_session, tmp_path):
     assert lancelike.dataset_row_count(root) == 1000
 
 
+def test_lancelike_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
+    import ray.data as rd
+    root = str(tmp_path / "zm")
+    t = synth.gen_geo_table(0, 2000)
+    ds = rd.from_arrow(t).repartition(8)
+    man = lancelike.write_dataset(ds.sort("lon"), root, stage="zm",
+                                  zonemap_cols=["lon"])
+    assert all("zonemap" in f and "lon" in f["zonemap"]
+               for f in man["fragments"] if f["rows"])
+    lons = np.sort(t["lon"].to_numpy())
+    lo, hi = float(lons[len(lons) // 3]), float(lons[len(lons) // 2])
+    out, scanned, total = lancelike.read_dataset_range(
+        root, "lon", lo, hi, columns=["image_id", "lon"])
+    got = sorted(r["image_id"] for r in out.take_all())
+    mask = (t["lon"].to_numpy() >= lo) & (t["lon"].to_numpy() <= hi)
+    want = sorted(np.asarray(t["image_id"].to_pylist())[mask])
+    assert got == list(want) and len(got) > 100
+    assert 0 < scanned < total          # pruning actually skipped fragments
+    # out-of-domain range: zero fragments opened, empty result
+    _, s0, t0 = lancelike.read_dataset_range(root, "lon", 1.0, 2.0)
+    assert s0 == 0 and t0 == total
+    # merge_upsert keeps zone maps on fragments it carries by reference
+    upd = rd.from_arrow(t.slice(0, 3))
+    man2 = lancelike.merge_upsert(upd, root, key_col="image_id", stage="m")
+    carried = [f for f in man2["fragments"] if f.get("zonemap")]
+    assert carried                      # untouched fragments kept their maps
+
+
 def test_systematic_sample(ray_session):
     import ray.data as rd
     nodes, *_ = synth.gen_osm_tables(n_nodes=200, n_ways=1)

@@ -494,6 +494,46 @@ def queries():
         return ds.map_batches(f, batch_format="pyarrow")
     q["cell_encode_points"] = cell_encode_points
 
+    def tile_pyramid_counts(sf_dir):
+        """Tile PYRAMID rollup (res 12 → 11 → 10): per-cell point counts
+        at three zoom levels from ONE pass over the points — each block
+        pre-aggregates its finest-level cells and emits all three levels
+        (parents by bit-shift, which is EXACTLY the direct grid quantize
+        at the coarser res: scaling a float by a power of two is exact),
+        so the single shuffle carries ≤ 3 × distinct-cells × blocks rows
+        regardless of input size."""
+        from ray.data.aggregate import Sum
+        ds = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+        LEVELS = (CELL_RES, CELL_RES - 1, CELL_RES - 2)
+
+        def part(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 CELL_RES)
+            key = (qx.astype(np.int64) << 32) | qy.astype(np.int64)
+            uniq, counts = np.unique(key, return_counts=True)
+            ux, uy = uniq >> 32, uniq & 0xFFFFFFFF
+            res_col, qx_col, qy_col, n_col = [], [], [], []
+            for lvl in LEVELS:
+                shift = CELL_RES - lvl
+                pk = ((ux >> shift) << 32) | (uy >> shift)
+                pu, inv = np.unique(pk, return_inverse=True)
+                pn = np.zeros(len(pu), np.int64)
+                np.add.at(pn, inv, counts)
+                res_col.append(np.full(len(pu), lvl, np.int64))
+                qx_col.append(pu >> 32)
+                qy_col.append(pu & 0xFFFFFFFF)
+                n_col.append(pn)
+            return pa.table({
+                "res": pa.array(np.concatenate(res_col), pa.int64()),
+                "qx": pa.array(np.concatenate(qx_col), pa.int64()),
+                "qy": pa.array(np.concatenate(qy_col), pa.int64()),
+                "n": pa.array(np.concatenate(n_col), pa.int64())})
+
+        return ds.map_batches(part, batch_format="pyarrow") \
+                 .groupby(["res", "qx", "qy"]) \
+                 .aggregate(Sum("n", alias_name="n"))
+    q["tile_pyramid_counts"] = tile_pyramid_counts
+
     def tile_assignments(sf_dir):
         """north_rule "identical tile assignments": tile grid coords / row."""
         ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon", "lat"])
@@ -1199,6 +1239,29 @@ def queries():
         return cats.groupby("category").count().rename_columns(
             {"count()": "cnt"})
     q["user_customer_coverage"] = user_customer_coverage
+
+    def lancelike_zonemap_scan(sf_dir):
+        """Zone-map pruned range scan on the lancelike store: geo points
+        are written sorted by lon (range-partitioned blocks ⇒ disjoint
+        per-fragment [min,max] zones, recorded in the manifest), then a
+        lon-range read opens ONLY the overlapping fragments (metadata
+        decision — asserted to be a strict subset) before the exact
+        inclusive filter. Oracle: the same range filter over the fixture."""
+        from ..sources import lancelike
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon"])
+        root = f"/tmp/graft_out/zm_demo_{fx.sf_tag(sf_dir)}"
+        lancelike.write_dataset(
+            ds.sort("lon"), root, stage="zm_demo", parent=fx.sf_tag(sf_dir),
+            fingerprint=lancelike.input_fingerprint(ds),
+            zonemap_cols=["lon"])
+        lo, hi = 103.8, 103.9
+        out, scanned, total = lancelike.read_dataset_range(
+            root, "lon", lo, hi, columns=["image_id", "lon"])
+        if not (0 < scanned < total):
+            raise AssertionError(
+                f"zone-map pruning ineffective: {scanned}/{total}")
+        return out
+    q["lancelike_zonemap_scan"] = lancelike_zonemap_scan
 
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
@@ -3156,6 +3219,22 @@ def oracle_sql():
                    {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
                    {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy
             FROM {geo_p}""",
+        "tile_pyramid_counts": f"""
+            WITH base AS (SELECT
+                   {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
+                   {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy
+                 FROM {geo_p})
+            SELECT CAST({CELL_RES} AS BIGINT) AS res, qx, qy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST({CELL_RES - 1} AS BIGINT), qx // 2, qy // 2,
+                   CAST(COUNT(*) AS BIGINT)
+            FROM base GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST({CELL_RES - 2} AS BIGINT), qx // 4, qy // 4,
+                   CAST(COUNT(*) AS BIGINT)
+            FROM base GROUP BY 2, 3""",
         "tile_assignments": f"""
             SELECT image_id,
                    {_grid_sql('lon', TILE_RES, -180.0, 360.0)} AS tile_x,
@@ -3463,6 +3542,9 @@ def oracle_sql():
               FROM (SELECT DISTINCT user_id FROM events) e
               FULL OUTER JOIN customer c ON e.user_id = c.c_custkey)
             GROUP BY category""",
+        "lancelike_zonemap_scan": f"""
+            SELECT image_id, lon FROM {geo_p}
+            WHERE lon >= 103.8 AND lon <= 103.9""",
         "lancelike_partition_counts": f"""
             SELECT {_grid_sql('lon', TILE_RES, -180.0, 360.0)} % 4 AS shard,
                    COUNT(*) AS n_rows

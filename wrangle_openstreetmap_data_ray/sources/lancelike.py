@@ -124,27 +124,40 @@ def _commit(root: str, stage: str, parent: str | None,
 
 class _FragmentWriter:
     """map_batches callable: writes each batch as one fragment, returns a
-    one-row metadata table (streams through the pipeline; no driver I/O)."""
+    one-row metadata table (streams through the pipeline; no driver I/O).
 
-    def __init__(self, frag_dir: str):
+    ``zonemap_cols``: numeric/temporal columns whose per-fragment min/max
+    are recorded in the manifest (the Lance/parquet zone-map pattern) so
+    range reads can prune fragments from metadata alone."""
+
+    def __init__(self, frag_dir: str, zonemap_cols: list[str] | None = None):
         self.frag_dir = frag_dir
+        self.zonemap_cols = zonemap_cols or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         name = f"frag-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.frag_dir, f".{name}.tmp")
         pq.write_table(batch, tmp, compression="zstd")
         final = os.path.join(self.frag_dir, name)
         os.replace(tmp, final)
+        zm = {}
+        for c in self.zonemap_cols:
+            if batch.num_rows:
+                mm = pc.min_max(batch[c]).as_py()
+                zm[c] = [mm["min"], mm["max"]]
         return pa.table({
             "path": [os.path.join(_FRAGMENT_DIR, name)],
             "rows": pa.array([batch.num_rows], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
+            "zonemap": pa.array([json.dumps(zm, default=str)], pa.string()),
         })
 
 
 def write_dataset(ds, root: str, stage: str, parent: str | None = None,
                   metrics: dict | None = None, resume: bool = True,
-                  fingerprint: str | None = None) -> dict:
+                  fingerprint: str | None = None,
+                  zonemap_cols: list[str] | None = None) -> dict:
     """Write a ``ray.data.Dataset`` as a new committed version of ``root``.
 
     Returns the committed manifest. If ``resume`` and the latest committed
@@ -159,11 +172,66 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
         return latest_manifest(root)
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
     os.makedirs(frag_dir, exist_ok=True)
-    meta = ds.map_batches(_FragmentWriter(frag_dir), batch_format="pyarrow",
+    meta = ds.map_batches(_FragmentWriter(frag_dir, zonemap_cols),
+                          batch_format="pyarrow",
                           batch_size=None)  # one fragment per input block
-    frags = [{"path": r["path"], "rows": int(r["rows"]), "bytes": int(r["bytes"])}
-             for r in meta.take_all()]
+    frags = []
+    for r in meta.take_all():
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"])}
+        zm = json.loads(r.get("zonemap") or "{}")
+        if zm:
+            f["zonemap"] = zm
+        frags.append(f)
     return _commit(root, stage, parent, frags, metrics, fingerprint)
+
+
+def fragments_for_range(root: str, col: str, lo, hi,
+                        version: int | None = None):
+    """Fragment subset whose zone map OVERLAPS [lo, hi] (fragments with no
+    zone map for ``col`` are conservatively kept). Metadata-only — nothing
+    is read from data files. Returns (selected_fragments, total_count)."""
+    if version is None:
+        man = latest_manifest(root)
+    else:
+        with open(os.path.join(root, _MANIFEST_DIR,
+                               f"manifest-v{version}.json")) as f:
+            man = json.load(f)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    frags = man["fragments"]
+    keep = []
+    for f in frags:
+        zm = f.get("zonemap", {}).get(col)
+        if zm is None or (zm[0] <= hi and lo <= zm[1]):
+            keep.append(f)
+    return keep, len(frags)
+
+
+def read_dataset_range(root: str, col: str, lo, hi,
+                       columns: list[str] | None = None,
+                       version: int | None = None):
+    """Range read with zone-map fragment pruning: only fragments whose
+    [min, max] for ``col`` overlaps [lo, hi] are opened, then the exact
+    inclusive-range filter is applied to the survivors (zones overlap —
+    pruning is a superset guarantee, never a filter). Returns
+    (Dataset, n_fragments_scanned, n_fragments_total)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    keep, total = fragments_for_range(root, col, lo, hi, version)
+    want = columns if columns is None else list(dict.fromkeys(columns + [col]))
+    paths = [os.path.join(root, f["path"]) for f in keep]
+    if not paths:
+        return rd.from_arrow(pa.table({})), 0, total
+    ds = rd.read_parquet(paths, columns=want)
+
+    def exact(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b[col], lo), pc.less_equal(b[col], hi))
+        out = b.filter(m)
+        return out.select(columns) if columns is not None else out
+
+    return ds.map_batches(exact, batch_format="pyarrow"), len(keep), total
 
 
 class _PartitionedFragmentWriter:
@@ -332,15 +400,26 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
             sizes.append(os.path.getsize(final))
         return pa.table({"path": pa.array(paths, pa.string()),
                          "rows": pa.array(rows, pa.int64()),
-                         "bytes": pa.array(sizes, pa.int64())})
+                         "bytes": pa.array(sizes, pa.int64()),
+                         "zonemap": pa.array(["{}"] * len(paths),
+                                             pa.string())})
 
     surv = rd.from_arrow(frag_meta).map_batches(
         probe, batch_format="pyarrow", batch_size=4)
     new = updates.map_batches(_FragmentWriter(frag_dir),
                               batch_format="pyarrow", batch_size=None)
-    frags = [{"path": r["path"], "rows": int(r["rows"]),
-              "bytes": int(r["bytes"])}
-             for r in surv.union(new).take_all()]
+    # zone maps survive for fragments carried by reference (their bytes
+    # are untouched); rewritten/new fragments get none unless the caller
+    # re-writes with zonemap_cols
+    old_zm = {f["path"]: f.get("zonemap") for f in man["fragments"]}
+    frags = []
+    for r in surv.union(new).take_all():
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"])}
+        zm = old_zm.get(r["path"])
+        if zm:
+            f["zonemap"] = zm
+        frags.append(f)
     old_paths = {f["path"] for f in man["fragments"]}
     carried = sum(1 for f in frags if f["path"] in old_paths)
     metrics = {"merge_key": key_col, "updates": len(keys),
