@@ -90,6 +90,11 @@ def test_radius_join_matches_brute_force(ray_session):
                              salt=3).take_all()
     assert {(r["id"], r["neighbor_id"]) for r in salted} == want
     assert len(salted) == len(want)
+    # an explicit res too fine for the radius must be REFUSED, not
+    # silently drop pairs beyond ring-1 coverage
+    with pytest.raises(ValueError, match="ring-1 coverage"):
+        knn.radius_join(ds, radius_m=radius, id_col="image_id",
+                        res=16).take_all()
 
 
 def test_decontaminate_matches_string_brute_force(ray_session):

@@ -974,9 +974,13 @@ def queries():
         def lengths(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["way_id", "position"], kind="mergesort")
             wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
             lon = g["lon"].to_numpy()
             lat = g["lat"].to_numpy()
-            same = wid[1:] == wid[:-1]          # consecutive-in-way pairs
+            # STRICT position adjacency (matches the SQL twin's
+            # b.position = a.position + 1): an unresolved node must break
+            # the polyline, not bridge it with a synthetic chord
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
             d = geo.haversine_m(lon[:-1][same], lat[:-1][same],
                                 lon[1:][same], lat[1:][same])
             mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
@@ -1018,8 +1022,10 @@ def queries():
             pid, ex1, ey1, ex2, ey2 = _bcast_get(ref)
             g = g.sort_values(["way_id", "position"], kind="mergesort")
             wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
             x, y = g["lon"].to_numpy(), g["lat"].to_numpy()
-            same = wid[1:] == wid[:-1]
+            # strict adjacency — see way_polyline_length
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
             sx1, sy1 = x[:-1][same], y[:-1][same]
             sx2, sy2 = x[1:][same], y[1:][same]
             swid = wid[1:][same]
@@ -1111,7 +1117,7 @@ def queries():
         ev = ds.map_batches(narrow, batch_format="pyarrow")
         parts = bucketed_group_apply(ev, ["user_id"], per_bucket,
                                      n_buckets=256)
-        agg = parts.aggregate(Sum("n_viewers"), Sum("n_converted"))
+        agg = parts.aggregate(Sum("n_viewers"), Sum("n_converted")) or {}
         return pd.DataFrame({
             "n_viewers": [int(agg.get("sum(n_viewers)") or 0)],
             "n_converted": [int(agg.get("sum(n_converted)") or 0)]})
@@ -2745,7 +2751,7 @@ def queries():
                              columns=["l_partkey", "l_quantity",
                                       "l_extendedprice", "l_discount"])
         agg = li.map_batches(partial, batch_format="pyarrow") \
-                .aggregate(Sum("rev4"), Sum("n"))
+                .aggregate(Sum("rev4"), Sum("n")) or {}
         rev4 = agg.get("sum(rev4)") or 0
         n = agg.get("sum(n)") or 0
         # revenue in exact integer ten-thousandths: immune to float-sum

@@ -126,9 +126,13 @@ class _FragmentWriter:
     """map_batches callable: writes each batch as one fragment, returns a
     one-row metadata table (streams through the pipeline; no driver I/O).
 
-    ``zonemap_cols``: numeric/temporal columns whose per-fragment min/max
-    are recorded in the manifest (the Lance/parquet zone-map pattern) so
-    range reads can prune fragments from metadata alone."""
+    ``zonemap_cols``: NUMERIC columns whose per-fragment min/max are
+    recorded in the manifest (the Lance/parquet zone-map pattern) so range
+    reads can prune fragments from metadata alone. Non-numeric columns are
+    rejected at write time (JSON round-trips strings/timestamps into
+    values the pruner cannot order against query bounds — review finding);
+    zone-map a timestamp by materializing an epoch-integer column.
+    All-null fragments record no entry (conservatively kept by reads)."""
 
     def __init__(self, frag_dir: str, zonemap_cols: list[str] | None = None):
         self.frag_dir = frag_dir
@@ -136,6 +140,7 @@ class _FragmentWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        import pyarrow.types as pat
         name = f"frag-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.frag_dir, f".{name}.tmp")
         pq.write_table(batch, tmp, compression="zstd")
@@ -143,9 +148,15 @@ class _FragmentWriter:
         os.replace(tmp, final)
         zm = {}
         for c in self.zonemap_cols:
+            typ = batch.schema.field(c).type
+            if not (pat.is_integer(typ) or pat.is_floating(typ)):
+                raise ValueError(
+                    f"zonemap_cols supports numeric columns only; {c!r} "
+                    f"is {typ} (cast timestamps to epoch integers first)")
             if batch.num_rows:
                 mm = pc.min_max(batch[c]).as_py()
-                zm[c] = [mm["min"], mm["max"]]
+                if mm["min"] is not None:
+                    zm[c] = [mm["min"], mm["max"]]
         return pa.table({
             "path": [os.path.join(_FRAGMENT_DIR, name)],
             "rows": pa.array([batch.num_rows], pa.int64()),
@@ -203,7 +214,10 @@ def fragments_for_range(root: str, col: str, lo, hi,
     keep = []
     for f in frags:
         zm = f.get("zonemap", {}).get(col)
-        if zm is None or (zm[0] <= hi and lo <= zm[1]):
+        # no map, or a null bound (all-null fragment written by an older
+        # layout): conservatively keep — pruning must never drop rows
+        if (zm is None or zm[0] is None or zm[1] is None
+                or (zm[0] <= hi and lo <= zm[1])):
             keep.append(f)
     return keep, len(frags)
 
@@ -223,7 +237,24 @@ def read_dataset_range(root: str, col: str, lo, hi,
     want = columns if columns is None else list(dict.fromkeys(columns + [col]))
     paths = [os.path.join(root, f["path"]) for f in keep]
     if not paths:
-        return rd.from_arrow(pa.table({})), 0, total
+        # schema-preserving empty result (a zero-COLUMN dataset breaks
+        # downstream select/schema consumers — NOTES_r1 pitfall): derive
+        # the schema from any committed fragment's parquet footer
+        if version is None:
+            man = latest_manifest(root)
+        else:
+            with open(os.path.join(root, _MANIFEST_DIR,
+                                   f"manifest-v{version}.json")) as fh:
+                man = json.load(fh)
+        all_frags = (man or {}).get("fragments") or []
+        if all_frags:
+            schema = pq.read_schema(os.path.join(root, all_frags[0]["path"]))
+            names = columns if columns is not None else schema.names
+            empty = pa.table({n: pa.array([], schema.field(n).type)
+                              for n in names})
+        else:
+            empty = pa.table({})
+        return rd.from_arrow(empty), 0, total
     ds = rd.read_parquet(paths, columns=want)
 
     def exact(b: pa.Table) -> pa.Table:

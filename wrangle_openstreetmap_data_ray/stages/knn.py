@@ -389,16 +389,13 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
 
 
 def _max_radius_res(max_abs_lat: float, radius_m: float, max_res: int = 18) -> int:
-    """Finest cell resolution whose ring-1 guarantee radius covers
-    ``radius_m`` at every latitude the data reaches (finer cells = smaller
-    groups = less per-pair compute, so pick the largest res that is still
-    correct)."""
+    """Finest cell resolution whose ring-1 guarantee radius (``_guard_m``,
+    the single source of the coverage formula) covers ``radius_m`` at
+    every latitude the data reaches (finer cells = smaller groups = less
+    per-pair compute, so pick the largest res that is still correct)."""
+    lat = np.array([max_abs_lat])
     for res in range(max_res, 0, -1):
-        lat_step_deg = 180.0 / (1 << res)
-        lat_step = lat_step_deg * _M_PER_DEG
-        wlat = min(max_abs_lat + 2.0 * lat_step_deg, 90.0)
-        lon_step = 360.0 / (1 << res) * _M_PER_DEG * np.cos(np.radians(wlat))
-        if min(lat_step, lon_step) * 0.999 >= radius_m:
+        if float(_guard_m(lat, res)[0]) >= radius_m:
             return res
     raise ValueError(
         f"radius_m={radius_m} exceeds ring-1 coverage even at res=1 — a "
@@ -467,14 +464,24 @@ def radius_join(ds, radius_m: float, id_col: str = "image_id",
     home points with ghost replication. Output size is data-dependent
     (Θ(pairs within radius)); pick ``radius_m`` accordingly."""
     ds = ds.select_columns([id_col, lon_col, lat_col])
+
+    def maxabs(b: pa.Table) -> pa.Table:
+        la = b[lat_col].to_numpy()
+        v = float(np.max(np.abs(la))) if len(la) else 0.0
+        return pa.table({"al": pa.array([v], pa.float64())})
+    ds = ds.materialize()        # feeds both the lat probe and the pass
+    mal = float(ds.map_batches(maxabs, batch_format="pyarrow").max("al")
+                or 0.0)
+    max_ok = _max_radius_res(mal, radius_m)
     if res is None:
-        def maxabs(b: pa.Table) -> pa.Table:
-            la = b[lat_col].to_numpy()
-            v = float(np.max(np.abs(la))) if len(la) else 0.0
-            return pa.table({"al": pa.array([v], pa.float64())})
-        ds = ds.materialize()        # feeds both the lat probe and the pass
-        mal = ds.map_batches(maxabs, batch_format="pyarrow").max("al")
-        res = _max_radius_res(float(mal or 0.0), radius_m)
+        res = max_ok
+    elif res > max_ok:
+        # an explicitly-passed res that is too fine silently DROPS pairs
+        # beyond ring-1 coverage — refuse instead (review finding)
+        raise ValueError(
+            f"res={res} does not guarantee ring-1 coverage of "
+            f"radius_m={radius_m} at |lat|≤{mal:.2f}; use res≤{max_ok} "
+            f"or omit res")
     exploded = ds.map_batches(
         _explode(lon_col, lat_col, id_col, res, salt, None),
         batch_format="pyarrow", batch_size=16384)

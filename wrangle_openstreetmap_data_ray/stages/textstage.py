@@ -218,8 +218,7 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
             n = len(toks)
             n_tok[i] = n
             if n == 0:
-                dratio[i] = 1.0
-                continue
+                continue        # ratio is NULL (SQL 0/0) — masked below
             th = tx._token_hashes(toks)
             dratio[i] = len(np.unique(th)) / n
             if n >= 2:
@@ -231,7 +230,10 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({
             id_col: ids,
             "n_tokens": pa.array(n_tok, pa.int64()),
-            "distinct_token_ratio": pa.array(np.floor(dratio * p + 0.5) / p),
+            # zero-token docs: SQL's x*1.0/0 over ints is NULL — mask to
+            # null, not a fabricated 1.0 (review finding)
+            "distinct_token_ratio": pa.array(np.floor(dratio * p + 0.5) / p,
+                                             mask=n_tok == 0),
             "top_bigram_frac": pa.array(np.floor(bfrac * p + 0.5) / p),
         })
 

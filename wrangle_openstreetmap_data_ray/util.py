@@ -101,14 +101,20 @@ def grouped_count_distinct(ds, group_cols: list[str], value_col: str,
     one bounded-bucket hash shuffle on the group key; per bucket, a
     vectorized pandas drop_duplicates + group size. Per-group value sets
     are never materialized on the driver — at any group cardinality the
-    exchange carries at most the globally-unique tuple set."""
+    exchange carries at most the globally-unique tuple set.
+
+    NULL values are excluded (SQL ``COUNT(DISTINCT)`` semantics); a group
+    whose values are ALL null is therefore omitted from the output (the
+    SQL row would read 0) — filter such groups upstream if they matter."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     cols = list(group_cols) + [value_col]
 
     def pre(b: pa.Table) -> pa.Table:
-        return b.select(cols).group_by(cols).aggregate([])
+        t = b.select(cols).filter(pc.is_valid(b[value_col]))
+        return t.group_by(cols).aggregate([])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(cols)
