@@ -131,6 +131,22 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_video_scene_scores_golden(ray_session):
+    import ray.data as rd
+    vids = synth.gen_video_table(0, 12)
+    got = {r["video_id"]: r for r in
+           multimodal.video_scene_scores(rd.from_arrow(vids)).take_all()}
+    assert len(got) == 12
+    for idx in range(12):
+        frames = synth._video_frames(idx, int(vids["n_frames"][idx].as_py()))
+        d = np.abs(frames[:-1].astype(np.int16)
+                   - frames[1:].astype(np.int16)).mean(axis=(1, 2, 3))
+        j = int(np.argmax(d))
+        r = got[f"vid{idx:09d}"]
+        assert r["boundary_frame"] == j + 1
+        assert r["diff_e4"] == int(np.floor(d[j] * 1e4 + 0.5))
+
+
 def test_grouped_count_distinct_matches_pandas(ray_session):
     import ray.data as rd
 

@@ -1333,6 +1333,16 @@ def queries():
         return out.select_columns(["video_id", "frame_idx"])
     q["video_frame_index"] = video_frame_index
 
+    def video_scene_scores(sf_dir):
+        """Shot-boundary scoring per video (strongest consecutive-frame
+        pixel diff, e4 fixed-point) — rows-only by design: SQL cannot
+        decode the rawvid container; the kernel is pinned by a golden
+        pytest against the synth frame generator."""
+        ds = fx.read_fixture(sf_dir, "videos",
+                             columns=["video_id", "bytes"])
+        return multimodal.video_scene_scores(ds)
+    q["video_scene_scores"] = video_scene_scores
+
     A_FIELDS = ["housenumber", "postcode", "street"]
 
     def _shape_flat_rows(sf_dir):
@@ -2759,6 +2769,82 @@ def queries():
         return pd.DataFrame({"rev4": [int(rev4)], "n_lines": [int(n)]})
     q["tpch_q19_disjunctive"] = tpch_q19_disjunctive
 
+    def tpch_q7_volume_shipping(sf_dir):
+        """TPC-H Q7 shape: shipping volume between two nations by year
+        and direction. Supplier→nation and customer→nation are broadcast
+        LUTs (both dimension-sized); the only real exchange is the
+        lineitem⋈orders hash join; revenue partials are int-e4."""
+        import ray
+        from ray.data.aggregate import Sum
+        NA, NB = "NATION_3", "NATION_7"
+
+        nat = fx.driver_table(sf_dir, "nation",
+                              columns=["n_nationkey", "n_name"]).to_pandas()
+        nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        sup = fx.driver_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sup = sup.sort_values("s_suppkey")
+        cus = fx.driver_table(sf_dir, "customer",
+                              columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cus = cus.sort_values("c_custkey")
+        ref = ray.put((sup["s_suppkey"].to_numpy(),
+                       np.asarray([nmap[k] for k in sup["s_nationkey"]]),
+                       cus["c_custkey"].to_numpy(),
+                       np.asarray([nmap[k] for k in cus["c_nationkey"]])))
+
+        def l_narrow(b: pa.Table) -> pa.Table:
+            from ..util import _bcast_get
+            sk, sn, _, _ = _bcast_get(ref)
+            pos = np.searchsorted(sk, b["l_suppkey"].to_numpy())
+            pos = np.minimum(pos, len(sk) - 1)
+            rev = (b["l_extendedprice"].to_numpy()
+                   * (1.0 - b["l_discount"].to_numpy()))
+            year = pd.to_datetime(
+                b["l_shipdate"].cast(pa.int64()).to_numpy(), unit="us").year
+            return pa.table({
+                "o_orderkey": b["l_orderkey"],
+                "supp_nation": pa.array(sn[pos]),
+                "l_year": pa.array(np.asarray(year), pa.int64()),
+                "rev4": pa.array(np.floor(rev * 1e4 + 0.5).astype(np.int64)),
+            })
+
+        def o_narrow(b: pa.Table) -> pa.Table:
+            from ..util import _bcast_get
+            _, _, ck, cn = _bcast_get(ref)
+            pos = np.searchsorted(ck, b["o_custkey"].to_numpy())
+            pos = np.minimum(pos, len(ck) - 1)
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "cust_nation": pa.array(cn[pos])})
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                      "l_extendedprice", "l_discount"]) \
+               .map_batches(l_narrow, batch_format="pyarrow")
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey"]) \
+                   .map_batches(o_narrow, batch_format="pyarrow")
+        joined = li.join(orders, on=("o_orderkey",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "lineitem", "orders")))
+
+        def keep_pair(b: pa.Table) -> pa.Table:
+            s = b["supp_nation"].to_numpy(zero_copy_only=False)
+            c = b["cust_nation"].to_numpy(zero_copy_only=False)
+            m = ((s == NA) & (c == NB)) | ((s == NB) & (c == NA))
+            f = b.filter(pa.array(m))
+            df = pd.DataFrame({"supp_nation": f["supp_nation"].to_pylist(),
+                               "cust_nation": f["cust_nation"].to_pylist(),
+                               "l_year": f["l_year"].to_numpy(),
+                               "rev4": f["rev4"].to_numpy()})
+            g = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                           sort=False)["rev4"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return joined.map_batches(keep_pair, batch_format="pyarrow") \
+                     .groupby(["supp_nation", "cust_nation", "l_year"]) \
+                     .aggregate(Sum("rev4", alias_name="rev4"))
+    q["tpch_q7_volume_shipping"] = tpch_q7_volume_shipping
+
     def tpch_q12_shape(sf_dir):
         """TPC-H Q12 shape (no l_shipmode column, so priority stands in
         for shipmode): lineitem ⋈ orders hash join (size-aware
@@ -4094,6 +4180,21 @@ def oracle_sql():
                    AND l_quantity BETWEEN 10.0 AND 20.0)
                OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 35
                    AND l_quantity BETWEEN 20.0 AND 30.0)""",
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3""",
         "tpch_q12_shape": """
             SELECT o_orderpriority, COUNT(*) AS n_lines,
                    SUM(CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) >

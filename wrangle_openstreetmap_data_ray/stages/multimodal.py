@@ -183,3 +183,40 @@ def video_frame_sample(ds, stride: int = 2, batch_size: int = 128):
     return ds.map_batches(VideoFrameSample, fn_constructor_args=(stride,),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=(1, 4), num_cpus=1)
+
+
+class VideoSceneScore:
+    """Shot-boundary scoring: decode the rawvid container once per video,
+    compute the mean absolute pixel difference across every consecutive
+    frame pair, and emit the strongest boundary (argmax; earliest frame
+    wins ties) with its score in e4 fixed-point. One row out per video —
+    the decoded frames never leave the actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bidx, score = [], [], []
+        blobs = batch["bytes"]
+        vids = batch["video_id"].to_pylist()
+        for i in range(batch.num_rows):
+            frames, _fps = codecs.decode_rawvid(blobs[i].as_py())
+            if frames.shape[0] < 2:
+                continue
+            a = frames[:-1].astype(np.int16)
+            b = frames[1:].astype(np.int16)
+            d = np.abs(a - b).mean(axis=(1, 2, 3))      # (n-1,) boundary scores
+            j = int(np.argmax(d))                        # earliest max
+            ids.append(vids[i])
+            bidx.append(j + 1)                           # boundary BEFORE frame j+1
+            score.append(int(np.floor(d[j] * 1e4 + 0.5)))
+        return pa.table({
+            "video_id": pa.array(ids, pa.string()),
+            "boundary_frame": pa.array(bidx, pa.int64()),
+            "diff_e4": pa.array(score, pa.int64()),
+        })
+
+
+def video_scene_scores(ds, batch_size: int = 128):
+    """Actor-pool stage over the videos table → (video_id,
+    boundary_frame, diff_e4). Deterministic (pure pixel arithmetic)."""
+    return ds.map_batches(VideoSceneScore, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 4),
+                          num_cpus=1)
