@@ -131,6 +131,32 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_sq8_quantize_error_bound_and_roundtrip(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.simsearch import sq8_quantize
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    vecs[:, 3] = 7.25                      # constant dim: sc == 0 path
+    t = pa.table({"vec_id": pa.array(np.arange(300)),
+                  "embedding": pa.array(list(vecs))})
+    out = sq8_quantize(rd.from_arrow(t).repartition(5),
+                       vec_col="embedding").take_all()
+    assert len(out) == 300
+    mn = vecs.astype(np.float64).min(axis=0)
+    mx = vecs.astype(np.float64).max(axis=0)
+    half_step = ((mx - mn) / 255.0).max() / 2.0
+    for r in out:
+        code = np.frombuffer(r["code"], np.uint8).astype(np.float64)
+        assert len(code) == 16
+        # max error ≤ half a quantization step (+1 ulp of the e6 fixedpt)
+        assert r["max_err_e6"] <= int(half_step * 1e6 + 0.5) + 1
+        recon = mn + code * (mx - mn) / 255.0
+        v = vecs[r["vec_id"]].astype(np.float64)
+        assert np.abs(v - recon).max() * 1e6 <= r["max_err_e6"] + 1
+        assert code[3] == 0                # constant dim quantizes to 0
+
+
 def test_video_scene_scores_golden(ray_session):
     import ray.data as rd
     vids = synth.gen_video_table(0, 12)

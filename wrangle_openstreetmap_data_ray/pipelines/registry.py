@@ -1054,6 +1054,83 @@ def queries():
         return bucketed_group_apply(joined, ["way_id"], cross, n_buckets=64)
     q["ways_crossing_polygons"] = ways_crossing_polygons
 
+    def way_polygon_relation(sf_dir):
+        """DE-9IM-lite spatial relate: for every (way, polygon) pair that
+        interacts at all, classify 'crosses' (a segment properly crosses
+        the boundary), 'within' (every vertex inside, no crossing) or
+        'partial' (some vertices inside, no crossing). COMPOSITION of the
+        engine's own operators: PIP join (vertex containment counts) ∪
+        segment-crossing join, cogrouped in one bounded bucketed shuffle,
+        per-way node counts attached by broadcast join."""
+        import pyarrow.parquet as pq
+
+        from ..util import (broadcast_inner_join, bucketed_group_apply,
+                            join_kwargs)
+        polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        joined = wn.join(nodes, on=("node_id",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "way_nodes", "nodes"))).materialize()
+
+        hits = pip_join.pip_join(joined, polys, keep_cols=["way_id"])
+
+        def ic_side(b: pa.Table) -> pa.Table:
+            return pa.table({"way_id": b["way_id"],
+                             "polygon_id": b["polygon_id"],
+                             "n_in": pa.array(np.ones(len(b), np.int64)),
+                             "crossed": pa.array(np.zeros(len(b), np.int8))})
+
+        xing = ways_crossing_polygons(sf_dir)
+
+        def x_side(b: pa.Table) -> pa.Table:
+            return pa.table({"way_id": b["way_id"],
+                             "polygon_id": b["polygon_id"],
+                             "n_in": pa.array(np.zeros(len(b), np.int64)),
+                             "crossed": pa.array(np.ones(len(b), np.int8))})
+
+        both = hits.map_batches(ic_side, batch_format="pyarrow").union(
+            xing.map_batches(x_side, batch_format="pyarrow"))
+
+        def cogroup(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["way_id", "polygon_id"], sort=False).agg(
+                n_in=("n_in", "sum"), crossed=("crossed", "max"))
+            return out.reset_index()
+
+        pairs = bucketed_group_apply(both, ["way_id", "polygon_id"],
+                                     cogroup, n_buckets=256)
+        nn = joined.groupby("way_id").count() \
+                   .rename_columns({"count()": "n_nodes"})
+        merged = broadcast_inner_join(pairs, nn, on="way_id")
+
+        def classify(b: pa.Table) -> pa.Table:
+            n_in = b["n_in"].to_numpy()
+            crossed = b["crossed"].to_numpy()
+            n_nodes = b["n_nodes"].to_numpy()
+            rel = np.where(crossed == 1, "crosses",
+                           np.where(n_in == n_nodes, "within", "partial"))
+            return pa.table({"way_id": b["way_id"],
+                             "polygon_id": b["polygon_id"],
+                             "n_in": pa.array(n_in, pa.int64()),
+                             "n_nodes": pa.array(n_nodes, pa.int64()),
+                             "relation": pa.array(rel)})
+        return merged.map_batches(classify, batch_format="pyarrow")
+    q["way_polygon_relation"] = way_polygon_relation
+
+    def embedding_sq8_check(sf_dir):
+        """SQ8 scalar quantization of the embedding column: per-dim
+        global [min,max] → uint8 codes; the contract pins each vector's
+        max reconstruction error (e6). Codes themselves are binary
+        payloads (not SQL-comparable) — the error bound IS the semantic
+        the index consumer cares about."""
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+        out = simsearch.sq8_quantize(ds)
+        return out.select_columns(["vec_id", "max_err_e6"])
+    q["embedding_sq8_check"] = embedding_sq8_check
+
     def zonal_stats(sf_dir):
         """Zonal statistics: per polygon, count + exact e6 fixed-point
         coordinate sums of the points inside it (PIP join reused; the
@@ -3721,6 +3798,44 @@ def oracle_sql():
                 * ((s.x2-s.x1)*(e.y2-s.y1) - (s.y2-s.y1)*(e.x2-s.x1)) < 0
               AND ((e.x2-e.x1)*(s.y1-e.y1) - (e.y2-e.y1)*(s.x1-e.x1))
                 * ((e.x2-e.x1)*(s.y2-e.y1) - (e.y2-e.y1)*(s.x2-e.x1)) < 0""",
+        "way_polygon_relation": f"""
+            WITH pts AS (SELECT wn.way_id, wn.position,
+                                nd.lon AS x, nd.lat AS y
+                         FROM {way_nodes_p} wn
+                         JOIN {nodes_p} nd ON wn.node_id = nd.id),
+            nn AS (SELECT way_id, COUNT(*) AS n FROM pts GROUP BY 1),
+            inside AS (
+              SELECT p.way_id, p.position, e.polygon_id
+              FROM pts p JOIN {edges_p} e
+                ON ((e.y1 <= p.y) != (e.y2 <= p.y)
+                    AND p.x < e.x1 + (p.y - e.y1)/(e.y2 - e.y1)
+                                     *(e.x2 - e.x1))
+              GROUP BY p.way_id, p.position, e.polygon_id
+              HAVING COUNT(*) % 2 = 1),
+            ic AS (SELECT way_id, polygon_id, COUNT(*) AS n_in
+                   FROM inside GROUP BY 1, 2),
+            segs AS (SELECT a.way_id, a.x AS x1, a.y AS y1,
+                            b.x AS x2, b.y AS y2
+                     FROM pts a JOIN pts b ON a.way_id = b.way_id
+                      AND b.position = a.position + 1),
+            xings AS (
+              SELECT DISTINCT s.way_id, e.polygon_id
+              FROM segs s, {edges_p} e
+              WHERE ((s.x2-s.x1)*(e.y1-s.y1) - (s.y2-s.y1)*(e.x1-s.x1))
+                  * ((s.x2-s.x1)*(e.y2-s.y1) - (s.y2-s.y1)*(e.x2-s.x1)) < 0
+                AND ((e.x2-e.x1)*(s.y1-e.y1) - (e.y2-e.y1)*(s.x1-e.x1))
+                  * ((e.x2-e.x1)*(s.y2-e.y1) - (e.y2-e.y1)*(s.x2-e.x1)) < 0),
+            pairs AS (SELECT way_id, polygon_id FROM ic
+                      UNION SELECT way_id, polygon_id FROM xings)
+            SELECT p.way_id, p.polygon_id,
+                   COALESCE(ic.n_in, 0) AS n_in, nn.n AS n_nodes,
+                   CASE WHEN x.way_id IS NOT NULL THEN 'crosses'
+                        WHEN COALESCE(ic.n_in, 0) = nn.n THEN 'within'
+                        ELSE 'partial' END AS relation
+            FROM pairs p
+            LEFT JOIN ic USING (way_id, polygon_id)
+            LEFT JOIN xings x USING (way_id, polygon_id)
+            JOIN nn ON nn.way_id = p.way_id""",
         "zonal_stats": f"""
             WITH pip AS (
               SELECT g.image_id, e.polygon_id,
@@ -3992,6 +4107,29 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "embedding_sq8_check": """
+            WITH d AS (SELECT j,
+                         CAST(MIN(embedding[j]) AS DOUBLE) AS mn,
+                         CAST(MAX(embedding[j]) AS DOUBLE) AS mx
+                       FROM embeddings,
+                            UNNEST(generate_series(1, 64)) AS t(j)
+                       GROUP BY j),
+            q AS (SELECT e.vec_id,
+                         CAST(e.embedding[t.j] AS DOUBLE) AS v,
+                         d.mn, (d.mx - d.mn) / 255.0 AS sc
+                  FROM embeddings e,
+                       UNNEST(generate_series(1, 64)) AS t(j)
+                  JOIN d ON d.j = t.j),
+            r AS (SELECT vec_id,
+                         MAX(ABS(v - (mn +
+                           CASE WHEN sc = 0 THEN 0.0
+                                ELSE LEAST(GREATEST(
+                                  floor((v - mn) / sc + 0.5), 0.0), 255.0)
+                           END * sc))) AS err
+                  FROM q GROUP BY vec_id)
+            SELECT vec_id, CAST(floor(err * 1000000 + 0.5) AS BIGINT)
+                     AS max_err_e6
+            FROM r""",
         "dataset_split_counts": _SM64_MACROS + f"""
             WITH h AS (SELECT lang,
                    CAST(sm64(xor(CAST(doc_id AS UBIGINT),

@@ -323,3 +323,62 @@ def nearest_class_mean_confusion(ds, vec_col: str, label_col: str):
     return ds.map_batches(assign, batch_format="pyarrow") \
         .groupby(["label", "pred"]).count() \
         .rename_columns({"count()": "n"})
+
+
+def _dim_minmax(ds, vec_col: str):
+    """Global per-dimension (min, max) as float64 — per-block partials
+    (two dim-length rows each) merged on the driver; one narrow pass."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+              .astype(np.float64)
+        return pa.table({"mn": pa.array(m.min(axis=0)),
+                         "mx": pa.array(m.max(axis=0)),
+                         "j": pa.array(np.arange(m.shape[1], dtype=np.int64))})
+
+    mn, mx = None, None
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        j = batch["j"].to_numpy()
+        bmn, bmx = batch["mn"].to_numpy(), batch["mx"].to_numpy()
+        d = int(j.max()) + 1
+        if mn is None:
+            mn = np.full(d, np.inf)
+            mx = np.full(d, -np.inf)
+        np.minimum.at(mn, j, bmn)
+        np.maximum.at(mx, j, bmx)
+    return mn, mx
+
+
+def sq8_quantize(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Scalar 8-bit quantization (the SQ8 of ANN indexes): per-dimension
+    global [min, max] → 255 uniform steps; each vector becomes a
+    dim-length uint8 code payload plus its max absolute reconstruction
+    error (e6 fixed-point). Two passes: a dim-sized min/max exchange
+    (driver-merged partials, the HLL pattern) + one broadcast map —
+    vectors never cross a shuffle. Constant dimensions (max == min)
+    quantize to code 0 with zero error on both engines."""
+    import ray
+
+    from ..util import _bcast_get
+    mn, mx = _dim_minmax(ds, vec_col)
+    sc = (mx - mn) / 255.0
+    ref = ray.put((mn, sc))
+
+    def quant(b: pa.Table) -> pa.Table:
+        gmn, gsc = _bcast_get(ref)
+        m = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+              .astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = np.floor((m - gmn) / gsc + 0.5)
+        code = np.clip(np.where(gsc == 0.0, 0.0, raw), 0, 255)
+        recon = gmn + code * gsc
+        err = np.abs(m - recon).max(axis=1)
+        return pa.table({
+            id_col: b[id_col],
+            "code": pa.array([c.tobytes() for c in
+                              code.astype(np.uint8)], pa.binary()),
+            "max_err_e6": pa.array(
+                np.floor(err * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
