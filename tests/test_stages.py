@@ -131,6 +131,36 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_part_cooccurrence_kernel_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.pipelines.registry import queries
+    rng = np.random.default_rng(6)
+    # baskets with repeats of the same part (must not self-pair) and
+    # multiplicity (two distinct rows of p1 with one p2 → count 2)
+    df = pd.DataFrame({
+        "l_orderkey": rng.integers(0, 60, 400),
+        "l_partkey": rng.integers(0, 12, 400)})
+    import duckdb
+    con = duckdb.connect()
+    con.register("lineitem", df)
+    want = {(r[0], r[1]): r[2] for r in con.execute(
+        """SELECT a.l_partkey, b.l_partkey, COUNT(*) FROM lineitem a
+           JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey GROUP BY 1, 2""").fetchall()}
+    # drive the same kernel the registry query uses, on this frame
+    import wrangle_openstreetmap_data_ray.pipelines.fixtures as fx
+    orig = fx.driver_table
+    try:
+        fx.driver_table = lambda sf, name, columns=None: (
+            rd.from_pandas(df[columns] if columns else df).repartition(6))
+        got = {(r["p1"], r["p2"]): r["n"]
+               for r in queries()["part_cooccurrence"]("unused").take_all()}
+    finally:
+        fx.driver_table = orig
+    assert got == want and len(want) > 30
+
+
 def test_sq8_quantize_error_bound_and_roundtrip(ray_session):
     import ray.data as rd
 

@@ -1131,6 +1131,91 @@ def queries():
         return out.select_columns(["vec_id", "max_err_e6"])
     q["embedding_sq8_check"] = embedding_sq8_check
 
+    def part_cooccurrence(sf_dir):
+        """Market-basket co-occurrence mining: for every order, every
+        unordered pair of DISTINCT parts bought together, counted with
+        row multiplicity (the item-item matrix of recommender
+        pipelines). One bounded bucketed shuffle on the basket key; the
+        pair expansion is fully vectorized (offset arithmetic, no Python
+        loop over baskets); per-bucket partial counts shrink the final
+        (p1, p2) groupby to unique pairs."""
+        from ray.data.aggregate import Sum
+
+        from ..util import bucketed_group_apply
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_partkey"])
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+            ok = g["l_orderkey"].to_numpy()
+            pk = g["l_partkey"].to_numpy()
+            n = len(ok)
+            if n < 2:
+                return pd.DataFrame({"p1": pk[:0], "p2": pk[:0],
+                                     "n": np.empty(0, np.int64)})
+            # run ends per row: index of the last row of this order
+            new = np.empty(n, bool)
+            new[0] = True
+            new[1:] = ok[1:] != ok[:-1]
+            run_id = np.cumsum(new) - 1
+            run_end = np.zeros(run_id.max() + 1, np.int64)
+            np.maximum.at(run_end, run_id, np.arange(n))
+            k = run_end[run_id] - np.arange(n)       # pairs per left row
+            idx_a = np.repeat(np.arange(n), k)
+            # right index: consecutive offsets restarting per left row
+            off = np.arange(len(idx_a)) - np.repeat(
+                np.concatenate(([0], np.cumsum(k)[:-1])), k)
+            idx_b = idx_a + 1 + off
+            p1, p2 = pk[idx_a], pk[idx_b]
+            m = p1 != p2                             # distinct parts only
+            df = pd.DataFrame({"p1": p1[m], "p2": p2[m]})
+            return df.groupby(["p1", "p2"], sort=False) \
+                     .size().reset_index(name="n")
+
+        partial = bucketed_group_apply(li, ["l_orderkey"], pairs,
+                                       n_buckets=256)
+        return partial.groupby(["p1", "p2"]) \
+                      .aggregate(Sum("n", alias_name="n"))
+    q["part_cooccurrence"] = part_cooccurrence
+
+    def event_transition_counts(sf_dir):
+        """First-order Markov transition counts over each user's event
+        sequence (ordered by ts, event_id): the sequence-mining shape.
+        One bounded bucketed shuffle on user_id; per bucket a vectorized
+        sort + shift; (src, dst) partials summed in a tiny groupby."""
+        from ray.data.aggregate import Sum
+
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_type", "ts",
+                                      "event_id"])
+
+        def narrow(b: pa.Table) -> pa.Table:
+            return pa.table({"user_id": b["user_id"],
+                             "event_type": b["event_type"],
+                             "ts_us": b["ts"].cast(pa.int64()),
+                             "event_id": b["event_id"]})
+
+        def trans(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts_us", "event_id"],
+                              kind="mergesort")
+            uid = g["user_id"].to_numpy()
+            et = g["event_type"].to_numpy()
+            same = uid[1:] == uid[:-1]
+            df = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
+            if not len(df):
+                return pd.DataFrame({"src": et[:0], "dst": et[:0],
+                                     "n": np.empty(0, np.int64)})
+            return df.groupby(["src", "dst"], sort=False) \
+                     .size().reset_index(name="n")
+
+        ev = ds.map_batches(narrow, batch_format="pyarrow")
+        partial = bucketed_group_apply(ev, ["user_id"], trans,
+                                       n_buckets=256)
+        return partial.groupby(["src", "dst"]) \
+                      .aggregate(Sum("n", alias_name="n"))
+    q["event_transition_counts"] = event_transition_counts
+
     def zonal_stats(sf_dir):
         """Zonal statistics: per polygon, count + exact e6 fixed-point
         coordinate sums of the points inside it (PIP join reused; the
@@ -4107,6 +4192,21 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        "part_cooccurrence": """
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   COUNT(*) AS n
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2""",
+        "event_transition_counts": """
+            WITH s AS (SELECT user_id, event_type,
+                              LEAD(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         "embedding_sq8_check": """
             WITH d AS (SELECT j,
                          CAST(MIN(embedding[j]) AS DOUBLE) AS mn,
