@@ -131,6 +131,23 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_triangle_count_matches_matrix_power(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.graph import triangle_count
+    rng = np.random.default_rng(2)
+    n, m = 60, 400
+    e = rng.integers(0, n, (m, 2))    # dups, self-loops, both orientations
+    df = pd.DataFrame({"a": e[:, 0], "b": e[:, 1]})
+    got = triangle_count(rd.from_pandas(df).repartition(6))
+    adj = np.zeros((n, n), bool)
+    for x, y in e:
+        if x != y:
+            adj[x, y] = adj[y, x] = True
+    want = int(np.trace(np.linalg.matrix_power(adj.astype(np.int64), 3)) // 6)
+    assert got == want and want > 50
+
+
 def test_part_cooccurrence_kernel_matches_pandas(ray_session):
     import ray.data as rd
 

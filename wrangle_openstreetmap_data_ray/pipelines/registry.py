@@ -629,6 +629,23 @@ def queries():
         return out.map_batches(rnd, batch_format="pyarrow")
     q["radius_join_pairs"] = radius_join_pairs
 
+    def knn_graph_triangles(sf_dir):
+        """Exact triangle count of the kNN graph — the degree-ordered
+        node-iterator (wedges emitted from each triangle's lowest-order
+        vertex only, closure checked where wedge and edge hash together;
+        no degree² blowup at hubs). Composes the engine's own kNN join."""
+        from ..stages import graph
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        pairs = knn.knn_join(pts, k=KNN_K, res=11, id_col="image_id",
+                             exact=True)
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            return pa.table({"a": b["id"], "b": b["neighbor_id"]})
+        edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+        return pd.DataFrame(
+            {"n_triangles": [graph.triangle_count(edges)]})
+    q["knn_graph_triangles"] = knn_graph_triangles
+
     def interval_overlap_pairs(sf_dir):
         """Interval OVERLAP join via temporal bucketing: each view's
         30-min attention window × each purchase's 2-h window, all
@@ -3519,6 +3536,21 @@ def oracle_sql():
               FROM {knn_p} a, {knn_p} b
               WHERE a.image_id != b.image_id)
             WHERE rn <= {KNN_K}""",
+        "knn_graph_triangles": f"""
+            WITH knn AS (
+              SELECT id, neighbor_id FROM (
+                SELECT a.image_id AS id, b.image_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY a.image_id
+                         ORDER BY {hav}, b.image_id) AS rn
+                FROM {knn_p} a, {knn_p} b
+                WHERE a.image_id != b.image_id)
+              WHERE rn <= {KNN_K}),
+            e AS (SELECT DISTINCT LEAST(id, neighbor_id) AS a,
+                         GREATEST(id, neighbor_id) AS b FROM knn)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
         "radius_join_pairs": f"""
             SELECT a.image_id AS id, b.image_id AS neighbor_id,
                    ROUND({hav}, 1) AS dist_m

@@ -30,6 +30,7 @@ expressions the SQL twin uses (``w = 1.0/deg`` precomputed;
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..util import _bcast_get, join_kwargs
@@ -149,3 +150,111 @@ def _pagerank_distributed(edges, src, dst, d, n_iters, broadcast_cap):
         return pa.table({"node": b[src], "r": b["r"]})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_count(edges, a: str = "a", b: str = "b",
+                   n_buckets: int = 256) -> int:
+    """EXACT triangle count of an undirected simple graph (edges given as
+    canonical ``a < b`` pairs; duplicates deduped here).
+
+    Degree-ordered node-iterator (the MapReduce classic, Cohen 2009 /
+    Suri-Vassilvitskii 2011): every edge is assigned to its endpoint
+    that is EARLIER in (degree, id) order, each node emits the wedges
+    among its owned higher-order neighbors, and a wedge is a triangle
+    iff its closing pair is an edge. The degree ordering bounds per-node
+    wedge fan-out by O(sqrt(|E|)) per edge even on skewed graphs — a hub
+    of degree d owns only edges to even-higher-order nodes, so no
+    degree² blowup at hot nodes.
+
+    Shape: degree computation (one combiner groupby) + wedge generation
+    and closure check in ONE bucketed cogroup on the candidate pair key
+    — wedges and edges meet where they hash; nothing quadratic
+    materializes globally. Degrees broadcast (node-count table; for a
+    node table beyond worker heap, swap the broadcast for a hash-join
+    attach — same wedge pass)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import _bcast_get, bucketed_group_apply
+
+    def canon(batch: pa.Table) -> pa.Table:
+        x = batch[a].to_numpy(zero_copy_only=False)
+        y = batch[b].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        m = lo != hi                       # drop self-loops
+        t = pa.table({"a": pa.array(lo[m]), "b": pa.array(hi[m])})
+        return t.group_by(["a", "b"]).aggregate([])   # block-level dedup
+
+    ce = edges.map_batches(canon, batch_format="pyarrow")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    ce = bucketed_group_apply(ce, ["a", "b"], dedup,
+                              n_buckets=n_buckets).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([batch["a"].to_numpy(zero_copy_only=False),
+                              batch["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u), "deg": pa.array(c, pa.int64())})
+
+    deg = ce.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("deg", alias_name="deg")) \
+            .to_pandas()
+    order = deg.sort_values(["deg", "node"], kind="mergesort")
+    rank = {n: i for i, n in enumerate(order["node"])}
+    ref = ray.put(rank)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        """Each edge goes to its (degree, id)-earlier endpoint."""
+        rk = _bcast_get(ref)
+        x = batch["a"].to_numpy(zero_copy_only=False)
+        y = batch["b"].to_numpy(zero_copy_only=False)
+        rx = np.asarray([rk[v] for v in x])
+        ry = np.asarray([rk[v] for v in y])
+        own = np.where(rx < ry, x, y)       # lower-order endpoint owns
+        oth = np.where(rx < ry, y, x)
+        return pa.table({"own": pa.array(own), "oth": pa.array(oth)})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        """All owned edges of a node are co-located here (bucketed on
+        owner) — emit every wedge among its higher-order neighbors."""
+        w1, w2 = [], []
+        for _, grp in g.groupby("own", sort=False):
+            nb = np.sort(grp["oth"].to_numpy())
+            m = len(nb)
+            if m >= 2:
+                iu, ju = np.triu_indices(m, 1)
+                w1.append(nb[iu])
+                w2.append(nb[ju])
+        if not w1:
+            e = g["own"].to_numpy()[:0]
+            return pd.DataFrame({"k1": e, "k2": e,
+                                 "is_edge": np.empty(0, np.int8)})
+        k1 = np.concatenate(w1)
+        return pd.DataFrame({"k1": k1, "k2": np.concatenate(w2),
+                             "is_edge": np.zeros(len(k1), np.int8)})
+
+    oriented = ce.map_batches(orient, batch_format="pyarrow")
+    wedge_rows = bucketed_group_apply(oriented, ["own"], wedges,
+                                      n_buckets=n_buckets)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"k1": batch["a"], "k2": batch["b"],
+                         "is_edge": pa.array(
+                             np.ones(batch.num_rows, np.int8))})
+
+    both = wedge_rows.union(ce.map_batches(edge_rows,
+                                           batch_format="pyarrow"))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["k1", "k2"], sort=False)["is_edge"] \
+              .agg(["max", "size"])
+        tri = int(((gg["size"] - gg["max"]) * gg["max"]).sum())
+        return pd.DataFrame({"n": [tri]})
+
+    parts = bucketed_group_apply(both, ["k1", "k2"], close,
+                                 n_buckets=n_buckets)
+    agg = parts.aggregate(Sum("n")) or {}
+    return int(agg.get("sum(n)") or 0)
