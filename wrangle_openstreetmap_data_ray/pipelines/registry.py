@@ -980,13 +980,8 @@ def queries():
         resolved nodes. Segment lengths go to integer millimeters BEFORE
         the sum (floor(d*1000+0.5)) so the per-way total is exact at any
         parallelism; ways with < 2 nodes have no segments on either side."""
-        from ..util import bucketed_group_apply, join_kwargs
-        wn = fx.read_fixture(sf_dir, "way_nodes")
-        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
-                  .rename_columns({"id": "node_id"})
-        joined = wn.join(nodes, on=("node_id",), join_type="inner",
-                         **join_kwargs(fx.table_join_partitions(
-                             sf_dir, "way_nodes", "nodes")))
+        from ..util import bucketed_group_apply
+        joined = _way_points(sf_dir)
 
         def lengths(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["way_id", "position"], kind="mergesort")
@@ -1012,28 +1007,28 @@ def queries():
                                     n_buckets=64)
     q["way_polyline_length"] = way_polyline_length
 
-    def ways_crossing_polygons(sf_dir):
-        """Segment-intersection spatial join: (way, polygon) pairs where
-        any way segment PROPERLY crosses any polygon edge (strict
-        orientation tests — o1·o2 < 0 ∧ o3·o4 < 0, identical float
-        expressions on both engines). Polygon edges broadcast once
-        (small dimension side); segments are built and tested inside the
-        same bucketed pass that resolves way order — no extra shuffle,
-        distinct pairs settled in-bucket (a way lives in one bucket)."""
+    def _way_points(sf_dir):
+        """way_nodes ⋈ nodes — the resolved way-point table shared by the
+        polyline/crossing/relation family."""
+        from ..util import join_kwargs
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        return wn.join(nodes, on=("node_id",), join_type="inner",
+                       **join_kwargs(fx.table_join_partitions(
+                           sf_dir, "way_nodes", "nodes")))
+
+    def _crossing_pairs(sf_dir, joined):
+        """Distinct (way, polygon) proper-crossing pairs from an
+        already-joined way-point dataset (edges broadcast once)."""
         import pyarrow.parquet as pq
         import ray
 
-        from ..util import _bcast_get, bucketed_group_apply, join_kwargs
+        from ..util import _bcast_get, bucketed_group_apply
         ed = pq.read_table(fx.fixture_path(sf_dir, "edges"))
         ref = ray.put((np.asarray(ed["polygon_id"].to_pylist()),
                        ed["x1"].to_numpy(), ed["y1"].to_numpy(),
                        ed["x2"].to_numpy(), ed["y2"].to_numpy()))
-        wn = fx.read_fixture(sf_dir, "way_nodes")
-        nodes = fx.read_fixture(sf_dir, "nodes", columns=["id", "lon", "lat"]) \
-                  .rename_columns({"id": "node_id"})
-        joined = wn.join(nodes, on=("node_id",), join_type="inner",
-                         **join_kwargs(fx.table_join_partitions(
-                             sf_dir, "way_nodes", "nodes")))
 
         def cross(g: pd.DataFrame) -> pd.DataFrame:
             pid, ex1, ey1, ex2, ey2 = _bcast_get(ref)
@@ -1062,13 +1057,26 @@ def queries():
                     out_w.append(swid[c:c+512][rows])
                     out_p.append(pid[cols])
             if not out_w:
-                return pd.DataFrame({"way_id": wid[:0],
-                                     "polygon_id": pid[:0]})
+                # typed empties: object-dtype [:0] columns become Arrow
+                # null type and drift the unified block schema
+                return pd.DataFrame({
+                    "way_id": wid[:0],
+                    "polygon_id": pd.Series([], dtype="string")})
             df = pd.DataFrame({"way_id": np.concatenate(out_w),
                                "polygon_id": np.concatenate(out_p)})
             return df.drop_duplicates()
 
         return bucketed_group_apply(joined, ["way_id"], cross, n_buckets=64)
+
+    def ways_crossing_polygons(sf_dir):
+        """Segment-intersection spatial join: (way, polygon) pairs where
+        any way segment PROPERLY crosses any polygon edge (strict
+        orientation tests — o1·o2 < 0 ∧ o3·o4 < 0, identical float
+        expressions on both engines). Polygon edges broadcast once
+        (small dimension side); segments are built and tested inside the
+        same bucketed pass that resolves way order — no extra shuffle,
+        distinct pairs settled in-bucket (a way lives in one bucket)."""
+        return _crossing_pairs(sf_dir, _way_points(sf_dir))
     q["ways_crossing_polygons"] = ways_crossing_polygons
 
     def way_polygon_relation(sf_dir):
@@ -1081,16 +1089,11 @@ def queries():
         per-way node counts attached by broadcast join."""
         import pyarrow.parquet as pq
 
-        from ..util import (broadcast_inner_join, bucketed_group_apply,
-                            join_kwargs)
+        from ..util import broadcast_inner_join, bucketed_group_apply
         polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
-        wn = fx.read_fixture(sf_dir, "way_nodes")
-        nodes = fx.read_fixture(sf_dir, "nodes",
-                                columns=["id", "lon", "lat"]) \
-                  .rename_columns({"id": "node_id"})
-        joined = wn.join(nodes, on=("node_id",), join_type="inner",
-                         **join_kwargs(fx.table_join_partitions(
-                             sf_dir, "way_nodes", "nodes"))).materialize()
+        # ONE way-point join feeds PIP, crossing AND the node counts
+        # (review finding: the crossing side used to redo the join)
+        joined = _way_points(sf_dir).materialize()
 
         hits = pip_join.pip_join(joined, polys, keep_cols=["way_id"])
 
@@ -1100,7 +1103,7 @@ def queries():
                              "n_in": pa.array(np.ones(len(b), np.int64)),
                              "crossed": pa.array(np.zeros(len(b), np.int8))})
 
-        xing = ways_crossing_polygons(sf_dir)
+        xing = _crossing_pairs(sf_dir, joined)
 
         def x_side(b: pa.Table) -> pa.Table:
             return pa.table({"way_id": b["way_id"],
@@ -1221,7 +1224,9 @@ def queries():
             same = uid[1:] == uid[:-1]
             df = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
             if not len(df):
-                return pd.DataFrame({"src": et[:0], "dst": et[:0],
+                # typed empty: object [:0] columns infer Arrow null type
+                return pd.DataFrame({"src": pd.Series([], dtype="string"),
+                                     "dst": pd.Series([], dtype="string"),
                                      "n": np.empty(0, np.int64)})
             return df.groupby(["src", "dst"], sort=False) \
                      .size().reset_index(name="n")
@@ -2974,15 +2979,19 @@ def queries():
         def l_narrow(b: pa.Table) -> pa.Table:
             from ..util import _bcast_get
             sk, sn, _, _ = _bcast_get(ref)
-            pos = np.searchsorted(sk, b["l_suppkey"].to_numpy())
-            pos = np.minimum(pos, len(sk) - 1)
-            rev = (b["l_extendedprice"].to_numpy()
-                   * (1.0 - b["l_discount"].to_numpy()))
+            key = b["l_suppkey"].to_numpy()
+            pos = np.searchsorted(sk, key)
+            pos_c = np.minimum(pos, len(sk) - 1)
+            hit = (pos < len(sk)) & (sk[pos_c] == key)  # inner-join: drop
+            f = b.filter(pa.array(hit))                 # orphan FKs, never
+            pos_c = pos_c[hit]                          # misattribute them
+            rev = (f["l_extendedprice"].to_numpy()
+                   * (1.0 - f["l_discount"].to_numpy()))
             year = pd.to_datetime(
-                b["l_shipdate"].cast(pa.int64()).to_numpy(), unit="us").year
+                f["l_shipdate"].cast(pa.int64()).to_numpy(), unit="us").year
             return pa.table({
-                "o_orderkey": b["l_orderkey"],
-                "supp_nation": pa.array(sn[pos]),
+                "o_orderkey": f["l_orderkey"],
+                "supp_nation": pa.array(sn[pos_c], pa.string()),
                 "l_year": pa.array(np.asarray(year), pa.int64()),
                 "rev4": pa.array(np.floor(rev * 1e4 + 0.5).astype(np.int64)),
             })
@@ -2990,10 +2999,14 @@ def queries():
         def o_narrow(b: pa.Table) -> pa.Table:
             from ..util import _bcast_get
             _, _, ck, cn = _bcast_get(ref)
-            pos = np.searchsorted(ck, b["o_custkey"].to_numpy())
-            pos = np.minimum(pos, len(ck) - 1)
-            return pa.table({"o_orderkey": b["o_orderkey"],
-                             "cust_nation": pa.array(cn[pos])})
+            key = b["o_custkey"].to_numpy()
+            pos = np.searchsorted(ck, key)
+            pos_c = np.minimum(pos, len(ck) - 1)
+            hit = (pos < len(ck)) & (ck[pos_c] == key)
+            f = b.filter(pa.array(hit))
+            return pa.table({"o_orderkey": f["o_orderkey"],
+                             "cust_nation": pa.array(cn[pos_c[hit]],
+                                                     pa.string())})
 
         li = fx.driver_table(sf_dir, "lineitem",
                              columns=["l_orderkey", "l_suppkey", "l_shipdate",
@@ -3017,7 +3030,13 @@ def queries():
                                "rev4": f["rev4"].to_numpy()})
             g = df.groupby(["supp_nation", "cust_nation", "l_year"],
                            sort=False)["rev4"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # explicit types: an all-filtered block's object columns would
+            # otherwise infer Arrow null and drift the groupby schema
+            return pa.table({
+                "supp_nation": pa.array(g["supp_nation"], pa.string()),
+                "cust_nation": pa.array(g["cust_nation"], pa.string()),
+                "l_year": pa.array(g["l_year"], pa.int64()),
+                "rev4": pa.array(g["rev4"], pa.int64())})
 
         return joined.map_batches(keep_pair, batch_format="pyarrow") \
                      .groupby(["supp_nation", "cust_nation", "l_year"]) \

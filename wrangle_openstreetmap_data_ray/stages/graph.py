@@ -203,16 +203,21 @@ def triangle_count(edges, a: str = "a", b: str = "b",
             .groupby("node").aggregate(Sum("deg", alias_name="deg")) \
             .to_pandas()
     order = deg.sort_values(["deg", "node"], kind="mergesort")
-    rank = {n: i for i, n in enumerate(order["node"])}
-    ref = ray.put(rank)
+    # broadcast (sorted node array, rank array) — vectorized searchsorted
+    # lookups, no per-edge Python dict access (review finding)
+    nodes_sorted = np.sort(order["node"].to_numpy())
+    rank_of = np.empty(len(nodes_sorted), np.int64)
+    rank_of[np.searchsorted(nodes_sorted, order["node"].to_numpy())] = \
+        np.arange(len(nodes_sorted))
+    ref = ray.put((nodes_sorted, rank_of))
 
     def orient(batch: pa.Table) -> pa.Table:
         """Each edge goes to its (degree, id)-earlier endpoint."""
-        rk = _bcast_get(ref)
+        ns, ro = _bcast_get(ref)
         x = batch["a"].to_numpy(zero_copy_only=False)
         y = batch["b"].to_numpy(zero_copy_only=False)
-        rx = np.asarray([rk[v] for v in x])
-        ry = np.asarray([rk[v] for v in y])
+        rx = ro[np.searchsorted(ns, x)]
+        ry = ro[np.searchsorted(ns, y)]
         own = np.where(rx < ry, x, y)       # lower-order endpoint owns
         oth = np.where(rx < ry, y, x)
         return pa.table({"own": pa.array(own), "oth": pa.array(oth)})

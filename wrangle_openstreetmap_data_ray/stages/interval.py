@@ -92,7 +92,12 @@ def _bucket_overlap(bucket_us: int, out_a: str, out_b: str, chunk: int = 512):
                     out_i.append(cid[rows])
                     out_j.append(b_id[cols])
         if not out_i:
-            return pd.DataFrame({out_a: ids[:0], out_b: ids[:0]})
+            # typed empty: an object-dtype [:0] id column infers Arrow
+            # null type and drifts the unified block schema
+            def typed(a):
+                return (pd.Series([], dtype="string")
+                        if a.dtype == object else pd.Series(a[:0]))
+            return pd.DataFrame({out_a: typed(ids), out_b: typed(ids)})
         return pd.DataFrame({out_a: np.concatenate(out_i),
                              out_b: np.concatenate(out_j)})
     return fn

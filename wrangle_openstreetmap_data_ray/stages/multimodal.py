@@ -199,6 +199,10 @@ class VideoSceneScore:
         for i in range(batch.num_rows):
             frames, _fps = codecs.decode_rawvid(blobs[i].as_py())
             if frames.shape[0] < 2:
+                # keep the one-row-per-video contract: no boundary exists
+                ids.append(vids[i])
+                bidx.append(0)
+                score.append(0)
                 continue
             a = frames[:-1].astype(np.int16)
             b = frames[1:].astype(np.int16)

@@ -361,6 +361,9 @@ def sq8_quantize(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
 
     from ..util import _bcast_get
     mn, mx = _dim_minmax(ds, vec_col)
+    if mn is None:
+        raise ValueError("sq8_quantize: empty input dataset — nothing to "
+                         "fit the per-dimension [min, max] on")
     sc = (mx - mn) / 255.0
     ref = ray.put((mn, sc))
 
