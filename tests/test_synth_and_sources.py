@@ -108,6 +108,31 @@ def test_lancelike_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
     assert carried                      # untouched fragments kept their maps
 
 
+def test_lancelike_compact_preserves_rows_and_zonemaps(ray_session, tmp_path):
+    import ray.data as rd
+    root = str(tmp_path / "cp")
+    t = synth.gen_geo_table(0, 3000)
+    man = lancelike.write_dataset(rd.from_arrow(t).repartition(16).sort("lon"),
+                                  root, stage="s", zonemap_cols=["lon"])
+    assert len(man["fragments"]) >= 8
+    big_target = 4 * 1024 * 1024
+    man2 = lancelike.compact(root, stage="c", target_bytes=big_target,
+                             zonemap_cols=["lon"])
+    assert man2["version"] == man["version"] + 1
+    assert len(man2["fragments"]) < len(man["fragments"])
+    assert man2["total_rows"] == 3000
+    # content identical (ids and lons), zone maps recomputed on rewrites
+    back = lancelike.read_dataset(root, columns=["image_id", "lon"])
+    assert sorted(r["image_id"] for r in back.take_all()) \
+        == sorted(t["image_id"].to_pylist())
+    assert all("zonemap" in f for f in man2["fragments"])
+    # zone-map pruned range reads still work on the compacted version
+    out, scanned, total = lancelike.read_dataset_range(
+        root, "lon", 103.0, 104.5, columns=["image_id"])
+    assert out.count() == int(((t["lon"].to_numpy() >= 103.0)
+                               & (t["lon"].to_numpy() <= 104.5)).sum())
+
+
 def test_systematic_sample(ray_session):
     import ray.data as rd
     nodes, *_ = synth.gen_osm_tables(n_nodes=200, n_ways=1)

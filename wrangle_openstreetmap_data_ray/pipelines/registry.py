@@ -1453,6 +1453,28 @@ def queries():
         return out
     q["lancelike_zonemap_scan"] = lancelike_zonemap_scan
 
+    def lancelike_compact_scan(sf_dir):
+        """Fragment compaction through the correctness gate: the geo
+        points are written as MANY deliberately-small fragments, compacted
+        (greedy size-binned rewrites in parallel; big fragments carried by
+        reference), and read back from the new version — the oracle pins
+        byte-identical content, and the query asserts the fragment count
+        actually dropped and a version was committed."""
+        from ..sources import lancelike
+        ds = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon"])
+        root = f"/tmp/graft_out/compact_demo_{fx.sf_tag(sf_dir)}"
+        man = lancelike.write_dataset(
+            ds.repartition(24), root, stage="tiny_frags",
+            parent=fx.sf_tag(sf_dir),
+            fingerprint=lancelike.input_fingerprint(ds))
+        man2 = lancelike.compact(root, stage="compacted",
+                                 target_bytes=8 * 1024 * 1024)
+        if (len(man["fragments"]) > 1
+                and not len(man2["fragments"]) < len(man["fragments"])):
+            raise AssertionError("compaction did not reduce fragments")
+        return lancelike.read_dataset(root, columns=["image_id", "lon"])
+    q["lancelike_compact_scan"] = lancelike_compact_scan
+
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
         points partitioned by tile-x shard, then return the MANIFEST's
@@ -3850,6 +3872,8 @@ def oracle_sql():
         "lancelike_zonemap_scan": f"""
             SELECT image_id, lon FROM {geo_p}
             WHERE lon >= 103.8 AND lon <= 103.9""",
+        "lancelike_compact_scan": f"""
+            SELECT image_id, lon FROM {geo_p}""",
         "lancelike_partition_counts": f"""
             SELECT {_grid_sql('lon', TILE_RES, -180.0, 360.0)} % 4 AS shard,
                    COUNT(*) AS n_rows

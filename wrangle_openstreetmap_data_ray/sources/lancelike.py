@@ -458,3 +458,70 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
                "rewritten_or_new_fragments": len(frags) - carried}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
+
+
+def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
+            zonemap_cols: list[str] | None = None) -> dict:
+    """Fragment COMPACTION (the Lance/Iceberg maintenance op): fragments
+    smaller than ``target_bytes`` are greedily binned to the target size
+    and each bin is rewritten as ONE fragment in parallel; fragments
+    already at/above target are CARRIED by manifest reference (zero I/O,
+    zone maps preserved). Commits a new manifest version last — readers
+    only ever see the old or the new version. Total I/O is
+    O(small-fragment bytes), never O(table).
+
+    Bins are rewritten by a Ray task per bin (``map_batches`` over the
+    bin list with batch_size=1), so a 100k-small-fragment table compacts
+    with full-cluster parallelism. Rewritten fragments get fresh zone
+    maps when ``zonemap_cols`` is passed (they concatenate several old
+    fragments, so the old maps' union would be loose but valid — we
+    recompute exactly instead)."""
+    import ray.data as rd
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+
+    small = [f for f in man["fragments"] if f["bytes"] < target_bytes]
+    big = [f for f in man["fragments"] if f["bytes"] >= target_bytes]
+    if len(small) <= 1:
+        return man                      # nothing to gain
+    # greedy size-binning (first-fit over the byte budget)
+    bins, cur, cur_bytes = [], [], 0
+    for f in small:
+        if cur and cur_bytes + f["bytes"] > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f["path"])
+        cur_bytes += f["bytes"]
+    if cur:
+        bins.append(cur)
+
+    writer = _FragmentWriter(frag_dir, zonemap_cols)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        out = []
+        for paths_json in b["bin"].to_pylist():
+            parts = [pq.read_table(os.path.join(root, p))
+                     for p in json.loads(paths_json)]
+            out.append(writer(pa.concat_tables(parts)))
+        return pa.concat_tables(out)
+
+    bins_ds = rd.from_arrow(pa.table(
+        {"bin": pa.array([json.dumps(b) for b in bins], pa.string())}))
+    meta = bins_ds.map_batches(rewrite, batch_format="pyarrow",
+                               batch_size=1)
+    frags = [dict(f) for f in big]      # carried: keep zonemap and all
+    for r in meta.take_all():
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"])}
+        zm = json.loads(r.get("zonemap") or "{}")
+        if zm:
+            f["zonemap"] = zm
+        frags.append(f)
+    metrics = {"compacted_bins": len(bins),
+               "small_fragments_in": len(small),
+               "carried_fragments": len(big)}
+    return _commit(root, stage, parent=man["stage"], fragments=frags,
+                   metrics=metrics, fingerprint=None)
