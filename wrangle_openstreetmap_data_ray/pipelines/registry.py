@@ -1475,6 +1475,46 @@ def queries():
         return lancelike.read_dataset(root, columns=["image_id", "lon"])
     q["lancelike_compact_scan"] = lancelike_compact_scan
 
+    def incremental_user_counts(sf_dir):
+        """Incremental view maintenance: a per-user event-count aggregate
+        is committed to the lancelike store from the FIRST 20 days of
+        events (checkpoint, fingerprinted resume), then the remaining
+        days arrive as a delta and merge as partials (base counts ∪ delta
+        partials → one groupby sum) into a new committed version. The
+        oracle recomputes from scratch over ALL events — pinning that
+        increment-and-merge equals a full recompute."""
+        from ray.data.aggregate import Sum
+
+        from ..sources import lancelike
+        CUT_US = int(pd.Timestamp("2024-01-21").value // 1000)
+        ds = fx.driver_table(sf_dir, "events", columns=["user_id", "ts"])
+
+        def split(keep_before: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                ts = b["ts"].cast(pa.int64()).to_numpy()
+                m = ts < CUT_US if keep_before else ts >= CUT_US
+                f = b.filter(pa.array(m))
+                u, c = np.unique(np.asarray(f["user_id"].to_pylist()),
+                                 return_counts=True)
+                return pa.table({"user_id": pa.array(u),
+                                 "cnt": pa.array(c, pa.int64())})
+            return fn
+
+        base = ds.map_batches(split(True), batch_format="pyarrow") \
+                 .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt"))
+        root = f"/tmp/graft_out/ivm_demo_{fx.sf_tag(sf_dir)}"
+        lancelike.write_dataset(base, root, stage="base_counts",
+                                parent=fx.sf_tag(sf_dir),
+                                fingerprint=lancelike.input_fingerprint(ds))
+        stored = lancelike.read_dataset(root, columns=["user_id", "cnt"])
+        delta = ds.map_batches(split(False), batch_format="pyarrow")
+        merged = stored.union(delta).groupby("user_id") \
+                       .aggregate(Sum("cnt", alias_name="n_events"))
+        lancelike.write_dataset(merged.materialize(), root,
+                                stage="merged_counts", parent="base_counts")
+        return lancelike.read_dataset(root, columns=["user_id", "n_events"])
+    q["incremental_user_counts"] = incremental_user_counts
+
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
         points partitioned by tile-x shard, then return the MANIFEST's
@@ -3874,6 +3914,9 @@ def oracle_sql():
             WHERE lon >= 103.8 AND lon <= 103.9""",
         "lancelike_compact_scan": f"""
             SELECT image_id, lon FROM {geo_p}""",
+        "incremental_user_counts": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id""",
         "lancelike_partition_counts": f"""
             SELECT {_grid_sql('lon', TILE_RES, -180.0, 360.0)} % 4 AS shard,
                    COUNT(*) AS n_rows
