@@ -131,6 +131,29 @@ def test_decontaminate_matches_string_brute_force(ray_session):
             == set(corpus["doc_id"]) - contaminated_ids)
 
 
+def test_hll_grouped_accuracy_and_determinism(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.sketch import \
+        hll_distinct_by_group
+    rng = np.random.default_rng(8)
+    n = 20_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n, p=[.5, .3, .15, .05]),
+        "v": [f"u{int(x)}" for x in rng.integers(0, 3000, n)]})
+    got1 = {r["g"]: r["n_distinct_est"] for r in
+            hll_distinct_by_group(rd.from_pandas(df).repartition(8),
+                                  "g", "v", p=10).take_all()}
+    exact = df.groupby("g")["v"].nunique()
+    for g, e in exact.items():
+        assert abs(got1[g] - e) / e < 0.12       # ~3.3% stderr at p=10
+    # deterministic across parallelism (hash-based sketch)
+    got2 = {r["g"]: r["n_distinct_est"] for r in
+            hll_distinct_by_group(rd.from_pandas(df).repartition(3),
+                                  "g", "v", p=10).take_all()}
+    assert got1 == got2
+
+
 def test_triangle_count_matches_matrix_power(ray_session):
     import ray.data as rd
 

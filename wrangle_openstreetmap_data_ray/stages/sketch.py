@@ -205,3 +205,59 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
     merged = rows.groupby("register").aggregate(
         Max("rank", alias_name="rank")).to_pandas()
     return hll_estimate(merged, p)
+
+
+def hll_grouped_register_rows(group_col: str, col_name: str, p: int = 10):
+    """map_batches fn: batch → ≤ groups_in_block × 2^p (group, register,
+    rank) rows. Per group the block folds to its non-zero registers, so
+    the shuffle carries sketch rows, never distinct values."""
+    m = 1 << p
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _hash_col(batch[col_name])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        suffix = h & np.uint64((1 << (64 - p)) - 1)
+        rank = (64 - p) - _bit_length_u64(suffix) + 1
+        gv = np.asarray(batch[group_col].to_pylist())
+        guniq, ginv = np.unique(gv, return_inverse=True)
+        regs = np.zeros((len(guniq), m), np.int64)
+        np.maximum.at(regs, (ginv, idx), rank)
+        gi, ri = np.nonzero(regs)
+        return pa.table({group_col: pa.array(guniq[gi]),
+                         "register": pa.array(ri, pa.int64()),
+                         "rank": pa.array(regs[gi, ri], pa.int64())})
+    return fn
+
+
+def hll_distinct_by_group(ds, group_col: str, col: str, p: int = 10):
+    """Approximate COUNT(DISTINCT col) PER GROUP — the grouped mergeable
+    sketch: block-level per-group register folds, ONE bounded bucketed
+    shuffle on the group key, per-group merge + estimator in the bucket.
+    Relative error ≈ 1.04/sqrt(2^p) per group (~3.3% at p=10). The
+    exchange is O(groups × 2^p) sketch rows regardless of value
+    cardinality — the scale story exact ``grouped_count_distinct``
+    cannot offer when the unique-tuple set itself is too big to shuffle.
+    Deterministic (hash-based): byte-identical across parallelism.
+    Returns a Dataset (group_col, n_distinct_est: int64)."""
+    from ..util import bucketed_group_apply
+    rows = ds.map_batches(hll_grouped_register_rows(group_col, col, p),
+                          batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mg = g.groupby([group_col, "register"], sort=False)["rank"].max()
+        out_g, out_n = [], []
+        for gval, sub in mg.groupby(level=0, sort=False):
+            est = hll_estimate(
+                pd.DataFrame({"register":
+                              sub.index.get_level_values("register"),
+                              "rank": sub.to_numpy()}), p)
+            out_g.append(gval)
+            out_n.append(int(np.floor(est + 0.5)))
+        if not out_g:
+            return pd.DataFrame({group_col: pd.Series([], dtype="string"),
+                                 "n_distinct_est": np.empty(0, np.int64)})
+        return pd.DataFrame({group_col: out_g,
+                             "n_distinct_est":
+                             np.asarray(out_n, np.int64)})
+
+    return bucketed_group_apply(rows, [group_col], merge, n_buckets=256)
