@@ -131,6 +131,21 @@ def test_lancelike_compact_preserves_rows_and_zonemaps(ray_session, tmp_path):
         root, "lon", 103.0, 104.5, columns=["image_id"])
     assert out.count() == int(((t["lon"].to_numpy() >= 103.0)
                                & (t["lon"].to_numpy() <= 104.5)).sum())
+    # zonemap_cols defaulted from the manifest (none were passed above
+    # on the recompact) — and recompacting when nothing can be merged is
+    # a NO-OP (singleton bins carried, never rewritten 1:1)
+    man3 = lancelike.compact(root, stage="c2", target_bytes=big_target)
+    assert man3["version"] == man2["version"]
+    # partitioned layouts are refused (cross-partition rewrite would
+    # break partition-pruned reads)
+    root2 = str(tmp_path / "zp")
+    t2 = t.append_column("shard", pa.array(
+        (np.arange(len(t)) % 3).astype(np.int64)))
+    lancelike.write_dataset_partitioned(rd.from_arrow(t2).repartition(4),
+                                        root2, stage="p",
+                                        partition_col="shard")
+    with pytest.raises(ValueError, match="partitioned"):
+        lancelike.compact(root2, stage="c")
 
 
 def test_systematic_sample(ray_session):

@@ -1057,11 +1057,10 @@ def queries():
                     out_w.append(swid[c:c+512][rows])
                     out_p.append(pid[cols])
             if not out_w:
-                # typed empties: object-dtype [:0] columns become Arrow
-                # null type and drift the unified block schema
+                from ..util import typed_empty_series
                 return pd.DataFrame({
-                    "way_id": wid[:0],
-                    "polygon_id": pd.Series([], dtype="string")})
+                    "way_id": typed_empty_series(wid),
+                    "polygon_id": typed_empty_series(pid)})
             df = pd.DataFrame({"way_id": np.concatenate(out_w),
                                "polygon_id": np.concatenate(out_p)})
             return df.drop_duplicates()
@@ -1224,9 +1223,9 @@ def queries():
             same = uid[1:] == uid[:-1]
             df = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
             if not len(df):
-                # typed empty: object [:0] columns infer Arrow null type
-                return pd.DataFrame({"src": pd.Series([], dtype="string"),
-                                     "dst": pd.Series([], dtype="string"),
+                from ..util import typed_empty_series
+                return pd.DataFrame({"src": typed_empty_series(et),
+                                     "dst": typed_empty_series(et),
                                      "n": np.empty(0, np.int64)})
             return df.groupby(["src", "dst"], sort=False) \
                      .size().reset_index(name="n")
@@ -1469,7 +1468,10 @@ def queries():
             fingerprint=lancelike.input_fingerprint(ds))
         man2 = lancelike.compact(root, stage="compacted",
                                  target_bytes=8 * 1024 * 1024)
-        if (len(man["fragments"]) > 1
+        # a committed compaction must shrink the fragment count (compact
+        # is a no-op — same manifest back — when no multi-fragment bin
+        # exists, which tiny-fragment geo always provides)
+        if (man2["version"] > man["version"]
                 and not len(man2["fragments"]) < len(man["fragments"])):
             raise AssertionError("compaction did not reduce fragments")
         return lancelike.read_dataset(root, columns=["image_id", "lon"])
@@ -1496,7 +1498,12 @@ def queries():
                 f = b.filter(pa.array(m))
                 u, c = np.unique(np.asarray(f["user_id"].to_pylist()),
                                  return_counts=True)
-                return pa.table({"user_id": pa.array(u),
+                # type from the input schema: an all-filtered block's
+                # np.unique([]) is float64 and would drift user_id to
+                # double (events are ts-sorted, so whole blocks land on
+                # one side of the cut — review finding, reproduced)
+                return pa.table({"user_id": pa.array(
+                                     u, b.schema.field("user_id").type),
                                  "cnt": pa.array(c, pa.int64())})
             return fn
 

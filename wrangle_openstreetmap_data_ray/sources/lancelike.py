@@ -470,34 +470,50 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
     only ever see the old or the new version. Total I/O is
     O(small-fragment bytes), never O(table).
 
-    Bins are rewritten by a Ray task per bin (``map_batches`` over the
-    bin list with batch_size=1), so a 100k-small-fragment table compacts
-    with full-cluster parallelism. Rewritten fragments get fresh zone
-    maps when ``zonemap_cols`` is passed (they concatenate several old
-    fragments, so the old maps' union would be loose but valid — we
-    recompute exactly instead)."""
+    Each multi-fragment bin is rewritten by its own Ray task
+    (``from_items`` with one bin per block), so a 100k-small-fragment
+    table compacts with full-cluster parallelism; singleton bins (a
+    fragment that fits no bin) are carried by reference, never rewritten
+    1:1. Rewritten fragments get fresh zone maps — ``zonemap_cols``
+    defaults to the columns already zone-mapped in the manifest, so
+    routine maintenance preserves pruning without re-stating them.
+    Partitioned layouts are refused (rewriting across partition subdirs
+    would silently break partition-pruned reads)."""
     import ray.data as rd
 
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    if any("partition" in f for f in man["fragments"]):
+        raise ValueError(
+            "compact() does not support partitioned layouts — binning "
+            "across partition subdirs would break partition-pruned reads")
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    if zonemap_cols is None:
+        seen: list[str] = []
+        for f in man["fragments"]:
+            for c in f.get("zonemap", {}):
+                if c not in seen:
+                    seen.append(c)
+        zonemap_cols = seen or None
 
     small = [f for f in man["fragments"] if f["bytes"] < target_bytes]
     big = [f for f in man["fragments"] if f["bytes"] >= target_bytes]
-    if len(small) <= 1:
-        return man                      # nothing to gain
-    # greedy size-binning (first-fit over the byte budget)
+    # greedy size-binning (first-fit over the byte budget); a bin of one
+    # fragment gains nothing — carry it by reference instead
     bins, cur, cur_bytes = [], [], 0
     for f in small:
         if cur and cur_bytes + f["bytes"] > target_bytes:
             bins.append(cur)
             cur, cur_bytes = [], 0
-        cur.append(f["path"])
+        cur.append(f)
         cur_bytes += f["bytes"]
     if cur:
         bins.append(cur)
-
+    carried = list(big) + [b[0] for b in bins if len(b) == 1]
+    bins = [b for b in bins if len(b) > 1]
+    if not bins:
+        return man                      # nothing to gain
     writer = _FragmentWriter(frag_dir, zonemap_cols)
 
     def rewrite(b: pa.Table) -> pa.Table:
@@ -508,11 +524,12 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
             out.append(writer(pa.concat_tables(parts)))
         return pa.concat_tables(out)
 
-    bins_ds = rd.from_arrow(pa.table(
-        {"bin": pa.array([json.dumps(b) for b in bins], pa.string())}))
+    bins_ds = rd.from_items(
+        [{"bin": json.dumps([f["path"] for f in b])} for b in bins],
+        override_num_blocks=len(bins))   # one Ray task per bin
     meta = bins_ds.map_batches(rewrite, batch_format="pyarrow",
-                               batch_size=1)
-    frags = [dict(f) for f in big]      # carried: keep zonemap and all
+                               batch_size=None)
+    frags = [dict(f) for f in carried]  # carried: keep zonemap and all
     for r in meta.take_all():
         f = {"path": r["path"], "rows": int(r["rows"]),
              "bytes": int(r["bytes"])}
@@ -522,6 +539,6 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
         frags.append(f)
     metrics = {"compacted_bins": len(bins),
                "small_fragments_in": len(small),
-               "carried_fragments": len(big)}
+               "carried_fragments": len(carried)}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)

@@ -92,12 +92,9 @@ def _bucket_overlap(bucket_us: int, out_a: str, out_b: str, chunk: int = 512):
                     out_i.append(cid[rows])
                     out_j.append(b_id[cols])
         if not out_i:
-            # typed empty: an object-dtype [:0] id column infers Arrow
-            # null type and drifts the unified block schema
-            def typed(a):
-                return (pd.Series([], dtype="string")
-                        if a.dtype == object else pd.Series(a[:0]))
-            return pd.DataFrame({out_a: typed(ids), out_b: typed(ids)})
+            from ..util import typed_empty_series
+            return pd.DataFrame({out_a: typed_empty_series(ids),
+                                 out_b: typed_empty_series(ids)})
         return pd.DataFrame({out_a: np.concatenate(out_i),
                              out_b: np.concatenate(out_j)})
     return fn

@@ -39,15 +39,22 @@ def _hash_col(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return hash64_str_array([str(x) for x in col.to_pylist()])
 
 
+def _hll_idx_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, leading-zero rank 1..65-p) for hashed values —
+    the ONE place the HLL hash-splitting convention lives (shared by the
+    global and grouped sketches)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h & np.uint64((1 << (64 - p)) - 1)
+    rank = (64 - p) - _bit_length_u64(suffix) + 1
+    return idx, rank
+
+
 def hll_register_rows(col_name: str, p: int = 12):
     """map_batches fn: batch → ≤2^p (register, rank) rows (narrow)."""
     m = 1 << p
 
     def fn(batch: pa.Table) -> pa.Table:
-        h = _hash_col(batch[col_name])
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        suffix = h & np.uint64((1 << (64 - p)) - 1)
-        rank = (64 - p) - _bit_length_u64(suffix) + 1   # 1..65-p
+        idx, rank = _hll_idx_rank(_hash_col(batch[col_name]), p)
         regs = np.zeros(m, np.int64)
         np.maximum.at(regs, idx, rank)
         nz = np.nonzero(regs)[0]
@@ -214,16 +221,19 @@ def hll_grouped_register_rows(group_col: str, col_name: str, p: int = 10):
     m = 1 << p
 
     def fn(batch: pa.Table) -> pa.Table:
-        h = _hash_col(batch[col_name])
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        suffix = h & np.uint64((1 << (64 - p)) - 1)
-        rank = (64 - p) - _bit_length_u64(suffix) + 1
+        gtype = batch.schema.field(group_col).type
+        batch = batch.filter(pc.is_valid(batch[group_col]))  # SQL: NULL
+        if not batch.num_rows:                               # groups drop
+            return pa.table({group_col: pa.array([], gtype),
+                             "register": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        idx, rank = _hll_idx_rank(_hash_col(batch[col_name]), p)
         gv = np.asarray(batch[group_col].to_pylist())
         guniq, ginv = np.unique(gv, return_inverse=True)
         regs = np.zeros((len(guniq), m), np.int64)
         np.maximum.at(regs, (ginv, idx), rank)
         gi, ri = np.nonzero(regs)
-        return pa.table({group_col: pa.array(guniq[gi]),
+        return pa.table({group_col: pa.array(guniq[gi], gtype),
                          "register": pa.array(ri, pa.int64()),
                          "rank": pa.array(regs[gi, ri], pa.int64())})
     return fn
@@ -254,7 +264,9 @@ def hll_distinct_by_group(ds, group_col: str, col: str, p: int = 10):
             out_g.append(gval)
             out_n.append(int(np.floor(est + 0.5)))
         if not out_g:
-            return pd.DataFrame({group_col: pd.Series([], dtype="string"),
+            from ..util import typed_empty_series
+            return pd.DataFrame({group_col:
+                                 typed_empty_series(g[group_col].to_numpy()),
                                  "n_distinct_est": np.empty(0, np.int64)})
         return pd.DataFrame({group_col: out_g,
                              "n_distinct_est":

@@ -92,6 +92,19 @@ def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
                                                   batch_format="pandas")
 
 
+def typed_empty_series(sample):
+    """Zero-row pandas Series typed from a sample array/Series. An empty
+    OBJECT column infers Arrow null type and drifts the unified block
+    schema (NOTES_r3's recurring lesson) — string-ish samples become an
+    explicit 'string' dtype; numeric dtypes are preserved. Use this for
+    every bucketed-kernel early-return that can produce zero rows."""
+    import numpy as np
+    import pandas as pd
+    a = np.asarray(sample)
+    return (pd.Series([], dtype="string") if a.dtype == object
+            else pd.Series(a[:0]))
+
+
 def grouped_count_distinct(ds, group_cols: list[str], value_col: str,
                            out_col: str = "n_distinct",
                            n_buckets: int = 512):
