@@ -454,6 +454,29 @@ def test_jaccard_kernel_sanity():
     assert jaccard_shingles(a, b) == 0.0
 
 
+def test_minhash_batch_kernel_bit_identical_to_per_doc():
+    """The vectorized whole-batch MinHash kernel (factorize + masked
+    concatenated windows + minimum.reduceat) must equal the per-doc
+    reference bit-for-bit — including empty docs, docs shorter than the
+    shingle width (NUL padding), unicode whitespace, and lead/trail
+    whitespace (Arrow split emits empty boundary tokens; \\S+ doesn't)."""
+    from wrangle_openstreetmap_data_ray.functions.text import (
+        minhash_bands, minhash_bands_batch, minhash_signature)
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "Gamma", "δέλτα", "x1", "...", "word", "the"]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 40))))
+             for _ in range(200)]
+    texts += ["", "one", "one two", "one two three", "  lead trail  ",
+              "\t\n", "单 词 表 达 一 二 三", "unicode   space"]
+    for num_perm, num_bands, n in [(128, 32, 3), (64, 16, 2)]:
+        batch = minhash_bands_batch(texts, num_perm, num_bands, n)
+        for i, t in enumerate(texts):
+            ref = minhash_bands(
+                minhash_signature(WS_RE.findall(t.lower()), num_perm, n),
+                num_bands)
+            assert np.array_equal(batch[i], ref), (num_perm, i, t[:40])
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray.data as rd
     rng = np.random.default_rng(0)

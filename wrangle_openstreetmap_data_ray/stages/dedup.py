@@ -21,8 +21,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.text import (WS_RE, _shingle_hashes, hamming64,
-                              jaccard_shingles, minhash_bands,
-                              minhash_signature, simhash64)
+                              jaccard_shingles, minhash_bands_batch,
+                              simhash64)
 from ..util import pool_spec
 
 # ------------------------------------------------------------------ exact
@@ -64,12 +64,11 @@ def _minhash_sig_fn(id_col: str, text_col: str, num_perm: int, num_bands: int,
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        sigs = np.empty((len(ids), num_bands), np.uint64)
-        for i, t in enumerate(texts):
-            toks = WS_RE.findall(t.lower())
-            sigs[i] = minhash_bands(
-                minhash_signature(toks, num_perm, shingle_n), num_bands)
+        # whole-batch vectorized kernel (factorized token hashes, masked
+        # concatenated shingle windows, minimum.reduceat over doc offsets)
+        # — bit-identical to the per-doc path, pinned by pytest
+        sigs = minhash_bands_batch(batch[text_col], num_perm, num_bands,
+                                   shingle_n)
         return pa.table({
             "doc_id": pa.array(np.repeat(np.asarray(ids), num_bands)),
             "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32),

@@ -234,8 +234,9 @@ def triangle_count(edges, a: str = "a", b: str = "b",
                 w1.append(nb[iu])
                 w2.append(nb[ju])
         if not w1:
-            e = g["own"].to_numpy()[:0]
-            return pd.DataFrame({"k1": e, "k2": e,
+            from ..util import typed_empty_series
+            e = typed_empty_series(g["own"].to_numpy())  # string node ids:
+            return pd.DataFrame({"k1": e, "k2": e,       # object [:0] drifts
                                  "is_edge": np.empty(0, np.int8)})
         k1 = np.concatenate(w1)
         return pd.DataFrame({"k1": k1, "k2": np.concatenate(w2),

@@ -34,7 +34,10 @@ def _explode_side(id_col: str, start_col: str, end_col: str, side: int,
     def fn(batch: pa.Table) -> pa.Table:
         s = batch[start_col].to_numpy().astype(np.int64)
         e = batch[end_col].to_numpy().astype(np.int64)
-        ids = np.asarray(batch[id_col].to_pylist())
+        # keep the Arrow column (typed even at zero rows — np.asarray of an
+        # empty pylist infers float64 and drifts the block schema)
+        id_arr = batch[id_col].combine_chunks() \
+            if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
         if np.any(e < s):
             raise ValueError("interval end < start")
         tb0, tb1 = s // bucket_us, e // bucket_us
@@ -51,7 +54,7 @@ def _explode_side(id_col: str, start_col: str, end_col: str, side: int,
         tb = tb0[idx] + off
         return pa.table({
             "tb": pa.array(tb, pa.int64()),
-            "iid": pa.array(ids[idx]),
+            "iid": id_arr.take(pa.array(idx, pa.int64())),
             "s": pa.array(s[idx], pa.int64()),
             "e": pa.array(e[idx], pa.int64()),
             "side": pa.array(np.full(len(idx), side, np.int8)),

@@ -314,11 +314,15 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
     # satisfied_rows == k * n_points, nobody lagged — skip the anti-join
     # and retry rounds entirely (one cheap metadata count + one map pass)
     n_pts = ds.count()
-    sat_rows = int(out.map_batches(
+    from ray.data.aggregate import Sum
+    sat_agg = out.map_batches(
         lambda b: pa.table({"s": pa.array(
             [int(np.count_nonzero(b["satisfied"].to_numpy(zero_copy_only=False)))],
             pa.int64())}),
-        batch_format="pyarrow").to_pandas()["s"].sum())
+        batch_format="pyarrow").aggregate(Sum("s")) or {}
+    # aggregate, not to_pandas: an ultra-sparse corpus can make round 1
+    # ALL no-shows (zero rows), and Ray's 0-row to_pandas drops columns
+    sat_rows = int(sat_agg.get("sum(s)") or 0)
     if sat_rows == k * n_pts:
         return good.drop_columns(["satisfied"])
 
@@ -362,11 +366,10 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
             f"{n_lag} round-1 laggards exceed round1_laggard_cap="
             f"{round1_laggard_cap}; pick a coarser res (fewer, denser cells) "
             f"for this point density")
-    lag = lag_ds.to_pandas()
-
     # round 2: coarser ring-1 pass, home = laggards only (all points still
-    # ghost, so each laggard sees its full 8×-wider neighborhood)
-    lag_ids = set(lag["id"])
+    # ghost, so each laggard sees its full 8×-wider neighborhood); only the
+    # id column reaches the driver (bounded by round1_laggard_cap above)
+    lag_ids = set(lag_ds.select_columns(["id"]).to_pandas()["id"])
     out2 = _one_pass(ds, k, max(1, res - 3), id_col, lon_col, lat_col, salt,
                      ray.put(lag_ids)).materialize()
 
@@ -374,17 +377,24 @@ def knn_join(ds, k: int = 5, res: int = 16, id_col: str = "image_id",
         return b.filter(b["satisfied"])
     good2 = out2.map_batches(keep_good2, batch_format="pyarrow") \
                 .drop_columns(["satisfied"])
-    sat2 = {r["id"] for r in out2.map_batches(
+    # round-2 residue via the SAME distributed anti-join pattern as round 1
+    # (round-3 review: the old path take_all()'d the satisfied ids into a
+    # driver Python set — a 2M-entry pull where an anti-join already works)
+    from ..util import anti_semi_join
+    sat2_ids = out2.map_batches(
         lambda b: b.filter(b["satisfied"]).select(["id"]),
-        batch_format="pyarrow").take_all()}
-    residue = lag[~lag["id"].isin(sat2)]
+        batch_format="pyarrow")
+    residue_ds = anti_semi_join(lag_ds, sat2_ids, on="id",
+                                n_buckets=256).materialize()
     result = good.union(good2)
-    if len(residue) == 0:
+    n_res = residue_ds.count()
+    if n_res == 0:
         return result
-    if len(residue) > laggard_cap:
+    if n_res > laggard_cap:
         raise ValueError(
-            f"{len(residue)} residual laggards exceed laggard_cap="
+            f"{n_res} residual laggards exceed laggard_cap="
             f"{laggard_cap}; pick a res that matches the point density")
+    residue = residue_ds.to_pandas()
     return result.union(_laggard_topk(ds, residue, k, id_col, lon_col, lat_col))
 
 
@@ -441,7 +451,9 @@ def _bucket_radius(radius_m: float, chunk: int = 192):
                     out_j.append(gids[cols])
                     out_d.append(d[rows, cols])
         if not out_i:
-            return pd.DataFrame({"id": ids[:0], "neighbor_id": ids[:0],
+            from ..util import typed_empty_series
+            e = typed_empty_series(ids)   # object [:0] would drift to null
+            return pd.DataFrame({"id": e, "neighbor_id": e,
                                  "dist_m": np.empty(0, np.float64)})
         return pd.DataFrame({"id": np.concatenate(out_i),
                              "neighbor_id": np.concatenate(out_j),
