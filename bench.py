@@ -35,7 +35,59 @@ HEADLINE = [
     "doc_token_counts",
     "near_dedup_docs_minhash",
     "embedding_topk",
+    "store_lifecycle",
 ]
+
+
+def store_lifecycle(sf_dir: str):
+    """Lance-like store lifecycle as ONE bench line (round-3 VERDICT
+    item 6 — the store's performance on the record next to the query
+    pipelines): write the geo points sorted by lon with zone maps →
+    copy-on-write merge_upsert of a localized update batch → fragment
+    compaction → zone-map-pruned range read. Fresh root each run so the
+    timing always covers identical work."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wrangle_openstreetmap_data_ray.pipelines import fixtures as fx
+    from wrangle_openstreetmap_data_ray.sources import lancelike
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/graft_bench/store_lifecycle_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    # the north-star table shape: image+caption rows, phash-sorted so
+    # fragments carry disjoint phash zones (byte-heavy column included —
+    # the store must move real payloads, not just metadata)
+    imgs = fx.read_fixture(sf_dir, "images")
+    lancelike.write_dataset(imgs.sort("phash"), root, stage="base",
+                            resume=False, zonemap_cols=["phash"])
+
+    # localized update batch: recaption ~1/64 of the images
+    def mk_upd(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ph = b["phash"].to_numpy().astype(np.uint64)
+        f = b.filter(pa.array((ph % np.uint64(64)) == 0))
+        cap = pc.binary_join_element_wise(
+            pa.array(["recaption:"] * f.num_rows, pa.string()),
+            f["caption"], "")
+        return f.set_column(f.schema.get_field_index("caption"),
+                            "caption", cap)
+
+    upd = imgs.map_batches(mk_upd, batch_format="pyarrow")
+    lancelike.merge_upsert(upd, root, key_col="image_id", stage="upsert")
+    # 8 MB target: the sf0.1 table is ~40 MB, so compaction still leaves
+    # multiple phash-disjoint fragments for the zone maps to prune against
+    # (at real scale the 64 MB default gives thousands of fragments)
+    lancelike.compact(root, stage="compact", target_bytes=8 * 1024 * 1024,
+                      zonemap_cols=["phash"])
+    lo = -(1 << 62)
+    hi = lo + (1 << 60)          # ~1/16 of the int64 phash span
+    out, scanned, total = lancelike.read_dataset_range(
+        root, "phash", lo, hi, columns=["image_id", "phash", "caption"])
+    assert scanned < total, f"zone maps pruned nothing ({scanned}/{total})"
+    return out
 
 # ---- scaling workload (north-star slice at XL size) ------------------------
 # Sized so per-core work dominates fixed pipeline latency: 60M-point
@@ -156,6 +208,7 @@ def run(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
 
     qs = registry.queries()
     qs["flagship"] = lambda d: flagship.flagship(d)
+    qs["store_lifecycle"] = store_lifecycle
 
     # one untimed wave of trivial tasks spins up the worker-process pool so
     # the FIRST timed query doesn't absorb session cold-start (~2-3s of
