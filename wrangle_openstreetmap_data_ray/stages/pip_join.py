@@ -140,3 +140,61 @@ def pip_join(points_ds, polygons: pa.Table, lon_col: str = "lon",
 
 
 _PIP_TASK_CACHE: dict = {}
+
+
+def nearest_boundary_join(points_ds, polygons: pa.Table,
+                          lon_col: str = "lon", lat_col: str = "lat",
+                          id_col: str = "image_id",
+                          point_chunk: int = 4096):
+    """Distance from every point to the NEAREST polygon boundary — the
+    spatial "distance to nearest facility/admin edge" join, exact by
+    construction: the polygon side is a small broadcast dimension (rings
+    exploded to directed edges, ``ray.put`` once), and each batch computes
+    the full point×edge min vectorized (segment-projection distance with
+    clamped parameter t), chunked so the (P, E) matrix stays
+    cache-resident. No prefilter — a cell prefilter could miss the true
+    nearest when the closest polygon is far away.
+
+    Emits (id, d9): planar lon/lat degrees as integer nanodegrees
+    (floor(sqrt(min d²)·1e9 + 0.5)) so the result is hash-stable and the
+    SQL twin can reproduce the identical float expression tree.
+    At 100 TB the points stream map-only (zero shuffles); the edge set is
+    dimension-sized (admin boundaries), exactly like the PIP index.
+    """
+    import ray
+
+    pid, x1, y1, x2, y2 = [], [], [], [], []
+    for r in polygons.to_pylist():
+        rx = np.array([p["lon"] for p in r["ring"]])
+        ry = np.array([p["lat"] for p in r["ring"]])
+        nx, ny = np.roll(rx, -1), np.roll(ry, -1)
+        x1.append(rx); y1.append(ry); x2.append(nx); y2.append(ny)
+    ex1 = np.concatenate(x1); ey1 = np.concatenate(y1)
+    ex2 = np.concatenate(x2); ey2 = np.concatenate(y2)
+    dx, dy = ex2 - ex1, ey2 - ey1
+    len2 = dx * dx + dy * dy
+    if np.any(len2 == 0):
+        raise ValueError("degenerate zero-length polygon edge")
+    ref = ray.put((ex1, ey1, dx, dy, len2))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..util import _bcast_get
+        bx1, by1, bdx, bdy, bl2 = _bcast_get(ref)
+        px = batch[lon_col].to_numpy()
+        py = batch[lat_col].to_numpy()
+        best = np.full(len(px), np.inf)
+        for c0 in range(0, len(px), point_chunk):
+            p_x = px[c0:c0 + point_chunk, None]
+            p_y = py[c0:c0 + point_chunk, None]
+            t = ((p_x - bx1[None, :]) * bdx[None, :]
+                 + (p_y - by1[None, :]) * bdy[None, :]) / bl2[None, :]
+            t = np.clip(t, 0.0, 1.0)
+            cx = bx1[None, :] + t * bdx[None, :]
+            cy = by1[None, :] + t * bdy[None, :]
+            d2 = (p_x - cx) * (p_x - cx) + (p_y - cy) * (p_y - cy)
+            best[c0:c0 + point_chunk] = d2.min(axis=1)
+        d9 = np.floor(np.sqrt(best) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"id": batch[id_col],
+                         "d9": pa.array(d9, pa.int64())})
+
+    return points_ds.map_batches(fn, batch_format="pyarrow")

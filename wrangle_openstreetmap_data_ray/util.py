@@ -408,6 +408,34 @@ def hash_stratified_sample(ds, key_col: str, rates_permille,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grouped_topk(ds, group_cols: list[str], k: int,
+                 sort_keys: list[tuple[str, str]], n_buckets: int = 512):
+    """Top-k rows PER GROUP — the SQL ``QUALIFY row_number() OVER
+    (PARTITION BY g ORDER BY ...) <= k`` shape, distributed: a per-block
+    pre-reduce keeps at most k rows per (group, block) so the shuffle
+    carries O(groups × k) per block, then one bounded bucketed hash
+    shuffle on the group key and a final per-group head(k). ``sort_keys``
+    = [(col, "asc"|"desc"), ...]; make them total (add a unique tie
+    column) or the row choice at rank boundaries is undefined."""
+    import pandas as pd
+
+    cols = [c for c, _ in sort_keys]
+    asc = [d == "asc" for _, d in sort_keys]
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(cols, ascending=asc, kind="mergesort")
+        return b.groupby(list(group_cols), sort=False, dropna=False).head(k)
+
+    pre = ds.map_batches(local_topk, batch_format="pandas")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(cols, ascending=asc, kind="mergesort")
+        return (g.groupby(list(group_cols), sort=False, dropna=False).head(k)
+                 .drop(columns=["_bucket"]))
+
+    return bucketed_group_apply(pre, list(group_cols), bucket_topk, n_buckets)
+
+
 def distributed_topk(ds, k: int, sort_keys: list[tuple[str, str]]):
     """Global top-k WITHOUT materializing the input on the driver.
 
