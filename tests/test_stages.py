@@ -1302,3 +1302,131 @@ def test_skyline_matches_bruteforce(ray_session):
                       min_cols=["price"], max_cols=["size"],
                       batch_size=64)
         assert set(got["pk"].tolist()) == want
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    """util.grouped_topk == QUALIFY row_number() <= k reference, across
+    parallelism (the per-block pre-reduce must not change the answer)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import grouped_topk
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n),
+        "uid": rng.integers(0, 50, n).astype(np.int64),
+        "score": rng.integers(0, 20, n).astype(np.int64),
+    })
+    # ties on (score, uid) make row choice ambiguous — dedup rows first
+    dfu = df.drop_duplicates(["g", "uid"])
+    refu = (dfu.sort_values(["score", "uid"], ascending=[False, True],
+                            kind="mergesort")
+              .groupby("g", sort=False).head(3))
+    wantu = set(map(tuple,
+                    refu[["g", "uid", "score"]].itertuples(index=False)))
+    for nparts in (1, 8):
+        got = grouped_topk(
+            rd.from_pandas(dfu).repartition(nparts), ["g"], 3,
+            [("score", "desc"), ("uid", "asc")]).to_pandas()
+        assert set(map(tuple,
+                       got[["g", "uid", "score"]]
+                       .itertuples(index=False))) == wantu
+
+
+def test_rolling_window_sum_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.asof import rolling_window_sum
+
+    rng = np.random.default_rng(4)
+    n = 1500
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "key": rng.integers(0, 40, n).astype(np.int64),
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    ref = df.sort_values(["key", "t", "rid"], kind="mergesort")
+    ref["want"] = (ref.groupby("key")["v"]
+                   .rolling(3, min_periods=1).sum()
+                   .reset_index(drop=True).to_numpy().astype(np.int64))
+    want = dict(zip(ref["rid"], ref["want"]))
+    for nparts in (1, 8):
+        got = rolling_window_sum(
+            rd.from_pandas(df).repartition(nparts),
+            "key", ["t", "rid"], "v", 3, out_col="rs").to_pandas()
+        assert dict(zip(got["rid"], got["rs"])) == want
+
+
+def test_histogram_quantiles_within_bin_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.sketch import (
+        histogram_quantiles_by_group)
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    g = rng.choice(["x", "y"], n)
+    v = rng.uniform(0, 100, n)
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                  "v": pa.array(v, pa.float64())})
+    lo, hi, bins = 0.0, 128.0, 64
+    width = (hi - lo) / bins
+    outs = []
+    for nparts in (1, 8):
+        got = histogram_quantiles_by_group(
+            rd.from_arrow(t).repartition(nparts), "g", "v", lo, hi, bins)
+        outs.append(got.sort_values(["g", "q"]).reset_index(drop=True))
+    # deterministic across parallelism
+    assert outs[0].equals(outs[1])
+    # each edge is within one bin width of the exact quantile
+    for _, row in outs[0].iterrows():
+        vals = np.sort(v[g == row["g"]])
+        exact = vals[min(len(vals) - 1,
+                         int(np.ceil(row["q"] * len(vals))) - 1)]
+        edge = row["edge6"] / 1e6
+        assert edge - 1e-9 <= exact <= edge + width + 1e-9, \
+            (row["g"], row["q"], edge, exact)
+
+
+def test_nearest_boundary_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray import synth
+    from wrangle_openstreetmap_data_ray.stages.pip_join import (
+        nearest_boundary_join)
+
+    polys = synth.gen_polygons_table(6, detail=8)
+    rng = np.random.default_rng(7)
+    n = 300
+    lon = rng.uniform(103.5, 104.1, n)
+    lat = rng.uniform(1.1, 1.5, n)
+    pts = pa.table({"image_id": pa.array([f"p{i}" for i in range(n)]),
+                    "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    # brute force over every edge
+    ex1, ey1, ex2, ey2 = [], [], [], []
+    for r in polys.to_pylist():
+        rx = np.array([p["lon"] for p in r["ring"]])
+        ry = np.array([p["lat"] for p in r["ring"]])
+        ex1.append(rx); ey1.append(ry)
+        ex2.append(np.roll(rx, -1)); ey2.append(np.roll(ry, -1))
+    x1, y1 = np.concatenate(ex1), np.concatenate(ey1)
+    x2, y2 = np.concatenate(ex2), np.concatenate(ey2)
+    dx, dy = x2 - x1, y2 - y1
+    l2 = dx * dx + dy * dy
+    t = ((lon[:, None] - x1) * dx + (lat[:, None] - y1) * dy) / l2
+    t = np.clip(t, 0.0, 1.0)
+    d2 = ((lon[:, None] - (x1 + t * dx)) ** 2
+          + (lat[:, None] - (y1 + t * dy)) ** 2)
+    want = np.floor(np.sqrt(d2.min(axis=1)) * 1e9 + 0.5).astype(np.int64)
+
+    for nparts in (1, 8):
+        got = nearest_boundary_join(
+            rd.from_arrow(pts).repartition(nparts), polys,
+            point_chunk=64).to_pandas()
+        got = got.set_index("id").loc[[f"p{i}" for i in range(n)]]
+        assert np.array_equal(got["d9"].to_numpy(), want)

@@ -1553,6 +1553,319 @@ def queries():
                                             p=10)
     q["hll_group_registers_check"] = hll_group_registers_check
 
+    def nearest_boundary_distance(sf_dir):
+        """Nearest-polygon-boundary distance join (round-4 operator): for
+        every geo point, the exact min segment-projection distance to any
+        admin-polygon edge — broadcast geometry, map-only over the points
+        (zero shuffles), (P, E) matrix chunked. Twin: the same clamped-t
+        point-segment expression over the exploded edges fixture, with
+        MIN (order-independent for floats, unlike SUM) and the identical
+        sqrt+e9 rounding applied after the min on both sides."""
+        import pyarrow.parquet as pq
+        from ..stages import pip_join
+        pts = fx.read_fixture(sf_dir, "geo", columns=["image_id", "lon",
+                                                      "lat"])
+        polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+        return pip_join.nearest_boundary_join(pts, polys)
+    q["nearest_boundary_distance"] = nearest_boundary_distance
+
+    def top_users_per_event_type(sf_dir):
+        """Grouped top-k (the QUALIFY row_number() <= k shape,
+        distributed): per event type, the 5 heaviest users by event
+        count. Counts pre-aggregate map-side (Arrow group_by partials)
+        before one groupby-sum; util.grouped_topk then keeps ≤k rows per
+        (group, block) ahead of its single bounded bucketed shuffle.
+        Total order: cnt DESC, user_id ASC."""
+        from ray.data.aggregate import Sum
+        from ..util import grouped_topk
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "user_id"])
+
+        def pre(b: pa.Table) -> pa.Table:
+            return b.group_by(["event_type", "user_id"]).aggregate(
+                [([], "count_all")]).rename_columns(
+                ["event_type", "user_id", "cnt"])
+
+        counts = ds.map_batches(pre, batch_format="pyarrow") \
+                   .groupby(["event_type", "user_id"]) \
+                   .aggregate(Sum("cnt", alias_name="cnt"))
+        return grouped_topk(counts, ["event_type"], 5,
+                            [("cnt", "desc"), ("user_id", "asc")])
+    q["top_users_per_event_type"] = top_users_per_event_type
+
+    def event_value_histogram_quantiles(sf_dir):
+        """Histogram quantile sketch per group, VALUE-PINNED approximate
+        quantiles (round-4 operator): fixed [0, 512)×256-bin histogram of
+        event values per type — ≤ groups×bins integer partial rows cross
+        the wire regardless of data volume (the mergeable-sketch scale
+        path where exact per-group sort-quantiles would shuffle every
+        row). The q-quantile is the lower edge of the first bin whose
+        cumulative count reaches ceil(q·n); identical float expression
+        trees in the SQL twin."""
+        from ..stages import sketch
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+        return sketch.histogram_quantiles_by_group(
+            ds, "event_type", "value", lo=0.0, hi=512.0, bins=256)
+    q["event_value_histogram_quantiles"] = event_value_histogram_quantiles
+
+    def user_value_rolling3(sf_dir):
+        """Per-user moving-window aggregate (SUM OVER ... ROWS BETWEEN 2
+        PRECEDING AND CURRENT ROW): event values scaled to exact e2
+        integers, one bounded bucketed shuffle on user_id, vectorized
+        grouped rolling sum per bucket. Total order inside each user =
+        (ts, event_id)."""
+        from ..stages import asof
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            v2 = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            return pa.table({"event_id": b["event_id"],
+                             "user_id": b["user_id"],
+                             "ts_us": b["ts"].cast(pa.int64()),
+                             "v2": pa.array(v2, pa.int64())})
+
+        rolled = asof.rolling_window_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            "user_id", ["ts_us", "event_id"], "v2", 3, out_col="roll3_v2")
+
+        def out(b: pa.Table) -> pa.Table:
+            return b.select(["event_id", "roll3_v2"])
+        return rolled.map_batches(out, batch_format="pyarrow")
+    q["user_value_rolling3"] = user_value_rolling3
+
+    def tpch_q8_market_share(sf_dir):
+        """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue among
+        ASIA-region customers, by order year. Region/nation are spec-tiny
+        driver LUTs; the PROMO part-key set and the ASIA customer-key set
+        attach as keys-only broadcast semi-filters (capped w/ hash-join
+        fallback via broadcast_inner_join); supplier→nation rides the
+        same capped broadcast. One hash join (lineitem⋈orders); revenue
+        partials are per-row int-e4 so every sum is association-proof;
+        share = floor(num/den·1e6+0.5) over exact ints on both engines."""
+        from ray.data.aggregate import Sum
+        from ..util import broadcast_inner_join
+        TARGET, REGION, PTYPE = "NATION_3", "ASIA", "PROMO"
+
+        nat = fx.driver_table(sf_dir, "nation").to_pandas()
+        reg = fx.driver_table(sf_dir, "region").to_pandas()
+        asia_rk = set(reg[reg["r_name"] == REGION]["r_regionkey"])
+        asia_nk = set(nat[nat["n_regionkey"].isin(asia_rk)]["n_nationkey"])
+        nk = nat["n_nationkey"].to_numpy()
+        order_nk = np.argsort(nk, kind="stable")
+        nk_sorted, nname_sorted = nk[order_nk], \
+            nat["n_name"].to_numpy()[order_nk]
+
+        pt_keys = fx.driver_table(sf_dir, "part",
+                                  columns=["p_partkey", "p_type"]) \
+            .filter(expr=f"p_type == '{PTYPE}'") \
+            .map_batches(lambda b: pa.table({"l_partkey": b["p_partkey"]}),
+                         batch_format="pyarrow")
+
+        def sup_narrow(b: pa.Table) -> pa.Table:
+            pos = np.searchsorted(nk_sorted, b["s_nationkey"].to_numpy())
+            return pa.table({"l_suppkey": b["s_suppkey"],
+                             "supp_nation": pa.array(nname_sorted[pos],
+                                                     pa.string())})
+
+        sup_lut = fx.driver_table(sf_dir, "supplier",
+                                  columns=["s_suppkey", "s_nationkey"]) \
+            .map_batches(sup_narrow, batch_format="pyarrow")
+
+        def cust_asia(b: pa.Table) -> pa.Table:
+            keep = np.fromiter((k in asia_nk for k in
+                                b["c_nationkey"].to_pylist()), bool,
+                               b.num_rows)
+            return pa.table({"o_custkey": b.filter(pa.array(keep))
+                             ["c_custkey"]})
+
+        cust_keys = fx.driver_table(sf_dir, "customer",
+                                    columns=["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_asia, batch_format="pyarrow")
+
+        def l_narrow(b: pa.Table) -> pa.Table:
+            rev = (b["l_extendedprice"].to_numpy()
+                   * (1.0 - b["l_discount"].to_numpy()))
+            return pa.table({
+                "o_orderkey": b["l_orderkey"],
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev4": pa.array(np.floor(rev * 1e4 + 0.5).astype(np.int64)),
+            })
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                      "l_extendedprice", "l_discount"]) \
+            .map_batches(l_narrow, batch_format="pyarrow")
+        li = broadcast_inner_join(li, pt_keys, on="l_partkey") \
+            .drop_columns(["l_partkey"])
+        li = broadcast_inner_join(li, sup_lut, on="l_suppkey") \
+            .drop_columns(["l_suppkey"])
+
+        def o_narrow(b: pa.Table) -> pa.Table:
+            year = pd.to_datetime(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(), unit="us").year
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "o_custkey": b["o_custkey"],
+                             "o_year": pa.array(np.asarray(year), pa.int64())})
+
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"]) \
+            .map_batches(o_narrow, batch_format="pyarrow")
+        orders = broadcast_inner_join(orders, cust_keys, on="o_custkey") \
+            .drop_columns(["o_custkey"])
+
+        joined = li.join(orders, on=("o_orderkey",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "lineitem", "orders")))
+
+        def partial(b: pa.Table) -> pa.Table:
+            rev = b["rev4"].to_numpy()
+            is_t = (b["supp_nation"].to_numpy(zero_copy_only=False)
+                    == TARGET)
+            yr = b["o_year"].to_numpy()
+            yu, yi = np.unique(yr, return_inverse=True)
+            num = np.zeros(len(yu), np.int64)
+            den = np.zeros(len(yu), np.int64)
+            np.add.at(den, yi, rev)
+            np.add.at(num, yi[is_t], rev[is_t])
+            return pa.table({"o_year": pa.array(yu, pa.int64()),
+                             "num4": pa.array(num, pa.int64()),
+                             "den4": pa.array(den, pa.int64())})
+
+        agg = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("o_year") \
+            .aggregate(Sum("num4", alias_name="num4"),
+                       Sum("den4", alias_name="den4")).to_pandas()
+        share = np.floor(agg["num4"].to_numpy().astype(np.float64)
+                         / agg["den4"].to_numpy().astype(np.float64)
+                         * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"o_year": agg["o_year"].astype(np.int64),
+                             "mkt_share_e6": share}) \
+                 .sort_values("o_year", ignore_index=True)
+    q["tpch_q8_market_share"] = tpch_q8_market_share
+
+    def tpch_q22_shape(sf_dir):
+        """TPC-H Q22 shape (no c_phone column → group by nation key):
+        customers with balance STRICTLY above the positive-balance
+        average and no RECENT order (since 2000-01-01 — every sf0.01
+        customer has *some* order, which would make the classic "never
+        ordered" check vacuous), counted per nation. The average
+        comparison is EXACT integer math on both engines (bal2·n > sum2
+        over e2-scaled balances — no float average); the no-recent-order
+        set comes from the distributed anti-join, never a driver-side
+        NOT IN."""
+        from ray.data.aggregate import Count, Sum
+        from ..util import anti_semi_join
+
+        def c_narrow(b: pa.Table) -> pa.Table:
+            bal2 = np.floor(b["c_acctbal"].to_numpy() * 100 + 0.5) \
+                     .astype(np.int64)
+            return pa.table({"c_custkey": b["c_custkey"],
+                             "c_nationkey": b["c_nationkey"],
+                             "bal2": pa.array(bal2, pa.int64())})
+
+        cust = fx.driver_table(sf_dir, "customer",
+                               columns=["c_custkey", "c_nationkey",
+                                        "c_acctbal"]) \
+            .map_batches(c_narrow, batch_format="pyarrow").materialize()
+
+        def pos_partial(b: pa.Table) -> pa.Table:
+            bal = b["bal2"].to_numpy()
+            pos = bal[bal > 0]
+            return pa.table({"s2": pa.array([int(pos.sum())], pa.int64()),
+                             "n": pa.array([len(pos)], pa.int64())})
+
+        g = cust.map_batches(pos_partial, batch_format="pyarrow") \
+                .aggregate(Sum("s2"), Sum("n")) or {}
+        s2 = int(g.get("sum(s2)") or 0)
+        n = int(g.get("sum(n)") or 0)
+
+        def above(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(
+                b["bal2"].to_numpy() * n > s2))
+
+        rich = cust.map_batches(above, batch_format="pyarrow")
+        cutoff = pd.Timestamp("2000-01-01").value // 1000
+
+        def recent(b: pa.Table) -> pa.Table:
+            m = pc.greater_equal(b["o_orderdate"].cast(pa.int64()),
+                                 pa.scalar(cutoff, pa.int64()))
+            return pa.table({"o_custkey": b.filter(m)["o_custkey"]})
+
+        okeys = fx.driver_table(sf_dir, "orders",
+                                columns=["o_custkey", "o_orderdate"]) \
+            .map_batches(recent, batch_format="pyarrow")
+        never = anti_semi_join(rich, okeys, on="c_custkey",
+                               keys_on="o_custkey")
+        agg = never.groupby("c_nationkey") \
+            .aggregate(Count(), Sum("bal2", alias_name="total_bal2"))
+
+        # anti_semi_join emits pandas blocks; rename_columns is an Arrow
+        # Project and would crash (NOTES_r3) — re-type explicitly instead
+        def out(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "n_custs": pc.cast(b["count()"], pa.int64()),
+                "total_bal2": pc.cast(b["total_bal2"], pa.int64())})
+        return agg.map_batches(out, batch_format="pyarrow")
+    q["tpch_q22_shape"] = tpch_q22_shape
+
+    def modal_event_type_per_user(sf_dir):
+        """Grouped MODE (most frequent value per key, ties → smaller
+        value) — composed from map-side count partials + one groupby-sum
+        + util.grouped_topk(k=1): the same machinery as top-k, no new
+        shuffle shape. SQL twin: QUALIFY row_number() = 1."""
+        from ray.data.aggregate import Sum
+        from ..util import grouped_topk
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_type"])
+
+        def pre(b: pa.Table) -> pa.Table:
+            return b.group_by(["user_id", "event_type"]).aggregate(
+                [([], "count_all")]).rename_columns(
+                ["user_id", "event_type", "cnt"])
+
+        counts = ds.map_batches(pre, batch_format="pyarrow") \
+                   .groupby(["user_id", "event_type"]) \
+                   .aggregate(Sum("cnt", alias_name="cnt"))
+        return grouped_topk(counts, ["user_id"], 1,
+                            [("cnt", "desc"), ("event_type", "asc")])
+    q["modal_event_type_per_user"] = modal_event_type_per_user
+
+    def embedding_dim_stats(sf_dir):
+        """Columnar math over a vector column: per-DIMENSION sum and
+        sum-of-squares across all embeddings — per-block (dim, sum)
+        partials from one matrix fold (fixed dim-count rows cross the
+        wire regardless of corpus size), merged by one tiny groupby.
+        Fixed-point e6 per-block partials keep the sums integer-exact,
+        so the result is engine-stable; twin = lateral UNNEST. (e6 holds
+        |ss6| < 2^63 to ~10^6 rows/block × ~10^6 blocks; at 10^12-row
+        scale drop to e3 or add a second-level hierarchical fold.)"""
+        from ray.data.aggregate import Sum
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            vecs = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                return pa.table({"dim": pa.array([], pa.int64()),
+                                 "s6": pa.array([], pa.int64()),
+                                 "ss6": pa.array([], pa.int64())})
+            v6 = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+            return pa.table({
+                "dim": pa.array(np.arange(vecs.shape[1]), pa.int64()),
+                "s6": pa.array(v6.sum(axis=0), pa.int64()),
+                "ss6": pa.array((v6 * v6).sum(axis=0), pa.int64()),
+            })
+
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("dim").aggregate(Sum("s6", alias_name="s6"),
+                                      Sum("ss6", alias_name="ss6"))
+    q["embedding_dim_stats"] = embedding_dim_stats
+
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
         points partitioned by tile-x shard, then return the MANIFEST's
@@ -3456,8 +3769,12 @@ _DRIVER_WINDOW = [
     # quarantine_rows, doc_token_counts, events_hourly,
     # image_phash_near_dup)
     "radius_join_pairs", "interval_overlap_pairs", "decontaminate_docs",
-    "doc_repetition_stats", "tpch_q16_shape", "funnel_conversion",
-    "zonal_stats", "way_polyline_length",
+    "doc_repetition_stats", "tpch_q16_shape",
+    # round-4 additions — new operator families, all oracle-paired
+    # (demoted to keep the 50-window: funnel_conversion, zonal_stats,
+    # way_polyline_length — still paired in the full sweep)
+    "hll_group_registers_check", "nearest_boundary_distance",
+    "event_value_histogram_quantiles",
 ]
 
 
@@ -4363,6 +4680,120 @@ def oracle_sql():
                       f"WHEN '{k}' THEN {v * ((1 << 64) // 1000)}::HUGEINT"
                       for k, v in SAMPLE_RATES_PERMILLE.items())}
                     ELSE 0::HUGEINT END""",
+        # nearest boundary: the SAME clamped-t point-segment expression
+        # tree as stages/pip_join.nearest_boundary_join; MIN is order-
+        # independent for floats, and sqrt + e9 rounding apply AFTER the
+        # min on both sides
+        "nearest_boundary_distance": f"""
+            WITH e AS (SELECT x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+                              (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) AS len2
+                       FROM {edges_p}),
+            t AS (SELECT g.image_id, g.lon AS px, g.lat AS py,
+                         e.x1, e.y1, e.dx, e.dy,
+                         LEAST(1.0, GREATEST(0.0,
+                             ((g.lon - e.x1) * e.dx + (g.lat - e.y1) * e.dy)
+                             / e.len2)) AS tt
+                  FROM {geo_p} g CROSS JOIN e),
+            d AS (SELECT image_id,
+                         (px - (x1 + tt*dx)) * (px - (x1 + tt*dx))
+                       + (py - (y1 + tt*dy)) * (py - (y1 + tt*dy)) AS d2
+                  FROM t)
+            SELECT image_id AS id,
+                   CAST(floor(sqrt(MIN(d2)) * 1e9 + 0.5) AS BIGINT) AS d9
+            FROM d GROUP BY 1""",
+        "top_users_per_event_type": """
+            SELECT event_type, user_id, cnt FROM (
+                SELECT event_type, user_id, COUNT(*) AS cnt,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY COUNT(*) DESC, user_id)
+                           AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn <= 5""",
+        # histogram quantile sketch: identical float trees — bin =
+        # clip(floor((v-lo)/span*bins)), need = ceil(q*n) in float64,
+        # edge = lo + bin*(span/bins), e6-rounded after
+        "event_value_histogram_quantiles": """
+            WITH b AS (SELECT event_type,
+                         CAST(LEAST(255, GREATEST(0,
+                             floor((value - 0.0) / 512.0 * 256)))
+                           AS BIGINT) AS bin
+                       FROM events WHERE event_type IS NOT NULL),
+            h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            c AS (SELECT event_type, bin,
+                         SUM(c) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS cum,
+                         SUM(c) OVER (PARTITION BY event_type) AS n
+                  FROM h),
+            qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT c.event_type, qs.q,
+                   CAST(floor((0.0 + MIN(c.bin) FILTER (
+                            WHERE c.cum >= ceil(qs.q * c.n))
+                        * (512.0 / 256)) * 1e6 + 0.5) AS BIGINT) AS edge6
+            FROM c CROSS JOIN qs
+            GROUP BY 1, 2""",
+        "tpch_q8_market_share": """
+            WITH y AS (
+                SELECT CAST(date_part('year', o.o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 1e4 + 0.5) AS BIGINT) AS rev4,
+                       sn.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'PROMO'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                            AND r.r_name = 'ASIA')
+            SELECT o_year,
+                   CAST(floor(
+                       CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                     THEN rev4 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev4) AS DOUBLE) * 1e6 + 0.5)
+                     AS BIGINT) AS mkt_share_e6
+            FROM y GROUP BY 1""",
+        "tpch_q22_shape": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                                  AS bal2
+                       FROM customer),
+            g AS (SELECT CAST(SUM(bal2) AS BIGINT) AS s2, COUNT(*) AS n
+                  FROM c WHERE bal2 > 0)
+            SELECT c.c_nationkey, COUNT(*) AS n_custs,
+                   CAST(SUM(c.bal2) AS BIGINT) AS total_bal2
+            FROM c, g
+            WHERE c.bal2 * g.n > g.s2
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderdate >= '2000-01-01')
+            GROUP BY 1""",
+        "modal_event_type_per_user": """
+            SELECT user_id, event_type, cnt FROM (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY COUNT(*) DESC, event_type)
+                           AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn = 1""",
+        "embedding_dim_stats": """
+            WITH u AS (SELECT t.j - 1 AS dim,
+                              CAST(floor(CAST(embedding[t.j] AS DOUBLE)
+                                         * 1e6 + 0.5) AS BIGINT) AS v6
+                       FROM embeddings,
+                            LATERAL UNNEST(generate_series(
+                                1, len(embedding))) AS t(j))
+            SELECT dim, CAST(SUM(v6) AS BIGINT) AS s6,
+                   CAST(SUM(v6 * v6) AS BIGINT) AS ss6
+            FROM u GROUP BY 1""",
+        "user_value_rolling3": """
+            SELECT event_id,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS roll3_v2
+            FROM events""",
         # grouped-HLL register fold: hllmix == stages.sketch._hash_col's
         # integer path (splitmix64 finalizer WITHOUT the +golden-ratio
         # increment); p=10 → register = h >> 54, rank = 55 − bit_length

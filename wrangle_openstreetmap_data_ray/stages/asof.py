@@ -117,3 +117,36 @@ def asof_join_next(left, right, key_col: str, left_ts: str, right_ts: str,
         return b
 
     return out.map_batches(unnegate, batch_format="pandas")
+
+
+def rolling_window_sum(ds, key_col: str, order_cols: list[str],
+                       value_col: str, window: int,
+                       out_col: str = "roll_sum", n_buckets: int = 512):
+    """Per-key moving-window SUM over the last ``window`` rows — the SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` shape, distributed: one bounded bucketed
+    shuffle on the key co-locates each key's rows, then a vectorized
+    pandas sort + grouped rolling sum per bucket. ``order_cols`` must be
+    a TOTAL order within each key (add a unique id) or frame contents at
+    ties are undefined. Use an integer-scaled value column for exact
+    cross-engine comparison (a ≤window-term float sum is association-
+    sensitive; an int64 sum is not)."""
+    import pandas as pd
+
+    from ..util import bucketed_group_apply
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        # rolling returns float64; int64-safe below 2^53 — assert cheap
+        r = (g.groupby(key_col, sort=False, dropna=False)[value_col]
+              .rolling(window, min_periods=1).sum()
+              .reset_index(drop=True))
+        vals = r.to_numpy()
+        if np.any(np.abs(vals) >= 2.0 ** 53):
+            raise ValueError("rolling sum exceeds exact float53 range; "
+                             "rescale value_col")
+        g = g.drop(columns=["_bucket"])
+        g[out_col] = vals.astype(np.int64)
+        return g
+
+    return bucketed_group_apply(ds, [key_col], fn, n_buckets)

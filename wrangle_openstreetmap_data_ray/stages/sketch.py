@@ -297,3 +297,66 @@ def hll_distinct_by_group(ds, group_col: str, col: str, p: int = 10):
                              np.asarray(out_n, np.int64)})
 
     return bucketed_group_apply(rows, [group_col], merge, n_buckets=256)
+
+
+def histogram_quantiles_by_group(ds, group_col: str, col: str,
+                                 lo: float, hi: float, bins: int,
+                                 qs: tuple = (0.5, 0.9, 0.99)):
+    """Fixed-bin histogram quantile sketch per group — approximate
+    quantiles whose error is bounded by one bin width, but (unlike
+    t-digest) fully DETERMINISTIC and value-pinnable: per-block (group,
+    bin) count partials (≤ groups × bins int rows cross the shuffle
+    regardless of data volume), one groupby-sum merge, then the
+    q-quantile is the LOWER EDGE of the first bin whose cumulative count
+    reaches ceil(q·n). Values outside [lo, hi) clamp into the end bins.
+    The only float arithmetic is the bin index (floor((v−lo)/(hi−lo)·bins))
+    and the edge (lo + bin·(hi−lo)/bins) — single expressions an SQL twin
+    reproduces IEEE-exactly. Returns (group, q, edge6) with edge6 the
+    fixed-point-e6 integer edge."""
+    from ray.data.aggregate import Sum
+
+    span = hi - lo
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gtype = batch.schema.field(group_col).type
+        batch = batch.filter(pc.is_valid(batch[group_col]))
+        v = batch[col].to_numpy()
+        b = np.clip(np.floor((v - lo) / span * bins), 0, bins - 1) \
+              .astype(np.int64)
+        gv = np.asarray(batch[group_col].to_pylist())
+        guniq, ginv = np.unique(gv, return_inverse=True)
+        counts = np.zeros((len(guniq), bins), np.int64)
+        np.add.at(counts, (ginv, b), 1)
+        gi, bi = np.nonzero(counts)
+        return pa.table({group_col: pa.array(guniq[gi], gtype),
+                         "bin": pa.array(bi, pa.int64()),
+                         "cnt": pa.array(counts[gi, bi], pa.int64())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby([group_col, "bin"]) \
+               .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    # bounded driver state: groups × bins integer rows (the sketch), never
+    # data rows
+    out_g, out_q, out_e = [], [], []
+    for gval, sub in merged.groupby(group_col, sort=False):
+        sub = sub.sort_values("bin")
+        cum = sub["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        bins_sorted = sub["bin"].to_numpy()
+        for q in qs:
+            need = np.ceil(q * n)            # float ceil — same expr in SQL
+            pos = int(np.searchsorted(cum, need))
+            edge = lo + bins_sorted[min(pos, len(cum) - 1)] * (span / bins)
+            out_g.append(gval)
+            out_q.append(float(q))
+            out_e.append(int(np.floor(edge * 1e6 + 0.5)))
+    import pandas as pd
+    from ..util import typed_empty_series
+    if not out_g:
+        return pd.DataFrame({group_col: typed_empty_series(
+                                 merged[group_col].to_numpy()),
+                             "q": np.empty(0, np.float64),
+                             "edge6": np.empty(0, np.int64)})
+    return pd.DataFrame({group_col: out_g,
+                         "q": np.asarray(out_q, np.float64),
+                         "edge6": np.asarray(out_e, np.int64)})
