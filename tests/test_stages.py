@@ -1430,3 +1430,45 @@ def test_nearest_boundary_join_matches_bruteforce(ray_session):
             point_chunk=64).to_pandas()
         got = got.set_index("id").loc[[f"p{i}" for i in range(n)]]
         assert np.array_equal(got["d9"].to_numpy(), want)
+
+
+def test_pq_train_encode_deterministic_and_adc_recall(ray_session):
+    """PQ codebooks/codes are parallelism-invariant; ADC top-k recall vs
+    exact L2 brute force is high on clustered data (approximate op —
+    recall is the contract, not equality)."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.simsearch import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((30, 32))
+                           for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs.astype(np.float64)),
+                                        pa.list_(pa.float64()))})
+
+    outs = []
+    for nparts in (1, 8):
+        ds = rd.from_arrow(t).repartition(nparts)
+        C = pq_train(ds, "embedding", "vec_id", m=4, k=8, n_iters=2)
+        codes = pq_encode(ds, C).to_pandas()
+        codes = codes.sort_values("vec_id").reset_index(drop=True)
+        outs.append((C, codes))
+    assert np.allclose(outs[0][0], outs[1][0])
+    assert outs[0][1].equals(outs[1][1])
+
+    queries = vecs[:4]
+    ds = rd.from_arrow(t).repartition(8)
+    C = pq_train(ds, "embedding", "vec_id", m=4, k=8, n_iters=2)
+    got = pq_adc_topk(ds, C, queries, k_top=10).to_pandas()
+    d2 = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(axis=2)
+    recalls = []
+    for qi in range(len(queries)):
+        exact = set(ids[np.argsort(d2[qi], kind="stable")[:10]].tolist())
+        approx = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        assert len(approx) == 10
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.6, recalls

@@ -1866,6 +1866,100 @@ def queries():
                                       Sum("ss6", alias_name="ss6"))
     q["embedding_dim_stats"] = embedding_dim_stats
 
+    def embedding_pq_codes_check(sf_dir):
+        """Product-quantization ENCODE value-pinned: with the
+        deterministic 0-iteration codebook (subvectors of the 8 smallest
+        vec_ids; m=4 subspaces × 16 dims), every vector's per-subspace
+        argmin code is an exact integer the SQL twin reproduces with the
+        same Σ(x_j−c_j)² expression (ties → lowest code on both sides).
+        The Lloyd-TRAINED codebook path is covered rows-only by
+        ``embedding_pq_topk`` + a recall pytest."""
+        from ..stages import simsearch
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+        C = simsearch.pq_train(ds, "embedding", "vec_id", m=4, k=8,
+                               n_iters=0)
+        codes = simsearch.pq_encode(ds, C)
+
+        def explode(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            if n == 0:
+                return pa.table({"vec_id": b["vec_id"],
+                                 "s": pa.array([], pa.int64()),
+                                 "code": pa.array([], pa.int64())})
+            c = np.stack(b["codes"].to_numpy(zero_copy_only=False))
+            vid = b["vec_id"].take(
+                pa.array(np.repeat(np.arange(n), c.shape[1]), pa.int64()))
+            return pa.table({
+                "vec_id": vid,
+                "s": pa.array(np.tile(np.arange(c.shape[1]), n), pa.int64()),
+                "code": pa.array(c.reshape(-1), pa.int64())})
+        return codes.map_batches(explode, batch_format="pyarrow")
+    q["embedding_pq_codes_check"] = embedding_pq_codes_check
+
+    def embedding_pq_topk(sf_dir):
+        """PQ + asymmetric-distance top-k (the billion-scale ANN path:
+        d-dim floats compress to m uint8-sized codes; queries scan codes
+        with an (m, k) LUT gather-sum, never a float matmul against the
+        corpus). Codebooks Lloyd-trained (2 rounds, mergeable partials,
+        zero shuffles); per-block top-k partials reduce through one
+        bounded grouped_topk shuffle. Approximate by construction →
+        rows-only; recall vs brute force pinned by pytest."""
+        from ..stages import simsearch
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+        C = simsearch.pq_train(ds, "embedding", "vec_id", m=4, k=16,
+                               n_iters=2)
+        from ..util import distributed_topk
+        seeds = distributed_topk(ds, 3, [("vec_id", "ascending")])
+        queries = np.stack([np.asarray(v, np.float64)
+                            for v in seeds["embedding"]])
+        return simsearch.pq_adc_topk(ds, C, queries, k_top=10)
+    q["embedding_pq_topk"] = embedding_pq_topk
+
+    def focal_cell_smooth(sf_dir):
+        """Raster FOCAL aggregation (3×3 moving-window sum over the
+        per-cell point-count surface — GIS focal statistics): per-block
+        pre-aggregated cell counts explode to their 9 neighbor cells
+        map-side (each sketch row carries its count to every window it
+        belongs to), then ONE groupby-sum yields every cell's focal sum.
+        The exchange carries ≤ 9 × distinct-cells rows, never points.
+        Out-of-grid neighbors drop on both engines."""
+        from ray.data.aggregate import Sum
+        from ..functions import geo as G
+        RES = 12
+        N = 1 << RES
+        pts = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            x, y = G.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(), RES)
+            key = x * N + y
+            uk, cnt = np.unique(key, return_counts=True)   # block pre-agg
+            ux, uy = uk // N, uk % N
+            out_k, out_c = [], []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nx, ny = ux + dx, uy + dy
+                    ok = (nx >= 0) & (nx < N) & (ny >= 0) & (ny < N)
+                    out_k.append(nx[ok] * N + ny[ok])
+                    out_c.append(cnt[ok])
+            return pa.table({
+                "k": pa.array(np.concatenate(out_k), pa.int64()),
+                "cnt": pa.array(np.concatenate(out_c).astype(np.int64),
+                                pa.int64())})
+
+        agg = pts.map_batches(explode, batch_format="pyarrow") \
+                 .groupby("k").aggregate(Sum("cnt", alias_name="focal_cnt"))
+
+        def out(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy()
+            return pa.table({
+                "qx": pa.array(k // N, pa.int64()),
+                "qy": pa.array(k % N, pa.int64()),
+                "focal_cnt": pc.cast(b["focal_cnt"], pa.int64())})
+        return agg.map_batches(out, batch_format="pyarrow")
+    q["focal_cell_smooth"] = focal_cell_smooth
+
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
         points partitioned by tile-x shard, then return the MANIFEST's
@@ -4769,6 +4863,41 @@ def oracle_sql():
               AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
                                       WHERE o_orderdate >= '2000-01-01')
             GROUP BY 1""",
+        # PQ encode with the 0-iteration codebook: same Σ(x−c)² tree,
+        # ties → lowest code via (d2, c) row_number on both sides
+        "embedding_pq_codes_check": """
+            WITH cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                             AS c, embedding AS ce
+                         FROM (SELECT vec_id, embedding FROM embeddings
+                               ORDER BY vec_id LIMIT 8)),
+            sub AS (SELECT unnest([0, 1, 2, 3]) AS s),
+            d AS (SELECT e.vec_id, sub.s, cen.c,
+                         list_sum(list_transform(generate_series(1, 16),
+                             j -> (CAST(e.embedding[sub.s*16 + j] AS DOUBLE)
+                                   - CAST(cen.ce[sub.s*16 + j] AS DOUBLE))
+                                * (CAST(e.embedding[sub.s*16 + j] AS DOUBLE)
+                                   - CAST(cen.ce[sub.s*16 + j] AS DOUBLE))))
+                             AS d2
+                  FROM embeddings e CROSS JOIN sub CROSS JOIN cen)
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, c AS code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, c) AS rn
+                FROM d)
+            WHERE rn = 1""",
+        "focal_cell_smooth": f"""
+            WITH c AS (SELECT {_grid_sql('lon', 12, -180.0, 360.0)} AS x,
+                              {_grid_sql('lat', 12, -90.0, 180.0)} AS y,
+                              COUNT(*) AS cnt
+                       FROM {geo_p} GROUP BY 1, 2),
+            d AS (SELECT unnest([-1, 0, 1]) AS dx),
+            e AS (SELECT unnest([-1, 0, 1]) AS dy)
+            SELECT c.x + d.dx AS qx, c.y + e.dy AS qy,
+                   CAST(SUM(c.cnt) AS BIGINT) AS focal_cnt
+            FROM c CROSS JOIN d CROSS JOIN e
+            WHERE c.x + d.dx BETWEEN 0 AND 4095
+              AND c.y + e.dy BETWEEN 0 AND 4095
+            GROUP BY 1, 2""",
         "modal_event_type_per_user": """
             SELECT user_id, event_type, cnt FROM (
                 SELECT user_id, event_type, COUNT(*) AS cnt,

@@ -385,3 +385,147 @@ def sq8_quantize(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
         })
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ product quant
+
+def pq_train(ds, vec_col: str, id_col: str, m: int = 4, k: int = 16,
+             n_iters: int = 2):
+    """Product-quantization codebooks (Jégou et al., PQ for ANN): the
+    d-dim embedding splits into ``m`` contiguous subspaces and each
+    subspace learns its own ``k``-centroid Lloyd codebook — ALL m
+    codebooks train in one map-only pass per round (each block emits a
+    ≤ m·k-row partial of per-subdim sums; the m·k·d/m float state
+    broadcasts once per round). Deterministic: init = subvectors of the
+    k smallest ids, argmin ties break to the lowest code.
+
+    Returns ``C (m, k, d//m) float64``. Same mergeable-partial shape as
+    ``kmeans_fit`` — zero shuffles, bounded driver state."""
+    import ray
+
+    from ..util import _bcast_get, distributed_topk
+
+    ds = ds.materialize()
+    seeds = distributed_topk(ds, k, [(id_col, "ascending")])
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in seeds[vec_col]])
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    C = S.reshape(k, m, dsub).transpose(1, 0, 2).copy()   # (m, k, dsub)
+
+    for _ in range(n_iters):
+        c_ref = ray.put(C)
+
+        def partial(b: pa.Table, _c=c_ref):
+            cen = _bcast_get(_c)                           # (m, k, dsub)
+            x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+                  .astype(np.float64).reshape(-1, m, dsub)  # (n, m, dsub)
+            sums = np.zeros_like(cen)
+            cnts = np.zeros((m, k), np.int64)
+            for s in range(m):
+                d2 = ((x[:, s, None, :] - cen[s][None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                np.add.at(sums[s], a, x[:, s, :])
+                cnts[s] += np.bincount(a, minlength=k)
+            si, ci = np.nonzero(cnts)
+            return pa.table({
+                "s": pa.array(si.astype(np.int64)),
+                "c": pa.array(ci.astype(np.int64)),
+                "cnt": pa.array(cnts[si, ci]),
+                "sums": pa.array(list(sums[si, ci]), pa.list_(pa.float64()))})
+
+        parts = [t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows and t.num_columns]
+        sums = np.zeros_like(C)
+        cnts = np.zeros((m, k), np.int64)
+        for t in parts:
+            si = t["s"].to_numpy(zero_copy_only=False)
+            ci = t["c"].to_numpy(zero_copy_only=False)
+            cnts[si, ci] += t["cnt"].to_numpy(zero_copy_only=False)
+            sums[si, ci] += np.stack(t["sums"].to_numpy(zero_copy_only=False))
+        # empty clusters keep their previous centroid (standard Lloyd
+        # practice; deterministic) — with id-ordered init the k seed
+        # subvectors can be near-identical and round 1 may drain codes
+        empty = cnts == 0
+        cnts_safe = np.where(empty, 1, cnts)
+        C = np.where(empty[..., None], C, sums / cnts_safe[..., None])
+    return C
+
+
+def pq_encode(ds, C: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Vectors → PQ codes: per row, the argmin centroid per subspace
+    (ties → lowest code). Map-only; output (id, codes list<int64> of
+    length m) — a d-dim float row compresses to m small ints, the 8-32×
+    footprint cut that makes billion-scale ANN shippable."""
+    import ray
+
+    from ..util import _bcast_get
+    m, k, dsub = C.shape
+    c_ref = ray.put(C)
+
+    def fn(b: pa.Table) -> pa.Table:
+        cen = _bcast_get(c_ref)
+        x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+              .astype(np.float64).reshape(-1, m, dsub) if b.num_rows else \
+            np.empty((0, m, dsub))
+        codes = np.empty((x.shape[0], m), np.int64)
+        for s in range(m):
+            d2 = ((x[:, s, None, :] - cen[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pa.table({"vec_id": b[id_col],
+                         "codes": pa.array(list(codes),
+                                           pa.list_(pa.int64()))})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, C: np.ndarray, queries: np.ndarray, k_top: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over PQ codes: each batch encodes
+    once, each QUERY precomputes its (m, k) subdistance LUT, and the
+    approximate distance is one gather-sum over codes — no float matmul
+    against the corpus. Per-block top-k partials reduce through
+    ``util.grouped_topk`` (one bounded shuffle on query_id). Returns
+    (query_id, vec_id, d2e6) — approximate by construction; recall is
+    pinned by pytest against brute force."""
+    import ray
+
+    from ..util import _bcast_get, grouped_topk
+    m, kc, dsub = C.shape
+    q = np.asarray(queries, dtype=np.float64).reshape(len(queries), m, dsub)
+    # (Q, m, k) LUT of squared subdistances
+    lut = ((q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+    ref = ray.put((C, lut))
+
+    def fn(b: pa.Table) -> pa.Table:
+        cen, L = _bcast_get(ref)
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": b[id_col],
+                             "d2e6": pa.array([], pa.int64())})
+        x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+              .astype(np.float64).reshape(n, m, dsub)
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            d2 = ((x[:, s, None, :] - cen[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        # approx distance: Σ_s LUT[q, s, codes[i, s]] → (Q, n)
+        d = np.zeros((L.shape[0], n))
+        for s in range(m):
+            d += L[:, s, :][:, codes[:, s]]
+        top = min(k_top, n)
+        part = np.argpartition(d, top - 1, axis=1)[:, :top]
+        qi = np.repeat(np.arange(L.shape[0]), top)
+        vi = part.reshape(-1)
+        d2e6 = np.floor(d[qi, vi] * 1e6 + 0.5).astype(np.int64)
+        ids = b[id_col].take(pa.array(vi, pa.int64()))
+        return pa.table({"query_id": pa.array(qi, pa.int64()),
+                         "vec_id": ids,
+                         "d2e6": pa.array(d2e6, pa.int64())})
+
+    parts = ds.map_batches(fn, batch_format="pyarrow")
+    return grouped_topk(parts, ["query_id"], k_top,
+                        [("d2e6", "asc"), ("vec_id", "asc")])
