@@ -1960,6 +1960,103 @@ def queries():
         return agg.map_batches(out, batch_format="pyarrow")
     q["focal_cell_smooth"] = focal_cell_smooth
 
+    def event_value_trend_per_type(sf_dir):
+        """Distributed OLS regression per group via SUFFICIENT STATISTICS
+        (n, Σx, Σy, Σxy, Σx²) — each block emits one ≤groups-row integer
+        partial, one tiny groupby-sum merges, and the slope/intercept are
+        computed from EXACT integer sums (x = whole days since epoch,
+        y = e2-scaled value), so both engines divide the same integers:
+        slope_e6 = floor((nΣxy−ΣxΣy)/(nΣx²−(Σx)²)·1e6+0.5). The
+        mergeable-statistics shape that fits any 100 TB column pair."""
+        from ray.data.aggregate import Sum
+        US_PER_DAY = 86_400_000_000
+
+        def partial(b: pa.Table) -> pa.Table:
+            gtype = b.schema.field("event_type").type
+            x = (b["ts"].cast(pa.int64()).to_numpy() // US_PER_DAY) \
+                .astype(np.int64)
+            y = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            gv = np.asarray(b["event_type"].to_pylist())
+            gu, gi = np.unique(gv, return_inverse=True)
+            n = np.bincount(gi)
+            sx = np.zeros(len(gu), np.int64)
+            sy = np.zeros(len(gu), np.int64)
+            sxy = np.zeros(len(gu), np.int64)
+            sxx = np.zeros(len(gu), np.int64)
+            np.add.at(sx, gi, x)
+            np.add.at(sy, gi, y)
+            np.add.at(sxy, gi, x * y)
+            np.add.at(sxx, gi, x * x)
+            return pa.table({"event_type": pa.array(gu, gtype),
+                             "n": pa.array(n.astype(np.int64), pa.int64()),
+                             "sx": pa.array(sx), "sy": pa.array(sy),
+                             "sxy": pa.array(sxy), "sxx": pa.array(sxx)})
+
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "ts", "value"])
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("event_type") \
+            .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxy", alias_name="sxy"),
+                       Sum("sxx", alias_name="sxx")).to_pandas()
+        n = agg["n"].to_numpy().astype(np.float64)
+        sx = agg["sx"].to_numpy().astype(np.float64)
+        sy = agg["sy"].to_numpy().astype(np.float64)
+        sxy = agg["sxy"].to_numpy().astype(np.float64)
+        sxx = agg["sxx"].to_numpy().astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame({
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype(np.int64),
+            "slope_e6": np.floor(slope * 1e6 + 0.5).astype(np.int64),
+        }).sort_values("event_type", ignore_index=True)
+    q["event_value_trend_per_type"] = event_value_trend_per_type
+
+    def user_event_entropy(sf_dir):
+        """Per-user Shannon entropy of the event-type distribution (the
+        info-theory diversity score a curation pipeline gates on):
+        per-(user, type) counts pre-aggregate map-side; the entropy sum
+        runs over types in a FIXED (alphabetical) order on both engines
+        (DuckDB list_sum over list(... ORDER BY type); numpy sequential
+        sum over the sorted slice), so the float trees match and e6
+        rounding pins the value. Output: user_id, n_events, entropy_e6."""
+        from ray.data.aggregate import Sum
+        from ..util import bucketed_group_apply
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_type"])
+
+        def pre(b: pa.Table) -> pa.Table:
+            return b.group_by(["user_id", "event_type"]).aggregate(
+                [([], "count_all")]).rename_columns(
+                ["user_id", "event_type", "cnt"])
+
+        counts = ds.map_batches(pre, batch_format="pyarrow") \
+                   .groupby(["user_id", "event_type"]) \
+                   .aggregate(Sum("cnt", alias_name="cnt"))
+
+        def ent(g: pd.DataFrame) -> pd.DataFrame:
+            # pivot to a (users × types) count matrix, types in sorted
+            # order; axis-1 sums over ≤8 columns are SEQUENTIAL in numpy
+            # (pairwise only kicks in past 8 terms) and +0.0 terms for
+            # absent types are exact identities, so the float tree equals
+            # the SQL list_sum over the type-ordered present-only list
+            piv = g.pivot_table(index="user_id", columns="event_type",
+                                values="cnt", aggfunc="sum", fill_value=0)
+            piv = piv.reindex(sorted(piv.columns), axis=1)
+            c = piv.to_numpy(dtype=np.float64)
+            n = c.sum(axis=1)
+            p = c / n[:, None]
+            terms = np.where(c > 0, p * np.log(np.where(c > 0, p, 1.0)), 0.0)
+            h = terms.sum(axis=1)
+            return pd.DataFrame({
+                "user_id": piv.index.to_numpy().astype(np.int64),
+                "n_events": n.astype(np.int64),
+                "entropy_e6": np.floor(-h * 1e6 + 0.5).astype(np.int64)})
+
+        return bucketed_group_apply(counts, ["user_id"], ent, n_buckets=256)
+    q["user_event_entropy"] = user_event_entropy
+
     def lancelike_partition_counts(sf_dir):
         """S5 partitioned sink through the correctness gate: write the geo
         points partitioned by tile-x shard, then return the MANIFEST's
@@ -4898,6 +4995,42 @@ def oracle_sql():
             WHERE c.x + d.dx BETWEEN 0 AND 4095
               AND c.y + e.dy BETWEEN 0 AND 4095
             GROUP BY 1, 2""",
+        # OLS via exact-integer sufficient statistics; both engines
+        # divide the same doubles built from the same ints
+        "event_value_trend_per_type": """
+            WITH r AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS x,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                       FROM events),
+            a AS (SELECT event_type, COUNT(*) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx
+                  FROM r GROUP BY 1)
+            SELECT event_type, n,
+                   CAST(floor((CAST(n AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) * sy)
+                              / (CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)
+                              * 1e6 + 0.5) AS BIGINT) AS slope_e6
+            FROM a""",
+        # entropy: the p·ln p sum runs in type-sorted order on both
+        # engines (list_sum over an ORDER BY list; numpy axis-1 sums are
+        # sequential below 9 terms and +0.0 identities are exact)
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+            n AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM c GROUP BY 1),
+            l AS (SELECT c.user_id, n.n,
+                         list(CAST(c.cnt AS DOUBLE) / n.n
+                              ORDER BY c.event_type) AS ps
+                  FROM c JOIN n USING (user_id) GROUP BY c.user_id, n.n)
+            SELECT user_id, n AS n_events,
+                   CAST(floor(-(list_sum(list_transform(ps, p -> p * ln(p))))
+                              * 1e6 + 0.5) AS BIGINT) AS entropy_e6
+            FROM l""",
         "modal_event_type_per_user": """
             SELECT user_id, event_type, cnt FROM (
                 SELECT user_id, event_type, COUNT(*) AS cnt,
