@@ -1462,7 +1462,9 @@ def test_pq_train_encode_deterministic_and_adc_recall(ray_session):
 
     queries = vecs[:4]
     ds = rd.from_arrow(t).repartition(8)
-    C = pq_train(ds, "embedding", "vec_id", m=4, k=8, n_iters=2)
+    # finer subspaces for the recall check (m=8 × 4 dims): m=4 over these
+    # 32-dim clusters is right at the 0.6 recall boundary
+    C = pq_train(ds, "embedding", "vec_id", m=8, k=8, n_iters=2)
     got = pq_adc_topk(ds, C, queries, k_top=10).to_pandas()
     d2 = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(axis=2)
     recalls = []

@@ -131,19 +131,24 @@ def main() -> None:
         cell = b["cell"].to_numpy().astype(np.uint64)
         with np.errstate(over="ignore"):
             h = splitmix64(idx * np.uint64(0x9E3779B97F4A7C15) ^ cell)
-        # per-block partial masked to 40 bits: Ray's Sum accumulates in
-        # exact Python ints and FAILS Arrow int64 conversion past 2^63
-        # (seen live at 600M rows with 63-bit partials); 2^40 × 10^6
-        # blocks stays comfortably inside int64 and the fold is still an
-        # order-insensitive content checksum
-        s = int(h.sum(dtype=np.uint64) & np.uint64((1 << 40) - 1))
-        return pa.table({"s": pa.array([s], pa.int64())})
+        # per-block mod-2^64 sum split into two 32-bit limbs: the limb
+        # sums are exactly associative across ANY block partitioning
+        # (review finding: a single truncating mask made the sig depend
+        # on where block boundaries fell), and each limb total stays
+        # ≤ 2^32·n_blocks — far inside int64, so Ray's exact-Python-int
+        # Sum cannot overflow Arrow conversion (seen live at 600M rows)
+        s = int(h.sum(dtype=np.uint64))     # mod 2^64, order-insensitive
+        return pa.table({"s_lo": pa.array([s & 0xFFFFFFFF], pa.int64()),
+                         "s_hi": pa.array([s >> 32], pa.int64())})
 
     t0 = time.time()
     back = lancelike.read_dataset(out_root, columns=["image_id", "cell"])
-    agg = back.map_batches(sig, batch_format="pyarrow").aggregate(Sum("s")) or {}
+    agg = back.map_batches(sig, batch_format="pyarrow") \
+              .aggregate(Sum("s_lo"), Sum("s_hi")) or {}
     rec["verify_sec"] = round(time.time() - t0, 1)
-    rec["content_sig"] = int(agg.get("sum(s)") or 0) % (1 << 61)
+    lo = int(agg.get("sum(s_lo)") or 0)
+    hi = int(agg.get("sum(s_hi)") or 0)
+    rec["content_sig"] = ((hi << 32) + lo) % (1 << 64)
 
     rec["driver_peak_rss_mb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)

@@ -339,3 +339,21 @@ def dp_simplify_indices(lon, lat, eps: float):
             stack.append((i, kk))
             stack.append((kk, j))
     return np.nonzero(keep)[0]
+
+
+def ring_edges(polygons) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray, list]:
+    """Polygon rings exploded to directed edges (x1, y1, x2, y2,
+    polygon_ids-per-edge) — THE edge definition, shared by the engine's
+    nearest-boundary kernel and the oracle's edges fixture so both sides
+    can never diverge on what an edge is (closing edge included via
+    np.roll)."""
+    pid, x1, y1, x2, y2 = [], [], [], [], []
+    for r in polygons.to_pylist():
+        rx = np.array([p["lon"] for p in r["ring"]])
+        ry = np.array([p["lat"] for p in r["ring"]])
+        pid += [r["polygon_id"]] * len(rx)
+        x1.append(rx); y1.append(ry)
+        x2.append(np.roll(rx, -1)); y2.append(np.roll(ry, -1))
+    return (np.concatenate(x1), np.concatenate(y1),
+            np.concatenate(x2), np.concatenate(y2), pid)

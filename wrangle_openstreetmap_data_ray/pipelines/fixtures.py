@@ -62,15 +62,12 @@ def fixture_path(sf_dir: str, name: str) -> str:
 def _edges_table(polygons: pa.Table) -> pa.Table:
     """Polygon rings exploded to directed edges — the oracle surface for the
     even-odd ray-cast (each edge row joins against candidate points in SQL
-    with the *same* float expressions as geo.point_in_polygon)."""
-    pid, x1, y1, x2, y2 = [], [], [], [], []
-    for r in polygons.to_pylist():
-        rx = np.array([p["lon"] for p in r["ring"]])
-        ry = np.array([p["lat"] for p in r["ring"]])
-        nx, ny = np.roll(rx, -1), np.roll(ry, -1)
-        pid += [r["polygon_id"]] * len(rx)
-        x1 += rx.tolist(); y1 += ry.tolist()
-        x2 += nx.tolist(); y2 += ny.tolist()
+    with the *same* float expressions as geo.point_in_polygon). The explode
+    itself is geo.ring_edges — the ONE edge definition the engine-side
+    nearest-boundary kernel also consumes (review: two copies could
+    silently diverge the contract pair)."""
+    from ..functions.geo import ring_edges
+    x1, y1, x2, y2, pid = ring_edges(polygons)
     return pa.table({
         "polygon_id": pa.array(pid, pa.string()),
         "x1": pa.array(x1, pa.float64()), "y1": pa.array(y1, pa.float64()),

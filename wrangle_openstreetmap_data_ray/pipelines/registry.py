@@ -101,6 +101,30 @@ def _street_type_sql(col: str) -> str:
     return f"CASE WHEN {first} IN ({malay}) THEN {first} ELSE {last} END"
 
 
+def _nation_sorted(sf_dir):
+    """(nation df, sorted nationkeys, names in that order) — nation is
+    spec-fixed at 25 rows (TPC-H), so the driver pull is cap-safe by
+    construction. Shared by the Q7/Q8 shapes (review: was duplicated)."""
+    nat = fx.driver_table(sf_dir, "nation").to_pandas()
+    nk = nat["n_nationkey"].to_numpy()
+    order = np.argsort(nk, kind="stable")
+    return nat, nk[order], nat["n_name"].to_numpy()[order]
+
+
+def _supplier_nation_lut(sf_dir, nk_sorted, nname_sorted):
+    """(l_suppkey, supp_nation) Dataset — supplier keys with nation names
+    attached map-side via searchsorted over the sorted nation keys;
+    consumed through broadcast_inner_join (capped, hash-join fallback)."""
+    def sup_narrow(b: pa.Table) -> pa.Table:
+        pos = np.searchsorted(nk_sorted, b["s_nationkey"].to_numpy())
+        return pa.table({"l_suppkey": b["s_suppkey"],
+                         "supp_nation": pa.array(nname_sorted[pos],
+                                                 pa.string())})
+    return fx.driver_table(sf_dir, "supplier",
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(sup_narrow, batch_format="pyarrow")
+
+
 # ================================================================ queries
 
 def queries():
@@ -1648,14 +1672,10 @@ def queries():
         from ..util import broadcast_inner_join
         TARGET, REGION, PTYPE = "NATION_3", "ASIA", "PROMO"
 
-        nat = fx.driver_table(sf_dir, "nation").to_pandas()
+        nat, nk_sorted, nname_sorted = _nation_sorted(sf_dir)
         reg = fx.driver_table(sf_dir, "region").to_pandas()
         asia_rk = set(reg[reg["r_name"] == REGION]["r_regionkey"])
         asia_nk = set(nat[nat["n_regionkey"].isin(asia_rk)]["n_nationkey"])
-        nk = nat["n_nationkey"].to_numpy()
-        order_nk = np.argsort(nk, kind="stable")
-        nk_sorted, nname_sorted = nk[order_nk], \
-            nat["n_name"].to_numpy()[order_nk]
 
         pt_keys = fx.driver_table(sf_dir, "part",
                                   columns=["p_partkey", "p_type"]) \
@@ -1663,15 +1683,7 @@ def queries():
             .map_batches(lambda b: pa.table({"l_partkey": b["p_partkey"]}),
                          batch_format="pyarrow")
 
-        def sup_narrow(b: pa.Table) -> pa.Table:
-            pos = np.searchsorted(nk_sorted, b["s_nationkey"].to_numpy())
-            return pa.table({"l_suppkey": b["s_suppkey"],
-                             "supp_nation": pa.array(nname_sorted[pos],
-                                                     pa.string())})
-
-        sup_lut = fx.driver_table(sf_dir, "supplier",
-                                  columns=["s_suppkey", "s_nationkey"]) \
-            .map_batches(sup_narrow, batch_format="pyarrow")
+        sup_lut = _supplier_nation_lut(sf_dir, nk_sorted, nname_sorted)
 
         def cust_asia(b: pa.Table) -> pa.Table:
             keep = np.fromiter((k in asia_nk for k in
@@ -1967,12 +1979,21 @@ def queries():
         computed from EXACT integer sums (x = whole days since epoch,
         y = e2-scaled value), so both engines divide the same integers:
         slope_e6 = floor((nΣxy−ΣxΣy)/(nΣx²−(Σx)²)·1e6+0.5). The
-        mergeable-statistics shape that fits any 100 TB column pair."""
+        mergeable-statistics shape that fits any 100 TB column pair.
+        NULL groups are filtered and degenerate groups (all x equal, so
+        the denominator is 0 and the slope undefined) are dropped — on
+        BOTH engines, with the same float test."""
         from ray.data.aggregate import Sum
         US_PER_DAY = 86_400_000_000
 
         def partial(b: pa.Table) -> pa.Table:
             gtype = b.schema.field("event_type").type
+            b = b.filter(pc.is_valid(b["event_type"]))  # SQL twin filters
+            if not b.num_rows:                          # NULL groups too
+                e = pa.array([], pa.int64())
+                return pa.table({"event_type": pa.array([], gtype),
+                                 "n": e, "sx": e, "sy": e,
+                                 "sxy": e, "sxx": e})
             x = (b["ts"].cast(pa.int64()).to_numpy() // US_PER_DAY) \
                 .astype(np.int64)
             y = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
@@ -2005,11 +2026,14 @@ def queries():
         sy = agg["sy"].to_numpy().astype(np.float64)
         sxy = agg["sxy"].to_numpy().astype(np.float64)
         sxx = agg["sxx"].to_numpy().astype(np.float64)
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        den = n * sxx - sx * sx
+        ok = den != 0.0   # degenerate group (all x equal / n=1): slope
+        slope = np.where(ok, (n * sxy - sx * sy) / np.where(ok, den, 1.0),
+                         0.0)   # undefined — dropped on BOTH engines
         return pd.DataFrame({
-            "event_type": agg["event_type"],
-            "n": agg["n"].astype(np.int64),
-            "slope_e6": np.floor(slope * 1e6 + 0.5).astype(np.int64),
+            "event_type": agg["event_type"][ok],
+            "n": agg["n"][ok].astype(np.int64),
+            "slope_e6": np.floor(slope[ok] * 1e6 + 0.5).astype(np.int64),
         }).sort_values("event_type", ignore_index=True)
     q["event_value_trend_per_type"] = event_value_trend_per_type
 
@@ -3586,18 +3610,8 @@ def queries():
         from ..util import broadcast_inner_join
         NA, NB = "NATION_3", "NATION_7"
 
-        nat = fx.driver_table(sf_dir, "nation",
-                              columns=["n_nationkey", "n_name"]).to_pandas()
-        nk = nat["n_nationkey"].to_numpy()
-        order_nk = np.argsort(nk, kind="stable")
-        nk_sorted = nk[order_nk]
-        nname_sorted = nat["n_name"].to_numpy()[order_nk]
-
-        def sup_narrow(b: pa.Table) -> pa.Table:
-            pos = np.searchsorted(nk_sorted, b["s_nationkey"].to_numpy())
-            return pa.table({"l_suppkey": b["s_suppkey"],
-                             "supp_nation": pa.array(nname_sorted[pos],
-                                                     pa.string())})
+        _, nk_sorted, nname_sorted = _nation_sorted(sf_dir)
+        sup_lut = _supplier_nation_lut(sf_dir, nk_sorted, nname_sorted)
 
         def cus_narrow(b: pa.Table) -> pa.Table:
             pos = np.searchsorted(nk_sorted, b["c_nationkey"].to_numpy())
@@ -3605,9 +3619,6 @@ def queries():
                              "cust_nation": pa.array(nname_sorted[pos],
                                                      pa.string())})
 
-        sup_lut = fx.driver_table(sf_dir, "supplier",
-                                  columns=["s_suppkey", "s_nationkey"]) \
-            .map_batches(sup_narrow, batch_format="pyarrow")
         cus_lut = fx.driver_table(sf_dir, "customer",
                                   columns=["c_custkey", "c_nationkey"]) \
             .map_batches(cus_narrow, batch_format="pyarrow")
@@ -5001,7 +5012,7 @@ def oracle_sql():
             WITH r AS (SELECT event_type,
                               epoch_us(ts) // 86400000000 AS x,
                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-                       FROM events),
+                       FROM events WHERE event_type IS NOT NULL),
             a AS (SELECT event_type, COUNT(*) AS n,
                          CAST(SUM(x) AS BIGINT) AS sx,
                          CAST(SUM(y) AS BIGINT) AS sy,
@@ -5014,7 +5025,9 @@ def oracle_sql():
                               / (CAST(n AS DOUBLE) * sxx
                                  - CAST(sx AS DOUBLE) * sx)
                               * 1e6 + 0.5) AS BIGINT) AS slope_e6
-            FROM a""",
+            FROM a
+            WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx
+                  <> 0.0""",
         # entropy: the p·ln p sum runs in type-sorted order on both
         # engines (list_sum over an ORDER BY list; numpy axis-1 sums are
         # sequential below 9 terms and +0.0 identities are exact)

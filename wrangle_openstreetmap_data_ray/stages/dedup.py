@@ -63,16 +63,20 @@ def _minhash_sig_fn(id_col: str, text_col: str, num_perm: int, num_bands: int,
     without actor-pool startup latency or CPU pinning."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        n = batch.num_rows
         # whole-batch vectorized kernel (factorized token hashes, masked
         # concatenated shingle windows, minimum.reduceat over doc offsets)
         # — bit-identical to the per-doc path, pinned by pytest
         sigs = minhash_bands_batch(batch[text_col], num_perm, num_bands,
                                    shingle_n)
+        # doc_id via Arrow take: typed even on zero-row blocks (an empty
+        # pylist→asarray would infer float64 and drift the block schema)
+        rep = batch[id_col].take(
+            pa.array(np.repeat(np.arange(n), num_bands), pa.int64()))
         return pa.table({
-            "doc_id": pa.array(np.repeat(np.asarray(ids), num_bands)),
+            "doc_id": rep,
             "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32),
-                                        len(ids)), pa.int32()),
+                                        n), pa.int32()),
             "band_hash": pa.array(sigs.reshape(-1).astype(np.int64), pa.int64()),
         })
     return fn

@@ -145,7 +145,7 @@ _PIP_TASK_CACHE: dict = {}
 def nearest_boundary_join(points_ds, polygons: pa.Table,
                           lon_col: str = "lon", lat_col: str = "lat",
                           id_col: str = "image_id",
-                          point_chunk: int = 4096):
+                          point_chunk: int = 1024):
     """Distance from every point to the NEAREST polygon boundary — the
     spatial "distance to nearest facility/admin edge" join, exact by
     construction: the polygon side is a small broadcast dimension (rings
@@ -163,15 +163,8 @@ def nearest_boundary_join(points_ds, polygons: pa.Table,
     """
     import ray
 
-    pid, x1, y1, x2, y2 = [], [], [], [], []
-    for r in polygons.to_pylist():
-        rx = np.array([p["lon"] for p in r["ring"]])
-        ry = np.array([p["lat"] for p in r["ring"]])
-        nx, ny = np.roll(rx, -1), np.roll(ry, -1)
-        x1.append(rx); y1.append(ry); x2.append(nx); y2.append(ny)
-    ex1 = np.concatenate(x1); ey1 = np.concatenate(y1)
-    ex2 = np.concatenate(x2); ey2 = np.concatenate(y2)
-    dx, dy = ex2 - ex1, ey2 - ey1
+    ex1, ey1, ex2, ey2, _ = geo.ring_edges(polygons)  # SAME edge def as
+    dx, dy = ex2 - ex1, ey2 - ey1                     # the oracle fixture
     len2 = dx * dx + dy * dy
     if np.any(len2 == 0):
         raise ValueError("degenerate zero-length polygon edge")
@@ -183,16 +176,27 @@ def nearest_boundary_join(points_ds, polygons: pa.Table,
         px = batch[lon_col].to_numpy()
         py = batch[lat_col].to_numpy()
         best = np.full(len(px), np.inf)
+        # chunk BOTH axes: at admin-boundary scale E can reach 10^4-10^5
+        # edges, and an un-chunked (P, E) float64 temporary would be
+        # gigabytes per task (review finding) — 1024×4096 keeps every
+        # temporary ≤ 32 MB with a running min across edge chunks
+        edge_chunk = 4096
         for c0 in range(0, len(px), point_chunk):
             p_x = px[c0:c0 + point_chunk, None]
             p_y = py[c0:c0 + point_chunk, None]
-            t = ((p_x - bx1[None, :]) * bdx[None, :]
-                 + (p_y - by1[None, :]) * bdy[None, :]) / bl2[None, :]
-            t = np.clip(t, 0.0, 1.0)
-            cx = bx1[None, :] + t * bdx[None, :]
-            cy = by1[None, :] + t * bdy[None, :]
-            d2 = (p_x - cx) * (p_x - cx) + (p_y - cy) * (p_y - cy)
-            best[c0:c0 + point_chunk] = d2.min(axis=1)
+            acc = best[c0:c0 + point_chunk]
+            for e0 in range(0, len(bx1), edge_chunk):
+                x1 = bx1[None, e0:e0 + edge_chunk]
+                y1 = by1[None, e0:e0 + edge_chunk]
+                dx = bdx[None, e0:e0 + edge_chunk]
+                dy = bdy[None, e0:e0 + edge_chunk]
+                l2 = bl2[None, e0:e0 + edge_chunk]
+                t = ((p_x - x1) * dx + (p_y - y1) * dy) / l2
+                t = np.clip(t, 0.0, 1.0)
+                cx = x1 + t * dx
+                cy = y1 + t * dy
+                d2 = (p_x - cx) * (p_x - cx) + (p_y - cy) * (p_y - cy)
+                np.minimum(acc, d2.min(axis=1), out=acc)
         d9 = np.floor(np.sqrt(best) * 1e9 + 0.5).astype(np.int64)
         return pa.table({"id": batch[id_col],
                          "d9": pa.array(d9, pa.int64())})

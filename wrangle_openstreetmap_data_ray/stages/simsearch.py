@@ -419,6 +419,11 @@ def pq_train(ds, vec_col: str, id_col: str, m: int = 4, k: int = 16,
 
         def partial(b: pa.Table, _c=c_ref):
             cen = _bcast_get(_c)                           # (m, k, dsub)
+            if b.num_rows == 0:    # np.stack raises on zero-row blocks
+                return pa.table({"s": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.float64()))})
             x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
                   .astype(np.float64).reshape(-1, m, dsub)  # (n, m, dsub)
             sums = np.zeros_like(cen)
@@ -516,15 +521,26 @@ def pq_adc_topk(ds, C: np.ndarray, queries: np.ndarray, k_top: int = 10,
         d = np.zeros((L.shape[0], n))
         for s in range(m):
             d += L[:, s, :][:, codes[:, s]]
+        # block-local selection uses the SAME total order as the final
+        # grouped_topk — (rounded d2e6, vec_id) — so the local cut can
+        # never drop a row the global order would keep (review finding:
+        # raw-float argpartition made ties at the k-th boundary
+        # partition-dependent)
+        d2e6_all = np.floor(d * 1e6 + 0.5).astype(np.int64)
         top = min(k_top, n)
-        part = np.argpartition(d, top - 1, axis=1)[:, :top]
-        qi = np.repeat(np.arange(L.shape[0]), top)
-        vi = part.reshape(-1)
-        d2e6 = np.floor(d[qi, vi] * 1e6 + 0.5).astype(np.int64)
+        ids_np = np.asarray(b[id_col].to_pylist())
+        qi_out, vi_out = [], []
+        for qidx in range(L.shape[0]):
+            row = pd.DataFrame({"d": d2e6_all[qidx], "v": ids_np})
+            sel = row.sort_values(["d", "v"], kind="mergesort").index[:top]
+            qi_out.append(np.full(top, qidx, np.int64))
+            vi_out.append(np.asarray(sel, np.int64))
+        qi = np.concatenate(qi_out)
+        vi = np.concatenate(vi_out)
         ids = b[id_col].take(pa.array(vi, pa.int64()))
         return pa.table({"query_id": pa.array(qi, pa.int64()),
                          "vec_id": ids,
-                         "d2e6": pa.array(d2e6, pa.int64())})
+                         "d2e6": pa.array(d2e6_all[qi, vi], pa.int64())})
 
     parts = ds.map_batches(fn, batch_format="pyarrow")
     return grouped_topk(parts, ["query_id"], k_top,

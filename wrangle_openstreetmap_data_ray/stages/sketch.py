@@ -320,6 +320,10 @@ def histogram_quantiles_by_group(ds, group_col: str, col: str,
     def partial(batch: pa.Table) -> pa.Table:
         gtype = batch.schema.field(group_col).type
         batch = batch.filter(pc.is_valid(batch[group_col]))
+        if not batch.num_rows:   # empty pylist → float64 → ArrowTypeError
+            return pa.table({group_col: pa.array([], gtype),
+                             "bin": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
         v = batch[col].to_numpy()
         b = np.clip(np.floor((v - lo) / span * bins), 0, bins - 1) \
               .astype(np.int64)
