@@ -2,10 +2,13 @@
 *"raster tiles materialized per cell from decoded image bytes"*.
 
 Pipeline shape: points (image rows + lon/lat) → tile id = cell at
-``tile_res`` (vectorized) → ``groupby(tile)`` hash shuffle (bytes stay
-ENCODED through the shuffle — SURVEY.md §7.5 memory rule) → per-tile
-render: decode each image, nearest-neighbor thumbnail, paste at its
-pixel position on a ``tile_px``² RGB canvas, PNG-encode the canvas.
+``tile_res`` (vectorized) → MAP-SIDE decode + nearest-neighbor thumbnail
+(the canvas only ever shows a ``thumb_px``² thumb, so the shuffle ships
+fixed 768-byte raw thumbs instead of full encoded images — a ~5× payload
+cut that also moves ALL decode work to the embarrassingly-parallel map
+side; round-4 change, tile bytes identical) → ``groupby(tile)`` hash
+shuffle → per-tile render: paste each thumb at its pixel position on a
+``tile_px``² RGB canvas, PNG-encode the canvas.
 
 Determinism: images paste in ascending image_id order (last-write-wins on
 overlap), so tile bytes are identical at any parallelism — the
@@ -39,6 +42,28 @@ def assign_tiles(ds, tile_res: int, lon_col="lon", lat_col="lat"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _thumb_stage(thumb_px: int):
+    """map_batches fn: decode each image ONCE map-side and replace the
+    encoded payload with its raw ``thumb_px``²×3 thumbnail — the only
+    pixels the tile canvas ever uses. The downstream shuffle then moves
+    a fixed 3·thumb_px² bytes/row instead of arbitrary encoded images,
+    and decode parallelism is the full map width, not the tile-bucket
+    count."""
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        thumbs = [codecs.resize_nearest(
+            codecs.decode(b, f, w, h), thumb_px, thumb_px).tobytes()
+            for b, f, w, h in zip(blobs, fmts, ws, hs)]
+        keep = [c for c in batch.column_names
+                if c not in ("bytes", "fmt", "w", "h")]
+        return batch.select(keep).append_column(
+            "thumb", pa.array(thumbs, pa.binary()))
+    return fn
+
+
 def _render_one(g: pd.DataFrame, tile_px: int, thumb_px: int) -> pd.DataFrame:
     """Render ONE tile's rows (all share a tile_id) to its PNG row."""
     g = g.sort_values("image_id", kind="mergesort")
@@ -46,8 +71,8 @@ def _render_one(g: pd.DataFrame, tile_px: int, thumb_px: int) -> pd.DataFrame:
     w, s, e, n = (float(v[0]) for v in geo.cell_bounds(np.array([tile_id])))
     canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
     for r in g.itertuples():
-        img = codecs.decode(r.bytes, r.fmt, r.w, r.h)
-        thumb = codecs.resize_nearest(img, thumb_px, thumb_px)
+        thumb = np.frombuffer(r.thumb, np.uint8) \
+                  .reshape(thumb_px, thumb_px, 3)
         px = int((r.lon - w) / (e - w) * tile_px)
         py = int((n - r.lat) / (n - s) * tile_px)   # raster y grows down
         x0, y0 = px - thumb_px // 2, py - thumb_px // 2
@@ -96,7 +121,8 @@ def render_tiles(ds, tile_res: int = 12, lon_col="lon", lat_col="lat",
     also sets the render stage's parallelism.
     """
     from ..util import bucketed_group_apply, cluster_cpus
-    tiled = assign_tiles(ds, tile_res, lon_col, lat_col)
+    tiled = assign_tiles(ds, tile_res, lon_col, lat_col) \
+        .map_batches(_thumb_stage(thumb_px), batch_format="pyarrow")
     if coalesce:
         tiled = tiled.repartition(2 * cluster_cpus())
     # bounded bucket count: ≥4×CPUs for render parallelism at small scale,
