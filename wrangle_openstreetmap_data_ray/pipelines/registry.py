@@ -3927,6 +3927,355 @@ def queries():
                        max_cols=["p_size"])
     q["parts_skyline"] = parts_skyline
 
+    # ------------- TPC-H completion: the six shapes whose canonical form
+    # needs PARTSUPP / commit+receipt dates (absent from the driver
+    # schema) — each ADAPTED to the available columns with the decisive
+    # distributed machinery intact and documented per query. With these
+    # the full 22-query suite is covered (Q1 = agg_lineitem_pricing).
+
+    def tpch_q2_min_cost_supplier(sf_dir):
+        """TPC-H Q2 shape (correlated MIN subquery → per-group top-1):
+        adapted — part↔supplier pairs come from DISTINCT lineitem
+        (partkey, suppkey) since PARTSUPP doesn't exist, and "min cost"
+        is min s_acctbal. The correlated `= (SELECT min(..))` becomes
+        grouped_topk(k=1) with a total order (bal2, suppkey): no per-row
+        probe, one bounded shuffle. Part keys and the region-filtered
+        supplier attrs attach via capped broadcast (hash-join fallback)."""
+        from ..util import broadcast_inner_join, grouped_topk
+
+        nat, nk_sorted, nname_sorted = _nation_sorted(sf_dir)
+        reg = fx.driver_table(sf_dir, "region").to_pandas()
+        rk = set(reg[reg["r_name"] == "ASIA"]["r_regionkey"])
+        in_region = np.isin(nk_sorted,
+                            nat[nat["n_regionkey"].isin(rk)]
+                            ["n_nationkey"].to_numpy())
+
+        def part_keys(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(b["p_type"], "STANDARD"),
+                        pc.less_equal(b["p_size"], 10))
+            return pa.table({"l_partkey": b.filter(m)["p_partkey"]})
+
+        pt = fx.driver_table(sf_dir, "part",
+                             columns=["p_partkey", "p_type", "p_size"]) \
+            .map_batches(part_keys, batch_format="pyarrow")
+
+        def sup_attrs(b: pa.Table) -> pa.Table:
+            pos = np.searchsorted(nk_sorted, b["s_nationkey"].to_numpy())
+            f = b.filter(pa.array(in_region[pos]))
+            pos = np.searchsorted(nk_sorted, f["s_nationkey"].to_numpy())
+            bal2 = np.floor(f["s_acctbal"].to_numpy() * 100 + 0.5)
+            return pa.table({
+                "l_suppkey": f["s_suppkey"], "s_name": f["s_name"],
+                "n_name": pa.array(nname_sorted[pos], pa.string()),
+                "bal2": pa.array(bal2.astype(np.int64), pa.int64())})
+
+        sup = fx.driver_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_name", "s_nationkey",
+                                       "s_acctbal"]) \
+            .map_batches(sup_attrs, batch_format="pyarrow")
+
+        pairs = fx.driver_table(sf_dir, "lineitem",
+                                columns=["l_partkey", "l_suppkey"]) \
+            .groupby(["l_partkey", "l_suppkey"]).count() \
+            .select_columns(["l_partkey", "l_suppkey"])
+        cand = broadcast_inner_join(pairs, pt, on="l_partkey")
+        cand = broadcast_inner_join(cand, sup, on="l_suppkey")
+        best = grouped_topk(cand, ["l_partkey"], 1,
+                            [("bal2", "asc"), ("l_suppkey", "asc")])
+        out = distributed_topk(best, 100, [("bal2", "descending"),
+                                           ("l_partkey", "ascending")])
+        out = out.rename(columns={"l_partkey": "p_partkey",
+                                  "l_suppkey": "s_suppkey"})
+        return out[["p_partkey", "s_suppkey", "s_name", "n_name", "bal2"]]
+    q["tpch_q2_min_cost_supplier"] = tpch_q2_min_cost_supplier
+
+    def tpch_q9_profit_shape(sf_dir):
+        """TPC-H Q9 shape (product-type profit by nation × year):
+        adapted — supply cost is p_retailprice·qty/10 (no PARTSUPP).
+        amount is exact int e4 per row (rev4 − retail3·qty), so the
+        nation×year sums are association-proof. Narrow part-cost LUT and
+        supplier→nation ride capped broadcasts; the one big exchange is
+        lineitem⋈orders for the year."""
+        from ray.data.aggregate import Sum
+        from ..util import broadcast_inner_join
+
+        nat, nk_sorted, nname_sorted = _nation_sorted(sf_dir)
+        sup_lut = _supplier_nation_lut(sf_dir, nk_sorted, nname_sorted)
+
+        def part_cost(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.match_substring(b["p_name"], "red"))
+            r3 = np.floor(f["p_retailprice"].to_numpy() * 1e3 + 0.5)
+            return pa.table({"l_partkey": f["p_partkey"],
+                             "retail3": pa.array(r3.astype(np.int64),
+                                                 pa.int64())})
+
+        pt = fx.driver_table(sf_dir, "part",
+                             columns=["p_partkey", "p_name",
+                                      "p_retailprice"]) \
+            .map_batches(part_cost, batch_format="pyarrow")
+
+        def l_narrow(b: pa.Table) -> pa.Table:
+            rev = (b["l_extendedprice"].to_numpy()
+                   * (1.0 - b["l_discount"].to_numpy()))
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "qty": pa.array(b["l_quantity"].to_numpy().astype(np.int64),
+                                pa.int64()),
+                "rev4": pa.array(np.floor(rev * 1e4 + 0.5).astype(np.int64),
+                                 pa.int64())})
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                      "l_quantity", "l_extendedprice",
+                                      "l_discount"]) \
+            .map_batches(l_narrow, batch_format="pyarrow")
+        li = broadcast_inner_join(li, pt, on="l_partkey") \
+            .drop_columns(["l_partkey"])
+        li = broadcast_inner_join(li, sup_lut, on="l_suppkey") \
+            .drop_columns(["l_suppkey"])
+
+        def o_year(b: pa.Table) -> pa.Table:
+            year = pd.to_datetime(
+                b["o_orderdate"].cast(pa.int64()).to_numpy(), unit="us").year
+            return pa.table({"l_orderkey": b["o_orderkey"],
+                             "o_year": pa.array(np.asarray(year),
+                                                pa.int64())})
+
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(o_year, batch_format="pyarrow")
+        joined = li.join(orders, on=("l_orderkey",), join_type="inner",
+                         **join_kwargs(fx.table_join_partitions(
+                             sf_dir, "lineitem", "orders")))
+
+        def amount(b: pa.Table) -> pa.Table:
+            amt = (b["rev4"].to_numpy()
+                   - b["retail3"].to_numpy() * b["qty"].to_numpy())
+            return pa.table({"n_name": b["supp_nation"],
+                             "o_year": b["o_year"],
+                             "amount4": pa.array(amt, pa.int64())})
+
+        return joined.map_batches(amount, batch_format="pyarrow") \
+            .groupby(["n_name", "o_year"]) \
+            .aggregate(Sum("amount4", alias_name="profit4"))
+    q["tpch_q9_profit_shape"] = tpch_q9_profit_shape
+
+    def tpch_q11_important_parts(sf_dir):
+        """TPC-H Q11 shape (global scalar subquery + HAVING): part
+        revenue share over lineitem (no PARTSUPP). Per-part exact-int
+        revenue via one hash agg; the global total is a single on-cluster
+        Sum (one scalar to the driver — Q11's `> SUM(..)·fraction`
+        correlate); the HAVING filter runs map-side against that
+        broadcast scalar. Threshold: share > 1/2000 (integer
+        cross-multiplication, no float division)."""
+        from ray.data.aggregate import Sum
+
+        def pre(b: pa.Table) -> pa.Table:
+            rev = (b["l_extendedprice"].to_numpy()
+                   * (1.0 - b["l_discount"].to_numpy()))
+            return pa.table({
+                "p_partkey": b["l_partkey"],
+                "rev4": pa.array(np.floor(rev * 1e4 + 0.5).astype(np.int64),
+                                 pa.int64())})
+
+        v = fx.driver_table(sf_dir, "lineitem",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_discount"]) \
+            .map_batches(pre, batch_format="pyarrow") \
+            .groupby("p_partkey").aggregate(Sum("rev4", alias_name="val4"))
+        agg = v.aggregate(Sum("val4"))
+        tot = int(agg.get("sum(val4)") or 0)
+
+        def having(b: pa.Table) -> pa.Table:
+            keep = b["val4"].to_numpy() * 2000 > tot
+            return b.filter(pa.array(keep))
+
+        return v.map_batches(having, batch_format="pyarrow")
+    q["tpch_q11_important_parts"] = tpch_q11_important_parts
+
+    def tpch_q15_top_supplier(sf_dir):
+        """TPC-H Q15 (top supplier = revenue view + MAX correlate): the
+        view is a per-supplier exact-int hash agg over a 3-month shipdate
+        window (map-side prune); the `= (SELECT max(..))` correlate is a
+        single on-cluster Max scalar, applied as a map-side filter —
+        exact ints make revenue ties and the max equality deterministic.
+        Names attach by streaming supplier past the tiny winner set."""
+        from ray.data.aggregate import Max, Sum
+        from ..util import broadcast_inner_join
+        lo = pd.Timestamp("1996-01-01").value // 1000
+        hi = pd.Timestamp("1996-04-01").value // 1000
+
+        def pre(b: pa.Table) -> pa.Table:
+            ship = pc.cast(b["l_shipdate"], pa.int64()).to_numpy()
+            f = b.filter(pa.array((ship >= lo) & (ship < hi)))
+            rev = (f["l_extendedprice"].to_numpy()
+                   * (1.0 - f["l_discount"].to_numpy()))
+            return pa.table({
+                "s_suppkey": f["l_suppkey"],
+                "rev4": pa.array(np.floor(rev * 1e4 + 0.5).astype(np.int64),
+                                 pa.int64())})
+
+        rev = fx.driver_table(sf_dir, "lineitem",
+                              columns=["l_suppkey", "l_shipdate",
+                                       "l_extendedprice", "l_discount"]) \
+            .map_batches(pre, batch_format="pyarrow") \
+            .groupby("s_suppkey").aggregate(Sum("rev4",
+                                                alias_name="total_rev4"))
+        mx = int(rev.aggregate(Max("total_rev4")).get("max(total_rev4)"))
+
+        def is_max(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["total_rev4"].to_numpy() == mx))
+
+        best = rev.map_batches(is_max, batch_format="pyarrow")
+        sup = fx.driver_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_name"])
+        out = broadcast_inner_join(sup, best, on="s_suppkey").to_pandas()
+        return out[["s_suppkey", "s_name", "total_rev4"]] \
+            .sort_values("s_suppkey", ignore_index=True)
+    q["tpch_q15_top_supplier"] = tpch_q15_top_supplier
+
+    def tpch_q20_excess_share(sf_dir):
+        """TPC-H Q20 shape (nested aggregate-vs-aggregate subquery):
+        adapted — `ps_availqty > ½·SUM(shipped)` becomes "supplier ships
+        > ⅛ of a part's total quantity" (no PARTSUPP). Two chained hash
+        aggs — (part,supp) then part — joined back on the part key
+        (aggregate self-join, not a correlated probe), integer
+        cross-multiplied filter, DISTINCT suppliers, then the ASIA
+        region supplier attrs attach via capped broadcast."""
+        from ray.data.aggregate import Sum
+        from ..util import broadcast_inner_join
+
+        nat, nk_sorted, nname_sorted = _nation_sorted(sf_dir)
+        reg = fx.driver_table(sf_dir, "region").to_pandas()
+        rk = set(reg[reg["r_name"] == "ASIA"]["r_regionkey"])
+        in_region = np.isin(nk_sorted,
+                            nat[nat["n_regionkey"].isin(rk)]
+                            ["n_nationkey"].to_numpy())
+
+        def pre(b: pa.Table) -> pa.Table:
+            q2 = np.floor(b["l_quantity"].to_numpy() * 100 + 0.5)
+            return pa.table({"l_partkey": b["l_partkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "qty2": pa.array(q2.astype(np.int64),
+                                              pa.int64())})
+
+        ps = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_partkey", "l_suppkey",
+                                      "l_quantity"]) \
+            .map_batches(pre, batch_format="pyarrow") \
+            .groupby(["l_partkey", "l_suppkey"]) \
+            .aggregate(Sum("qty2", alias_name="q2"))
+        pt = ps.groupby("l_partkey").aggregate(Sum("q2", alias_name="tot2"))
+        j = ps.join(pt, on=("l_partkey",), join_type="inner",
+                    **join_kwargs(fx.table_join_partitions(sf_dir,
+                                                           "lineitem")))
+
+        def share(b: pa.Table) -> pa.Table:
+            keep = b["q2"].to_numpy() * 8 > b["tot2"].to_numpy()
+            return pa.table({"l_suppkey": b.filter(pa.array(keep))
+                             ["l_suppkey"]})
+
+        supp_keys = j.map_batches(share, batch_format="pyarrow") \
+            .groupby("l_suppkey").count().select_columns(["l_suppkey"])
+
+        def sup_attrs(b: pa.Table) -> pa.Table:
+            pos = np.searchsorted(nk_sorted, b["s_nationkey"].to_numpy())
+            f = b.filter(pa.array(in_region[pos]))
+            pos = np.searchsorted(nk_sorted, f["s_nationkey"].to_numpy())
+            return pa.table({
+                "l_suppkey": f["s_suppkey"], "s_name": f["s_name"],
+                "n_name": pa.array(nname_sorted[pos], pa.string())})
+
+        sup = fx.driver_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_name",
+                                       "s_nationkey"]) \
+            .map_batches(sup_attrs, batch_format="pyarrow")
+        out = broadcast_inner_join(supp_keys, sup, on="l_suppkey") \
+            .to_pandas().rename(columns={"l_suppkey": "s_suppkey"})
+        return out[["s_suppkey", "s_name", "n_name"]]
+    q["tpch_q20_excess_share"] = tpch_q20_excess_share
+
+    def tpch_q21_waiting_suppliers(sf_dir):
+        """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same order):
+        adapted — "late" is l_shipdate > o_orderdate + 75 days (no
+        commit/receipt dates). The double correlate collapses into
+        per-order aggregates: distinct (order,supp,any-late) rows, then
+        ns (suppliers) / nl (late suppliers) per order; qualifying
+        orders (ns≥2 ∧ nl=1) semi-join back the late pairs — so the only
+        wide exchanges are two hash aggs, one lineitem⋈orders join and
+        one capped broadcast semi-join. Exact-int day arithmetic."""
+        from ray.data.aggregate import Count, Max, Sum
+        from ..util import broadcast_inner_join
+        LATE_US = 75 * 86400 * 1_000_000
+
+        def o_narrow(b: pa.Table) -> pa.Table:
+            return pa.table({"l_orderkey": b["o_orderkey"],
+                             "od_us": pc.cast(b["o_orderdate"], pa.int64())})
+
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(o_narrow, batch_format="pyarrow")
+
+        def l_narrow(b: pa.Table) -> pa.Table:
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "ship_us": pc.cast(b["l_shipdate"],
+                                                pa.int64())})
+
+        li = fx.driver_table(sf_dir, "lineitem",
+                             columns=["l_orderkey", "l_suppkey",
+                                      "l_shipdate"]) \
+            .map_batches(l_narrow, batch_format="pyarrow")
+        j = li.join(orders, on=("l_orderkey",), join_type="inner",
+                    **join_kwargs(fx.table_join_partitions(
+                        sf_dir, "lineitem", "orders")))
+
+        def late_flag(b: pa.Table) -> pa.Table:
+            late = (b["ship_us"].to_numpy() - b["od_us"].to_numpy()
+                    > LATE_US)
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "late": pa.array(late.astype(np.int64),
+                                              pa.int64())})
+
+        osl = j.map_batches(late_flag, batch_format="pyarrow") \
+            .groupby(["l_orderkey", "l_suppkey"]) \
+            .aggregate(Max("late", alias_name="slate"))
+        per = osl.groupby("l_orderkey") \
+            .aggregate(Count(alias_name="ns"), Sum("slate", alias_name="nl"))
+
+        def qualifying(b: pa.Table) -> pa.Table:
+            keep = (b["ns"].to_numpy() >= 2) & (b["nl"].to_numpy() == 1)
+            return pa.table({"l_orderkey": b.filter(pa.array(keep))
+                             ["l_orderkey"]})
+
+        qual = per.map_batches(qualifying, batch_format="pyarrow")
+
+        def late_pairs(b: pa.Table) -> pa.Table:
+            f = b.filter(pa.array(b["slate"].to_numpy() == 1))
+            return pa.table({"l_orderkey": f["l_orderkey"],
+                             "l_suppkey": f["l_suppkey"]})
+
+        hit = broadcast_inner_join(
+            osl.map_batches(late_pairs, batch_format="pyarrow"),
+            qual, on="l_orderkey")
+        cnt = hit.groupby("l_suppkey").count() \
+            .rename_columns({"count()": "numwait"})
+        top = distributed_topk(cnt, 10, [("numwait", "descending"),
+                                         ("l_suppkey", "ascending")])
+        import ray.data as rd
+        top_ds = rd.from_pandas(
+            top.rename(columns={"l_suppkey": "s_suppkey"}))
+        sup = fx.driver_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_name"])
+        out = broadcast_inner_join(sup, top_ds, on="s_suppkey").to_pandas()
+        return out[["s_suppkey", "s_name", "numwait"]] \
+            .sort_values(["numwait", "s_suppkey"],
+                         ascending=[False, True], ignore_index=True)
+    q["tpch_q21_waiting_suppliers"] = tpch_q21_waiting_suppliers
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -5489,6 +5838,102 @@ def oracle_sql():
                    ROUND(list_sum(list_transform(ring, p -> p.lat))
                          / len(ring), 9) AS centroid_lat
             FROM read_parquet('{_fxp('polygons')}')""",
+        "tpch_q2_min_cost_supplier": """
+            WITH pr AS (SELECT p_partkey FROM part
+                        WHERE p_type = 'STANDARD' AND p_size <= 10),
+            pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            sup AS (SELECT s_suppkey, s_name, n_name,
+                           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                               AS bal2
+                    FROM supplier
+                    JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+                    WHERE r_name = 'ASIA'),
+            c AS (SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+                         n_name, bal2,
+                         row_number() OVER (PARTITION BY l_partkey
+                                            ORDER BY bal2, s_suppkey) AS rn
+                  FROM pairs
+                  JOIN pr ON p_partkey = l_partkey
+                  JOIN sup ON s_suppkey = l_suppkey)
+            SELECT p_partkey, s_suppkey, s_name, n_name, bal2
+            FROM c WHERE rn = 1
+            ORDER BY bal2 DESC, p_partkey LIMIT 100""",
+        "tpch_q9_profit_shape": """
+            SELECT n.n_name, CAST(date_part('year', o.o_orderdate)
+                                  AS BIGINT) AS o_year,
+                   CAST(SUM(
+                       CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 1e4 + 0.5) AS BIGINT)
+                       - CAST(floor(p.p_retailprice * 1e3 + 0.5) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS profit4
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_name LIKE '%red%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2""",
+        "tpch_q11_important_parts": """
+            WITH v AS (SELECT l_partkey AS p_partkey,
+                              CAST(SUM(CAST(floor(
+                                  l_extendedprice * (1.0 - l_discount)
+                                  * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+                                  AS val4
+                       FROM lineitem GROUP BY 1),
+            g AS (SELECT CAST(SUM(val4) AS BIGINT) AS tot FROM v)
+            SELECT p_partkey, val4 FROM v, g WHERE val4 * 2000 > tot""",
+        "tpch_q15_top_supplier": """
+            WITH rev AS (SELECT l_suppkey AS s_suppkey,
+                                CAST(SUM(CAST(floor(
+                                    l_extendedprice * (1.0 - l_discount)
+                                    * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+                                    AS total_rev4
+                         FROM lineitem
+                         WHERE l_shipdate >= '1996-01-01'
+                           AND l_shipdate < '1996-04-01'
+                         GROUP BY 1)
+            SELECT s_suppkey, s_name, total_rev4
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE total_rev4 = (SELECT MAX(total_rev4) FROM rev)
+            ORDER BY s_suppkey""",
+        "tpch_q20_excess_share": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
+                                             AS BIGINT)) AS BIGINT) AS q2
+                        FROM lineitem GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, CAST(SUM(q2) AS BIGINT) AS tot2
+                   FROM ps GROUP BY 1),
+            keys AS (SELECT DISTINCT l_suppkey
+                     FROM ps JOIN pt USING (l_partkey)
+                     WHERE ps.q2 * 8 > pt.tot2)
+            SELECT s_suppkey, s_name, n_name
+            FROM keys
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'""",
+        "tpch_q21_waiting_suppliers": """
+            WITH osl AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN epoch_us(l_shipdate)
+                                     - epoch_us(o_orderdate)
+                                     > 75::BIGINT * 86400000000
+                                THEN 1 ELSE 0 END) AS slate
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+            per AS (SELECT l_orderkey, COUNT(*) AS ns,
+                           CAST(SUM(slate) AS BIGINT) AS nl
+                    FROM osl GROUP BY 1)
+            SELECT s_suppkey, s_name, numwait FROM (
+                SELECT osl.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+                FROM osl
+                JOIN per USING (l_orderkey)
+                WHERE osl.slate = 1 AND per.ns >= 2 AND per.nl = 1
+                GROUP BY 1)
+            JOIN supplier USING (s_suppkey)
+            ORDER BY numwait DESC, s_suppkey LIMIT 10""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
