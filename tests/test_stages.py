@@ -1474,3 +1474,54 @@ def test_pq_train_encode_deterministic_and_adc_recall(ray_session):
         assert len(approx) == 10
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_bfs_hops_regimes_match_networkx_style_reference(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.graph import bfs_hops
+
+    # random sparse digraph + a reachability-limited reference BFS
+    rng = np.random.default_rng(7)
+    n, m = 80, 260
+    e = rng.integers(0, n, (m, 2))
+    edges_df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+    seeds_df = pd.DataFrame({"node": [3, 41]})
+
+    adj = {}
+    for s, d in e:
+        adj.setdefault(int(s), set()).add(int(d))
+    want, frontier = {3: 0, 41: 0}, {3, 41}
+    r = 0
+    while frontier:
+        r += 1
+        frontier = {d for f in frontier for d in adj.get(f, ())
+                    if d not in want}
+        for d in frontier:
+            want[d] = r
+
+    def run(**kw):
+        out = bfs_hops(rd.from_pandas(edges_df).repartition(5),
+                       rd.from_pandas(seeds_df), **kw).take_all()
+        return {int(row["node"]): int(row["hops"]) for row in out}
+
+    got_local = run()                       # single-task regime
+    # distributed frontier regime (few buckets: 4-CPU test fixture)
+    got_dist = run(single_task_cap=0, n_buckets=8)
+    assert got_local == want
+    assert got_dist == want
+
+
+def test_bfs_hops_string_ids_and_unreachable(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.graph import bfs_hops
+
+    edges_df = pd.DataFrame({"src": ["a", "b", "x"],
+                             "dst": ["b", "c", "y"]})
+    seeds_df = pd.DataFrame({"node": ["a"]})
+    out = bfs_hops(rd.from_pandas(edges_df).repartition(2),
+                   rd.from_pandas(seeds_df)).take_all()
+    got = {row["node"]: int(row["hops"]) for row in out}
+    # x/y unreachable -> no row; hops exact along the chain
+    assert got == {"a": 0, "b": 1, "c": 2}

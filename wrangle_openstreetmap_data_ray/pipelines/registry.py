@@ -38,6 +38,8 @@ TILE_RES = 10        # tile_assignments resolution
 RASTER_RES = 12      # raster_vectorize_regions tile resolution (16px grid)
 KNN_K = 3
 RADIUS_M = 250.0     # radius_join_pairs query radius (meters)
+DBSCAN_RES = 14      # grid_dbscan_clusters / cell_hop_distance grid res
+DBSCAN_MINPTS = 5    # core-cell threshold
 # stratified hash-sampling contract: permille keep-rates per event type
 # (downsample the frequent, keep the rare) + the shared hash seed; the
 # SQL twin embeds the SAME integers, so both sides are exact
@@ -4276,6 +4278,153 @@ def queries():
                          ascending=[False, True], ignore_index=True)
     q["tpch_q21_waiting_suppliers"] = tpch_q21_waiting_suppliers
 
+    # ------------- spatial clustering + flood-fill (geospatial tier)
+
+    def _cell_counts(sf_dir, res: int):
+        """geo points → (key, cnt) per occupied grid cell at ``res``
+        (key = qx·2^res + qy; map-side np.unique combiner, one hash agg)."""
+        from ray.data.aggregate import Sum
+        n = np.int64(1) << np.int64(res)
+
+        def quant(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 res)
+            uniq, cnt = np.unique(qx * n + qy, return_counts=True)
+            return pa.table({"key": pa.array(uniq, pa.int64()),
+                             "cnt": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+
+        return fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"]) \
+            .map_batches(quant, batch_format="pyarrow") \
+            .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def _neighbor_edges(cells, res: int):
+        """Directed 8-adjacency edges among the given cells: each cell
+        explodes to its ≤8 in-range neighbor keys (map-side), then one
+        distributed semi-join keeps only neighbors that exist — edge
+        rows are bounded by 8·cells, never cells²."""
+        from ..util import anti_semi_join
+        n = np.int64(1) << np.int64(res)
+
+        def nbrs(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            qx, qy = key // n, key % n
+            srcs, dsts = [], []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    ax, ay = qx + dx, qy + dy
+                    m = (ax >= 0) & (ax < n) & (ay >= 0) & (ay < n)
+                    srcs.append(key[m])
+                    dsts.append(ax[m] * n + ay[m])
+            return pa.table({
+                "src": pa.array(np.concatenate(srcs) if srcs
+                                else np.empty(0, np.int64), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts) if dsts
+                                else np.empty(0, np.int64), pa.int64())})
+
+        cand = cells.map_batches(nbrs, batch_format="pyarrow")
+        return anti_semi_join(cand, cells.select_columns(["key"]),
+                              on="dst", keys_on="key", semi=True)
+
+    def grid_dbscan_clusters(sf_dir):
+        """Grid DBSCAN (density-based spatial clustering, the GDBSCAN /
+        raster variant): cells with ≥ minpts points are core; clusters
+        are 8-connected components of core cells. All exchanges are
+        cell-bounded: map-side count combiner, neighbor explode +
+        semi-join for edges, and the production
+        ``connected_components_pairs`` (union-find ≤ cap, min-label
+        beyond) for labels — points never cross a shuffle. Output is one
+        row per cluster (id = min cell key) with exact-int extent and
+        population; the twin recomputes labels with a recursive-CTE
+        transitive closure over the same quantization."""
+        from ray.data.aggregate import Count, Max, Min, Sum
+        from ..stages import dedup as dd
+        from ..util import broadcast_inner_join
+        res, minpts = DBSCAN_RES, DBSCAN_MINPTS
+        n = np.int64(1) << np.int64(res)
+
+        cells = _cell_counts(sf_dir, res)
+
+        def is_core(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["cnt"].to_numpy() >= minpts))
+
+        core = cells.map_batches(is_core, batch_format="pyarrow") \
+            .materialize()
+
+        def to_pairs(b: pa.Table) -> pa.Table:
+            # semi-join output blocks are pandas; re-type via pyarrow
+            # batch_format (rename_columns/Project needs arrow blocks)
+            return pa.table({"id_a": b["src"], "id_b": b["dst"]})
+
+        edges = _neighbor_edges(core, res) \
+            .map_batches(to_pairs, batch_format="pyarrow")
+
+        def self_loops(b: pa.Table) -> pa.Table:
+            return pa.table({"id_a": b["key"], "id_b": b["key"]})
+
+        # self-loops make isolated core cells CC-incident → every core
+        # cell gets a label
+        labels = dd.connected_components_pairs(
+            edges.union(core.map_batches(self_loops,
+                                         batch_format="pyarrow")))
+        lab = labels.rename_columns({"id": "key", "label": "cluster_id"})
+        joined = broadcast_inner_join(core, lab, on="key")
+
+        def extent(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            return pa.table({"cluster_id": b["cluster_id"],
+                             "cnt": b["cnt"],
+                             "qx": pa.array(key // n, pa.int64()),
+                             "qy": pa.array(key % n, pa.int64())})
+
+        return joined.map_batches(extent, batch_format="pyarrow") \
+            .groupby("cluster_id") \
+            .aggregate(Count(alias_name="n_cells"),
+                       Sum("cnt", alias_name="n_points"),
+                       Min("qx", alias_name="qx_min"),
+                       Max("qx", alias_name="qx_max"),
+                       Min("qy", alias_name="qy_min"),
+                       Max("qy", alias_name="qy_max"))
+    q["grid_dbscan_clusters"] = grid_dbscan_clusters
+
+    def cell_hop_distance(sf_dir):
+        """Grid flood-fill (cost-distance): BFS hop count from the
+        densest occupied cell (ties → min key) to every reachable
+        occupied cell through 8-adjacency — the raster cost-distance /
+        service-area primitive. Seed via distributed top-1; frontier
+        expansion in ``graph.bfs_hops`` (per-round exchanges bounded by
+        the frontier's out-edges); unreachable cells emit no row, which
+        the twin's bounded recursive CTE reproduces exactly."""
+        import ray.data as rd
+        from ..stages import graph
+        from ..util import broadcast_inner_join
+        res = DBSCAN_RES
+        n = np.int64(1) << np.int64(res)
+
+        cells = _cell_counts(sf_dir, res).materialize()
+        seed = distributed_topk(cells, 1, [("cnt", "descending"),
+                                           ("key", "ascending")])
+        seeds = rd.from_pandas(seed[["key"]].rename(
+            columns={"key": "node"}))
+        edges = _neighbor_edges(cells, res).map_batches(
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+            batch_format="pyarrow")
+        hops = graph.bfs_hops(edges, seeds, node="node").map_batches(
+            lambda b: pa.table({"key": b["node"], "hops": b["hops"]}),
+            batch_format="pyarrow")
+        out = broadcast_inner_join(cells, hops, on="key")
+
+        def final(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            return pa.table({"qx": pa.array(key // n, pa.int64()),
+                             "qy": pa.array(key % n, pa.int64()),
+                             "cnt": b["cnt"], "hops": b["hops"]})
+
+        return out.map_batches(final, batch_format="pyarrow")
+    q["cell_hop_distance"] = cell_hop_distance
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -4304,7 +4453,7 @@ _DRIVER_WINDOW = [
     "osm_top_contributors", "per_cell_counts",
     "exact_dedup_images",
     "image_phash_verify", "near_dedup_docs_check",
-    "doc_fingerprint_cluster_sizes", "resize_images_thumb",
+    "resize_images_thumb",
     "embedding_dup_pairs", "embedding_topk", "embedding_topk_ivf_fullprobe",
     "audio_features", "video_frame_index", "lancelike_partition_counts",
     "sessionize_events",
@@ -4313,7 +4462,7 @@ _DRIVER_WINDOW = [
     # round-3 additions — each a distinct operator family, all paired
     "pagerank_order_part", "kmeans_embeddings", "tfidf_top_terms",
     "ssjoin_prefix_pairs", "lancelike_merge_upsert_check",
-    "stratified_sample_events", "bigram_pmi_top",
+    "stratified_sample_events",
     # extended-session additions — again one row per NEW operator family
     # (demoted to make room, all still paired in the full sweep:
     # tile_assignments, shape_elements, osm_distinct_users, hot_cells,
@@ -4323,9 +4472,11 @@ _DRIVER_WINDOW = [
     "doc_repetition_stats", "tpch_q16_shape",
     # round-4 additions — new operator families, all oracle-paired
     # (demoted to keep the 50-window: funnel_conversion, zonal_stats,
-    # way_polyline_length — still paired in the full sweep)
+    # way_polyline_length, doc_fingerprint_cluster_sizes, bigram_pmi_top
+    # — still paired in the full sweep)
     "hll_group_registers_check", "nearest_boundary_distance",
     "event_value_histogram_quantiles",
+    "grid_dbscan_clusters", "cell_hop_distance",
 ]
 
 
@@ -5914,6 +6065,52 @@ def oracle_sql():
             JOIN nation ON n_nationkey = s_nationkey
             JOIN region ON r_regionkey = n_regionkey
             WHERE r_name = 'ASIA'""",
+        "grid_dbscan_clusters": f"""
+            WITH RECURSIVE c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                  FROM c WHERE cnt >= {DBSCAN_MINPTS}),
+            e0 AS (SELECT a.key AS u, b.key AS v FROM k a JOIN k b
+                   ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                  AND a.key < b.key),
+            e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (SELECT k.key,
+                           LEAST(k.key, COALESCE(MIN(r.v), k.key))
+                               AS cluster_id
+                    FROM k LEFT JOIN reach r ON r.u = k.key
+                    GROUP BY k.key)
+            SELECT cluster_id, COUNT(*) AS n_cells,
+                   CAST(SUM(cnt) AS BIGINT) AS n_points,
+                   MIN(qx) AS qx_min, MAX(qx) AS qx_max,
+                   MIN(qy) AS qy_min, MAX(qy) AS qy_max
+            FROM k JOIN lab USING (key) GROUP BY 1""",
+        "cell_hop_distance": f"""
+            WITH RECURSIVE c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                  FROM c),
+            seed AS (SELECT key FROM k
+                     ORDER BY cnt DESC, key LIMIT 1),
+            e AS (SELECT a.key AS u, b.key AS v FROM k a JOIN k b
+                  ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                 AND a.key <> b.key),
+            r(key, d) AS (
+                SELECT key, 0 FROM seed
+                UNION
+                SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.key
+                WHERE r.d < 127),
+            m AS (SELECT key, MIN(d) AS hops FROM r GROUP BY 1)
+            SELECT qx, qy, cnt, hops FROM k JOIN m USING (key)""",
         "tpch_q21_waiting_suppliers": """
             WITH osl AS (
                 SELECT l_orderkey, l_suppkey,

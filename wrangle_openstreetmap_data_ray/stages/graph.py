@@ -264,3 +264,133 @@ def triangle_count(edges, a: str = "a", b: str = "b",
                                  n_buckets=n_buckets)
     agg = parts.aggregate(Sum("n")) or {}
     return int(agg.get("sum(n)") or 0)
+
+
+def bfs_hops(edges, seeds, node: str = "node", src: str = "src",
+             dst: str = "dst", max_rounds: int = 128,
+             broadcast_cap: int = 2_000_000,
+             single_task_cap: int = 5_000_000, n_buckets: int = 512):
+    """Multi-source BFS hop distance over a directed edge Dataset →
+    ``(node, hops)`` for every node reachable from ``seeds`` (hops = 0
+    at a seed; unreachable nodes emit no row — the SQL-twin recursive
+    CTE matches by construction).
+
+    Two regimes (the ``connected_components_pairs`` rule):
+    - edges ≤ ``single_task_cap``: consolidate edges ∪ seeds to one
+      block and run a vectorized (factorize + CSR offsets + masked
+      frontier) BFS inside ONE Ray task. Grid/cell graphs are already
+      pre-aggregated — bounded by distinct cells, not points — so this
+      is the common case and avoids paying one full distributed round
+      per hop of eccentricity (a maze-like grid has diameter ~√cells).
+    - beyond the cap: textbook distributed frontier expansion — each
+      round semi-joins the static edge table against the (tiny)
+      frontier via the capped broadcast (hash-join fallback past
+      ``broadcast_cap``), drops already-visited targets with the
+      distributed anti-join, and dedups the new frontier with one hash
+      agg — so a round's exchanges are bounded by the frontier's
+      out-edges, never the graph. Rounds = seed-set eccentricity;
+      exceeding ``max_rounds`` raises instead of returning
+      silently-short distances (the connected-components convergence
+      rule)."""
+    from ..util import anti_semi_join, broadcast_inner_join, cluster_cpus
+
+    edges = edges.materialize()
+    if edges.count() <= single_task_cap:
+        # tag seeds as self-edges with is_seed=True so ONE dataset
+        # carries both through the repartition(1)
+        def seed_rows(b: pa.Table) -> pa.Table:
+            return pa.table({src: b[node], dst: b[node],
+                             "is_seed": pa.array(
+                                 np.ones(b.num_rows, bool))})
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            return pa.table({src: b[src], dst: b[dst],
+                             "is_seed": pa.array(
+                                 np.zeros(b.num_rows, bool))})
+
+        both = edges.map_batches(edge_rows, batch_format="pyarrow") \
+            .union(seeds.map_batches(seed_rows, batch_format="pyarrow"))
+
+        def local_bfs(b: pa.Table) -> pa.Table:
+            is_seed = b["is_seed"].to_numpy(zero_copy_only=False)
+            s = b[src].to_numpy(zero_copy_only=False)
+            d = b[dst].to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(np.concatenate([s, d]))
+            nn = len(uniq)
+            sc, dc = codes[:len(s)], codes[len(s):]
+            seed_codes = np.unique(sc[is_seed])
+            em = ~is_seed
+            es, ed = sc[em], dc[em]
+            order = np.argsort(es, kind="stable")
+            es, ed = es[order], ed[order]
+            starts = np.searchsorted(es, np.arange(nn))
+            ends = np.searchsorted(es, np.arange(nn) + 1)
+            hops = np.full(nn, -1, np.int64)
+            hops[seed_codes] = 0
+            frontier = seed_codes
+            r = 0
+            while len(frontier):
+                r += 1
+                if r > max_rounds:
+                    raise RuntimeError(
+                        f"bfs_hops: frontier still non-empty after "
+                        f"max_rounds={max_rounds}; raise max_rounds")
+                # gather all out-neighbors of the frontier (vectorized
+                # ragged-span gather: repeat each span start, add the
+                # within-span offset)
+                cnt = ends[frontier] - starts[frontier]
+                total = int(cnt.sum())
+                if total:
+                    within = np.arange(total) - np.repeat(
+                        np.cumsum(cnt) - cnt, cnt)
+                    cand = np.unique(
+                        ed[np.repeat(starts[frontier], cnt) + within])
+                else:
+                    cand = np.empty(0, np.int64)
+                frontier = cand[hops[cand] < 0]
+                hops[frontier] = r
+            m = hops >= 0
+            if m.any():
+                out_nodes = pa.array(uniq[m])
+            else:   # empty object arrays infer Arrow null — type it
+                from ..util import typed_empty_series
+                out_nodes = pa.Array.from_pandas(typed_empty_series(uniq))
+            return pa.table({node: out_nodes,
+                             "hops": pa.array(hops[m], pa.int64())})
+
+        return both.repartition(1).map_batches(
+            local_bfs, batch_format="pyarrow", batch_size=None)
+
+    def tag(dist):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                node: b[node],
+                "hops": pa.array(np.full(b.num_rows, dist, np.int64))})
+        return fn
+
+    # round-state block counts MUST be pinned: labels is a union chain
+    # and without the repartition each round's block count (and with it
+    # per-round task-launch cost) compounds — measured 1 s → 64 s/round
+    # by round 7 on an 80-node toy graph; flat 1.3 s/round pinned
+    nparts = max(2, cluster_cpus() // 2)
+    frontier = seeds.groupby(node).count().select_columns([node]) \
+        .map_batches(tag(0), batch_format="pyarrow") \
+        .repartition(nparts).materialize()
+    labels = frontier
+    for r in range(1, max_rounds + 1):
+        f_keys = frontier.map_batches(
+            lambda b: pa.table({src: b[node]}), batch_format="pyarrow")
+        cand = broadcast_inner_join(edges, f_keys, on=src,
+                                    max_rows=broadcast_cap)
+        nxt = cand.map_batches(lambda b: pa.table({node: b[dst]}),
+                               batch_format="pyarrow")
+        nxt = anti_semi_join(nxt, labels, on=node, n_buckets=n_buckets)
+        frontier = nxt.groupby(node).count().select_columns([node]) \
+            .map_batches(tag(r), batch_format="pyarrow") \
+            .repartition(nparts).materialize()
+        if frontier.count() == 0:
+            return labels
+        labels = labels.union(frontier).repartition(nparts).materialize()
+    raise RuntimeError(
+        f"bfs_hops: frontier still non-empty after max_rounds="
+        f"{max_rounds} (seed eccentricity exceeds it); raise max_rounds")

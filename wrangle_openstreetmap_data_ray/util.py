@@ -233,9 +233,19 @@ def _broadcast_join(ds, small_ds, on: str, inner: bool, max_rows: int,
                        join_type="inner" if inner else "left_outer",
                        **join_kwargs(fallback_partitions))
     # groupby/sum outputs can contain zero-column empty blocks whose
-    # schema differs from the data blocks — drop them before concat
-    tabs = [t for t in ray.get(small_ds.to_arrow_refs())
-            if t.num_rows and t.num_columns]
+    # schema differs from the data blocks — drop them before concat.
+    # to_arrow_refs() hands back PANDAS blocks unconverted when a block
+    # is empty (Ray skips empty blocks in map_batches, so an upstream
+    # pandas stage's zero-row frames survive a pyarrow re-type) — seen
+    # live via anti_semi_join-fed frontiers; convert or drop them here.
+    tabs = []
+    for t in ray.get(small_ds.to_arrow_refs()):
+        if not isinstance(t, pa.Table):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows and t.num_columns:
+            tabs.append(t)
     if not tabs:   # empty small side: keep schema, match zero rows
         sch = small_ds.schema()
         tabs = [pa.table({n: pa.array([], t)
