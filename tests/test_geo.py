@@ -134,3 +134,40 @@ def test_compact_uncompact_roundtrip():
     # partial quartet unchanged
     partial = kids[:3]
     assert np.array_equal(geo.compact_cells(partial), np.sort(partial))
+
+
+def test_convex_hull_diameter_matches_bruteforce():
+    from wrangle_openstreetmap_data_ray.functions import geo
+    rng = np.random.default_rng(17)
+    for _ in range(300):
+        pts = rng.integers(-100, 100, (int(rng.integers(1, 60)), 2))
+        dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+        dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+        want = int((dx * dx + dy * dy).max())
+        assert geo.hull_diameter2(pts) == want
+    # degenerate shapes
+    assert geo.hull_diameter2(np.array([[7, -3]])) == 0
+    assert geo.hull_diameter2(np.array([[0, 0], [0, 0], [0, 0]])) == 0
+    assert geo.hull_diameter2(np.array([[0, 0], [1, 1], [2, 2], [5, 5]])) == 50
+    # hull is a subset of the input and contains the extremes
+    pts = rng.integers(-9, 9, (30, 2))
+    h = geo.convex_hull_int(pts)
+    as_set = {tuple(p) for p in np.unique(pts, axis=0)}
+    assert all(tuple(p) in as_set for p in h)
+
+
+def test_hex_axial_roundtrip_and_adjacency():
+    from wrangle_openstreetmap_data_ray.functions import geo
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(103.3, 104.4, 5000)
+    lat = rng.uniform(0.95, 1.67, 5000)
+    s = 0.03
+    q, r = geo.hex_axial(lon, lat, s)
+    # every point lies within one hex circumradius of its bin center
+    cx = s * (3.0 / 2.0) * q
+    cy = s * (np.sqrt(3.0) / 2.0 * q + np.sqrt(3.0) * r)
+    d = np.hypot(lon - cx, lat - cy)
+    assert (d <= s * 1.0000001).all()
+    # binning is deterministic and dense points share bins
+    q2, r2 = geo.hex_axial(lon, lat, s)
+    assert np.array_equal(q, q2) and np.array_equal(r, r2)

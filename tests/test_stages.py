@@ -1525,3 +1525,42 @@ def test_bfs_hops_string_ids_and_unreachable(ray_session):
     got = {row["node"]: int(row["hops"]) for row in out}
     # x/y unreachable -> no row; hops exact along the chain
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_sssp_costs_regimes_match_dijkstra(ray_session):
+    import heapq
+
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.graph import sssp_costs
+
+    rng = np.random.default_rng(11)
+    n, m = 60, 220
+    e = rng.integers(0, n, (m, 2))
+    wgt = rng.integers(1, 4, m)
+    edges_df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1], "w": wgt})
+    seeds_df = pd.DataFrame({"node": [5]})
+    budget = 9
+
+    # reference Dijkstra, budget-pruned
+    adj = {}
+    for (s, d), ww in zip(e, wgt):
+        adj.setdefault(int(s), []).append((int(d), int(ww)))
+    want, pq_ = {}, [(0, 5)]
+    while pq_:
+        dd, u = heapq.heappop(pq_)
+        if u in want or dd > budget:
+            continue
+        want[u] = dd
+        for v, ww in adj.get(u, ()):
+            if v not in want and dd + ww <= budget:
+                heapq.heappush(pq_, (dd + ww, v))
+
+    def run(**kw):
+        out = sssp_costs(rd.from_pandas(edges_df).repartition(5),
+                         rd.from_pandas(seeds_df), budget=budget,
+                         **kw).take_all()
+        return {int(r["node"]): int(r["cost"]) for r in out}
+
+    assert run() == want                                    # single-task
+    assert run(single_task_cap=0, n_buckets=8) == want      # distributed

@@ -357,3 +357,77 @@ def ring_edges(polygons) -> tuple[np.ndarray, np.ndarray, np.ndarray,
         x2.append(np.roll(rx, -1)); y2.append(np.roll(ry, -1))
     return (np.concatenate(x1), np.concatenate(y1),
             np.concatenate(x2), np.concatenate(y2), pid)
+
+
+def convex_hull_int(pts: np.ndarray) -> np.ndarray:
+    """Convex hull of 2-D INTEGER points (Andrew's monotone chain,
+    exact int64 cross products — no float orientation ties). Input
+    (n, 2) int array (duplicates fine); returns the hull vertices in
+    counter-clockwise order starting from the lexicographic minimum.
+    Collinear interior points are dropped; degenerate inputs (n ≤ 2, or
+    all points collinear) return the distinct extreme points."""
+    pts = np.unique(np.asarray(pts, dtype=np.int64), axis=0)  # lex sort
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(order):
+        h = []
+        for p in order:
+            while len(h) >= 2:
+                ox, oy = h[-2]
+                ax, ay = h[-1]
+                # cross((a-o), (p-o)) <= 0 → clockwise or collinear: pop
+                if (int(ax - ox) * int(p[1] - oy)
+                        - int(ay - oy) * int(p[0] - ox)) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append((int(p[0]), int(p[1])))
+        return h[:-1]   # last point = first of the other half
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower + upper
+    if not hull:        # all collinear: keep the two extremes
+        return pts[[0, -1]]
+    return np.array(hull, dtype=np.int64)
+
+
+def hull_diameter2(pts: np.ndarray) -> int:
+    """Exact squared Euclidean diameter of an integer point set: hull
+    prune (the diameter's endpoints are hull vertices) then the exact
+    max over hull-vertex pairs — O(n log n + h²) instead of O(n²)."""
+    h = convex_hull_int(pts)
+    dx = h[:, 0][:, None] - h[:, 0][None, :]
+    dy = h[:, 1][:, None] - h[:, 1][None, :]
+    return int((dx * dx + dy * dy).max())
+
+
+def hex_axial(lon: np.ndarray, lat: np.ndarray,
+              size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Flat-top hexagonal bin assignment (the H3-style hex grid on a
+    plate-carrée plane): axial coordinates (q, r) of the hex of width
+    ``size`` degrees containing each point, via fractional axial coords
+    + cube rounding (Red Blob Games' canonical algorithm).
+
+    Every float expression below is mirrored token-for-token in the SQL
+    twin (rnd(v) = floor(v + 0.5), never round() — numpy rounds half to
+    even, DuckDB half away from zero); identical IEEE trees → identical
+    bins, so hexbin counts are value-pinned."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = ((2.0 / 3.0) * lon) / size
+    z = ((np.sqrt(3.0) / 3.0) * lat - (1.0 / 3.0) * lon) / size
+    y = -x - z
+    rx = np.floor(x + 0.5)
+    ry = np.floor(y + 0.5)
+    rz = np.floor(z + 0.5)
+    dx = np.abs(rx - x)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    q = np.where(fix_x, -ry - rz, rx).astype(np.int64)
+    r = np.where(fix_z, -rx - ry, rz).astype(np.int64)
+    return q, r

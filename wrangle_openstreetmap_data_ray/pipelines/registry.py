@@ -40,6 +40,8 @@ KNN_K = 3
 RADIUS_M = 250.0     # radius_join_pairs query radius (meters)
 DBSCAN_RES = 14      # grid_dbscan_clusters / cell_hop_distance grid res
 DBSCAN_MINPTS = 5    # core-cell threshold
+ISO_BUDGET = 24      # cell_cost_isochrone max path cost (1 dense/2 sparse)
+HEX_SIZE = 0.03      # hexbin_counts flat-top hex width (degrees)
 # stratified hash-sampling contract: permille keep-rates per event type
 # (downsample the frequent, keep the rare) + the shared hash seed; the
 # SQL twin embeds the SAME integers, so both sides are exact
@@ -4328,22 +4330,17 @@ def queries():
         return anti_semi_join(cand, cells.select_columns(["key"]),
                               on="dst", keys_on="key", semi=True)
 
-    def grid_dbscan_clusters(sf_dir):
-        """Grid DBSCAN (density-based spatial clustering, the GDBSCAN /
-        raster variant): cells with ≥ minpts points are core; clusters
-        are 8-connected components of core cells. All exchanges are
+    def _dbscan_core_labeled(sf_dir):
+        """Shared DBSCAN label stage → Dataset (key, cnt, cluster_id):
+        cells with ≥ minpts points are core; cluster_id is the min cell
+        key of the cell's 8-connected component. All exchanges are
         cell-bounded: map-side count combiner, neighbor explode +
         semi-join for edges, and the production
         ``connected_components_pairs`` (union-find ≤ cap, min-label
-        beyond) for labels — points never cross a shuffle. Output is one
-        row per cluster (id = min cell key) with exact-int extent and
-        population; the twin recomputes labels with a recursive-CTE
-        transitive closure over the same quantization."""
-        from ray.data.aggregate import Count, Max, Min, Sum
+        beyond) for labels — points never cross a shuffle."""
         from ..stages import dedup as dd
         from ..util import broadcast_inner_join
         res, minpts = DBSCAN_RES, DBSCAN_MINPTS
-        n = np.int64(1) << np.int64(res)
 
         cells = _cell_counts(sf_dir, res)
 
@@ -4370,7 +4367,18 @@ def queries():
             edges.union(core.map_batches(self_loops,
                                          batch_format="pyarrow")))
         lab = labels.rename_columns({"id": "key", "label": "cluster_id"})
-        joined = broadcast_inner_join(core, lab, on="key")
+        return broadcast_inner_join(core, lab, on="key")
+
+    def grid_dbscan_clusters(sf_dir):
+        """Grid DBSCAN (density-based spatial clustering, the GDBSCAN /
+        raster variant) — one row per cluster (id = min cell key) with
+        exact-int extent and population; the twin recomputes labels
+        with a recursive-CTE transitive closure over the same
+        quantization. Label stage shared in ``_dbscan_core_labeled``."""
+        from ray.data.aggregate import Count, Max, Min, Sum
+        n = np.int64(1) << np.int64(DBSCAN_RES)
+
+        joined = _dbscan_core_labeled(sf_dir)
 
         def extent(b: pa.Table) -> pa.Table:
             key = b["key"].to_numpy()
@@ -4424,6 +4432,130 @@ def queries():
 
         return out.map_batches(final, batch_format="pyarrow")
     q["cell_hop_distance"] = cell_hop_distance
+
+    def cell_cost_isochrone(sf_dir):
+        """Weighted cost-distance (isochrone / service-area): min path
+        cost from the densest cell to every occupied cell reachable
+        within ISO_BUDGET, where entering a dense (≥ minpts) cell costs
+        1 and a sparse cell costs 2 — the raster travel-cost primitive.
+        Engine: ``graph.sssp_costs`` (vectorized one-task Bellman-Ford
+        under the cap, frontier relaxation beyond; budget-pruned so
+        rounds ≤ budget). Twin: bounded recursive-CTE Bellman-Ford over
+        the same adjacency + MIN fold."""
+        import ray.data as rd
+        from ..stages import graph
+        from ..util import broadcast_inner_join
+        res = DBSCAN_RES
+        n = np.int64(1) << np.int64(res)
+
+        cells = _cell_counts(sf_dir, res).materialize()
+        seed = distributed_topk(cells, 1, [("cnt", "descending"),
+                                           ("key", "ascending")])
+        seeds = rd.from_pandas(seed[["key"]].rename(
+            columns={"key": "node"}))
+        adj = _neighbor_edges(cells, res).map_batches(
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+            batch_format="pyarrow")
+
+        # attach the ENTER cost of dst (1 dense / 2 sparse)
+        def cost_rows(b: pa.Table) -> pa.Table:
+            wv = np.where(b["cnt"].to_numpy() >= DBSCAN_MINPTS, 1, 2)
+            return pa.table({"key": b["key"],
+                             "w": pa.array(wv.astype(np.int64),
+                                           pa.int64())})
+
+        costs = cells.map_batches(cost_rows, batch_format="pyarrow")
+        edges_w = broadcast_inner_join(
+            adj.rename_columns({"dst": "key"}), costs, on="key") \
+            .map_batches(lambda b: pa.table(
+                {"src": b["src"], "dst": b["key"], "w": b["w"]}),
+                batch_format="pyarrow")
+
+        dist = graph.sssp_costs(edges_w, seeds, node="node",
+                                budget=ISO_BUDGET).map_batches(
+            lambda b: pa.table({"key": b["node"], "cost": b["cost"]}),
+            batch_format="pyarrow")
+        out = broadcast_inner_join(cells, dist, on="key")
+
+        def final(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            return pa.table({"qx": pa.array(key // n, pa.int64()),
+                             "qy": pa.array(key % n, pa.int64()),
+                             "cnt": b["cnt"], "cost": b["cost"]})
+
+        return out.map_batches(final, batch_format="pyarrow")
+    q["cell_cost_isochrone"] = cell_cost_isochrone
+
+    def dbscan_cluster_diameter(sf_dir):
+        """Exact squared diameter (max pairwise cell distance) per
+        DBSCAN cluster: convex-hull prune + hull-pair max inside one
+        bucketed pass (diameter endpoints are hull vertices, so
+        O(n log n + h²) per cluster, never n² over cells) — the twin
+        brute-forces MAX over the within-cluster self-join, pinning the
+        hull path against the quadratic definition. Integer coords →
+        exact cross products, no float orientation ties."""
+        from ..util import bucketed_group_apply
+        n = np.int64(1) << np.int64(DBSCAN_RES)
+
+        joined = _dbscan_core_labeled(sf_dir)
+
+        def pts_rows(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            return pa.table({"cluster_id": b["cluster_id"],
+                             "qx": pa.array(key // n, pa.int64()),
+                             "qy": pa.array(key % n, pa.int64())})
+
+        pts = joined.map_batches(pts_rows, batch_format="pyarrow")
+
+        def diam(g: pd.DataFrame) -> pd.DataFrame:
+            ids, ncells, d2s = [], [], []
+            for cid, gg in g.groupby("cluster_id", sort=False):
+                p = np.stack([gg["qx"].to_numpy(), gg["qy"].to_numpy()],
+                             axis=1)
+                ids.append(cid)
+                ncells.append(len(p))
+                d2s.append(geo.hull_diameter2(p))
+            return pd.DataFrame({
+                "cluster_id": pd.Series(ids,
+                                        dtype=g["cluster_id"].dtype),
+                "n_cells": pd.Series(ncells, dtype=np.int64),
+                "diam2": pd.Series(d2s, dtype=np.int64)})
+
+        return bucketed_group_apply(pts, ["cluster_id"], diam,
+                                    n_buckets=256)
+    q["dbscan_cluster_diameter"] = dbscan_cluster_diameter
+
+    def hexbin_counts(sf_dir):
+        """H3-style hexagonal binning: flat-top axial hex assignment of
+        every geo point at HEX_SIZE degrees (fractional axial coords +
+        cube rounding) → exact per-hex counts. Map-side np.unique
+        combiner, one hash agg; the float expression tree is mirrored
+        token-for-token in the twin (see ``geo.hex_axial``), so the
+        assignment itself — not just the counts — is value-pinned."""
+        from ray.data.aggregate import Sum
+        OFF, SPAN = np.int64(1) << 22, np.int64(1) << 23
+
+        def assign(b: pa.Table) -> pa.Table:
+            hq, hr = geo.hex_axial(b["lon"].to_numpy(),
+                                   b["lat"].to_numpy(), HEX_SIZE)
+            uniq, cnt = np.unique((hq + OFF) * SPAN + (hr + OFF),
+                                  return_counts=True)
+            return pa.table({"k": pa.array(uniq, pa.int64()),
+                             "cnt": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+
+        agg = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"]) \
+            .map_batches(assign, batch_format="pyarrow") \
+            .groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+
+        def decode(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy()
+            return pa.table({"q": pa.array(k // SPAN - OFF, pa.int64()),
+                             "r": pa.array(k % SPAN - OFF, pa.int64()),
+                             "cnt": b["cnt"]})
+
+        return agg.map_batches(decode, batch_format="pyarrow")
+    q["hexbin_counts"] = hexbin_counts
 
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
@@ -6111,6 +6243,80 @@ def oracle_sql():
                 WHERE r.d < 127),
             m AS (SELECT key, MIN(d) AS hops FROM r GROUP BY 1)
             SELECT qx, qy, cnt, hops FROM k JOIN m USING (key)""",
+        "cell_cost_isochrone": f"""
+            WITH RECURSIVE c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt,
+                         CASE WHEN cnt >= {DBSCAN_MINPTS} THEN 1 ELSE 2
+                         END AS w
+                  FROM c),
+            seed AS (SELECT key FROM k
+                     ORDER BY cnt DESC, key LIMIT 1),
+            e AS (SELECT a.key AS u, b.key AS v, b.w FROM k a JOIN k b
+                  ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                 AND a.key <> b.key),
+            r(key, d) AS (
+                SELECT key, 0 FROM seed
+                UNION
+                SELECT e.v, r.d + e.w FROM r JOIN e ON e.u = r.key
+                WHERE r.d + e.w <= {ISO_BUDGET}),
+            m AS (SELECT key, MIN(d) AS cost FROM r GROUP BY 1)
+            SELECT qx, qy, cnt, cost FROM k JOIN m USING (key)""",
+        "dbscan_cluster_diameter": f"""
+            WITH RECURSIVE c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                  FROM c WHERE cnt >= {DBSCAN_MINPTS}),
+            e0 AS (SELECT a.key AS u, b.key AS v FROM k a JOIN k b
+                   ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                  AND a.key < b.key),
+            e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (SELECT k.key,
+                           LEAST(k.key, COALESCE(MIN(r.v), k.key))
+                               AS cluster_id
+                    FROM k LEFT JOIN reach r ON r.u = k.key
+                    GROUP BY k.key)
+            SELECT la.cluster_id,
+                   COUNT(DISTINCT a.key) AS n_cells,
+                   MAX((a.qx - b.qx) * (a.qx - b.qx)
+                       + (a.qy - b.qy) * (a.qy - b.qy)) AS diam2
+            FROM k a JOIN lab la ON la.key = a.key
+                 JOIN lab lb ON lb.cluster_id = la.cluster_id
+                 JOIN k b ON b.key = lb.key
+            GROUP BY 1""",
+        "hexbin_counts": f"""
+            WITH h AS (
+                SELECT ((2.0/3.0) * lon) / {HEX_SIZE} AS x,
+                       ((sqrt(3.0)/3.0) * lat - (1.0/3.0) * lon)
+                           / {HEX_SIZE} AS z
+                FROM {geo_p}),
+            h2 AS (SELECT x, z, -x - z AS y FROM h),
+            h3 AS (SELECT x, y, z,
+                          floor(x + 0.5) AS rx, floor(y + 0.5) AS ry,
+                          floor(z + 0.5) AS rz
+                   FROM h2),
+            h4 AS (SELECT rx, ry, rz,
+                          abs(rx - x) AS dx, abs(ry - y) AS dy,
+                          abs(rz - z) AS dz
+                   FROM h3),
+            b AS (SELECT
+                    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+                              ELSE rx END AS BIGINT) AS q,
+                    CAST(CASE WHEN NOT (dx > dy AND dx > dz)
+                               AND NOT (dy > dz) THEN -rx - ry
+                              ELSE rz END AS BIGINT) AS r
+                  FROM h4)
+            SELECT q, r, COUNT(*) AS cnt FROM b GROUP BY 1, 2""",
         "tpch_q21_waiting_suppliers": """
             WITH osl AS (
                 SELECT l_orderkey, l_suppkey,

@@ -394,3 +394,151 @@ def bfs_hops(edges, seeds, node: str = "node", src: str = "src",
     raise RuntimeError(
         f"bfs_hops: frontier still non-empty after max_rounds="
         f"{max_rounds} (seed eccentricity exceeds it); raise max_rounds")
+
+
+def sssp_costs(edges, seeds, node: str = "node", src: str = "src",
+               dst: str = "dst", w: str = "w", budget: int | None = None,
+               max_rounds: int = 256, broadcast_cap: int = 2_000_000,
+               single_task_cap: int = 5_000_000, n_buckets: int = 512):
+    """Single/multi-source shortest-path COST over a weighted directed
+    edge Dataset → ``(node, cost)`` for every node whose min path cost
+    from ``seeds`` is ≤ ``budget`` (cost 0 at a seed; unreachable /
+    over-budget nodes emit no row). Weights must be POSITIVE integers —
+    exact in float64 and the round bound below depends on it.
+
+    Two regimes (the ``bfs_hops`` rule):
+    - edges ≤ ``single_task_cap``: one-task vectorized Bellman-Ford —
+      per round ONE ``np.minimum.at`` scatter over all edges; budget
+      pruning clamps over-budget partials to +inf so rounds ≤ budget
+      (min weight 1) rather than diameter × weight-spread.
+    - beyond the cap: frontier-relaxation rounds — improved labels join
+      the static edge table (capped broadcast, hash-join fallback),
+      messages min-reduce per target, and ONE bucketed pass merges
+      candidates into the label table while emitting the improved rows
+      as the next frontier. Exchanges are bounded by the frontier's
+      out-edges; round state is repartition-pinned (see bfs_hops).
+    Exceeding ``max_rounds`` raises (never silently-short costs)."""
+    from ..util import (bucketed_group_apply, broadcast_inner_join,
+                        cluster_cpus, typed_empty_series)
+
+    edges = edges.materialize()
+    hi = np.iinfo(np.int64).max if budget is None else int(budget)
+
+    if edges.count() <= single_task_cap:
+        def seed_rows(b: pa.Table) -> pa.Table:
+            return pa.table({src: b[node], dst: b[node],
+                             w: pa.array(np.zeros(b.num_rows, np.int64)),
+                             "is_seed": pa.array(np.ones(b.num_rows,
+                                                         bool))})
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({src: b[src], dst: b[dst],
+                             w: pc.cast(b[w], pa.int64()),
+                             "is_seed": pa.array(np.zeros(b.num_rows,
+                                                          bool))})
+
+        both = edges.map_batches(edge_rows, batch_format="pyarrow") \
+            .union(seeds.map_batches(seed_rows, batch_format="pyarrow"))
+
+        def local_bf(b: pa.Table) -> pa.Table:
+            is_seed = b["is_seed"].to_numpy(zero_copy_only=False)
+            s = b[src].to_numpy(zero_copy_only=False)
+            d = b[dst].to_numpy(zero_copy_only=False)
+            ww = b[w].to_numpy(zero_copy_only=False).astype(np.float64)
+            codes, uniq = pd.factorize(np.concatenate([s, d]))
+            nn = len(uniq)
+            sc, dc = codes[:len(s)], codes[len(s):]
+            em = ~is_seed
+            es, ed, ew = sc[em], dc[em], ww[em]
+            dist = np.full(nn, np.inf)
+            dist[sc[is_seed]] = 0.0
+            for _ in range(max_rounds):
+                nd = dist[es] + ew
+                nd[nd > hi] = np.inf      # budget prune
+                new = dist.copy()
+                np.minimum.at(new, ed, nd)
+                if np.array_equal(new, dist):
+                    break
+                dist = new
+            else:
+                raise RuntimeError(
+                    f"sssp_costs: not converged after max_rounds="
+                    f"{max_rounds}; raise max_rounds or set a budget")
+            m = np.isfinite(dist)
+            if m.any():
+                out_nodes = pa.array(uniq[m])
+            else:
+                out_nodes = pa.Array.from_pandas(typed_empty_series(uniq))
+            return pa.table({node: out_nodes,
+                             "cost": pa.array(dist[m].astype(np.int64),
+                                              pa.int64())})
+
+        return both.repartition(1).map_batches(
+            local_bf, batch_format="pyarrow", batch_size=None)
+
+    # ---- distributed frontier relaxation
+    nparts = max(2, cluster_cpus() // 2)
+
+    def tag0(b: pa.Table) -> pa.Table:
+        return pa.table({node: b[node],
+                         "cost": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    frontier = seeds.groupby(node).count().select_columns([node]) \
+        .map_batches(tag0, batch_format="pyarrow") \
+        .repartition(nparts).materialize()
+    labels = frontier
+    for _ in range(max_rounds):
+        f_keys = frontier.map_batches(
+            lambda b: pa.table({src: b[node], "_d": b["cost"]}),
+            batch_format="pyarrow")
+        cand = broadcast_inner_join(edges, f_keys, on=src,
+                                    max_rows=broadcast_cap)
+
+        def relax(b: pa.Table) -> pa.Table:
+            nd = b["_d"].to_numpy(zero_copy_only=False) \
+                + b[w].to_numpy(zero_copy_only=False)
+            keep = nd <= hi
+            return pa.table({
+                node: b[dst].filter(pa.array(keep)),
+                "cost": pa.array(nd[keep].astype(np.int64), pa.int64()),
+                "_new": pa.array(np.ones(int(keep.sum()), bool))})
+
+        msgs = cand.map_batches(relax, batch_format="pyarrow")
+
+        def mark_old(b: pa.Table) -> pa.Table:
+            return pa.table({node: b[node], "cost": b["cost"],
+                             "_new": pa.array(np.zeros(b.num_rows, bool))})
+
+        both_lab = labels.map_batches(mark_old, batch_format="pyarrow") \
+            .union(msgs)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.groupby(g[node], sort=False)
+            best = gg["cost"].min()
+            # old best per node (inf when first seen this round)
+            old = g[~g["_new"]].groupby(g.loc[~g["_new"], node])["cost"] \
+                .min().reindex(best.index)
+            improved = old.isna() | (best < old)
+            return pd.DataFrame({node: best.index.to_numpy(),
+                                 "cost": best.to_numpy(),
+                                 "_new": improved.to_numpy()})
+
+        merged = bucketed_group_apply(both_lab, [node], merge,
+                                      n_buckets=n_buckets) \
+            .repartition(nparts).materialize()
+        def keep_new(b: pa.Table) -> pa.Table:
+            m = b["_new"]
+            return pa.table({node: b[node].filter(m),
+                             "cost": b["cost"].filter(m)})
+
+        frontier = merged.map_batches(keep_new, batch_format="pyarrow") \
+            .repartition(nparts).materialize()
+        labels = merged.map_batches(
+            lambda b: pa.table({node: b[node], "cost": b["cost"]}),
+            batch_format="pyarrow").repartition(nparts).materialize()
+        if frontier.count() == 0:
+            return labels
+    raise RuntimeError(
+        f"sssp_costs: frontier still non-empty after max_rounds="
+        f"{max_rounds}; raise max_rounds or set a budget")
