@@ -4557,6 +4557,133 @@ def queries():
         return agg.map_batches(decode, batch_format="pyarrow")
     q["hexbin_counts"] = hexbin_counts
 
+    def idw_cell_surface(sf_dir):
+        """Inverse-distance-weighted (IDW, Shepard) leave-one-out
+        density surface: each occupied cell's density re-estimated from
+        the occupied cells within Chebyshev radius 3, weights 1/d².
+        EXACT-INTEGER formulation: 1/d² = (L/d²)/L with L = lcm of the
+        possible d² values (9360 for r=3), so num_w/den_w are integer
+        sums — no float summation order to pin; the single final
+        division is IEEE-identical on both engines. Map-side combiner
+        (≤48 offers per cell pre-reduced per block), ONE hash agg, and
+        a capped broadcast join back to the cell table."""
+        from ray.data.aggregate import Sum
+        from ..util import broadcast_inner_join
+        res, R, L = DBSCAN_RES, 3, 9360
+        n = np.int64(1) << np.int64(res)
+
+        cells = _cell_counts(sf_dir, res).materialize()
+
+        def offers(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            cnt = b["cnt"].to_numpy()
+            qx, qy = key // n, key % n
+            ts, nps, dps = [], [], []
+            for dx in range(-R, R + 1):
+                for dy in range(-R, R + 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    ax, ay = qx + dx, qy + dy
+                    m = (ax >= 0) & (ax < n) & (ay >= 0) & (ay < n)
+                    wq = L // (dx * dx + dy * dy)   # exact: L = lcm(d²)
+                    ts.append(ax[m] * n + ay[m])
+                    nps.append(cnt[m] * wq)
+                    dps.append(np.full(int(m.sum()), wq, np.int64))
+            t = np.concatenate(ts) if ts else np.empty(0, np.int64)
+            np_ = np.concatenate(nps) if nps else np.empty(0, np.int64)
+            dp_ = np.concatenate(dps) if dps else np.empty(0, np.int64)
+            # per-block combine: offers land on ~overlapping targets
+            uniq, inv = np.unique(t, return_inverse=True)
+            nsum = np.zeros(len(uniq), np.int64)
+            dsum = np.zeros(len(uniq), np.int64)
+            np.add.at(nsum, inv, np_)
+            np.add.at(dsum, inv, dp_)
+            return pa.table({"key": pa.array(uniq, pa.int64()),
+                             "np_": pa.array(nsum, pa.int64()),
+                             "dp_": pa.array(dsum, pa.int64())})
+
+        agg = cells.map_batches(offers, batch_format="pyarrow") \
+            .groupby("key").aggregate(Sum("np_", alias_name="num_w"),
+                                      Sum("dp_", alias_name="den_w"))
+        out = broadcast_inner_join(cells, agg, on="key")
+
+        def final(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            num = b["num_w"].to_numpy().astype(np.float64)
+            den = b["den_w"].to_numpy().astype(np.float64)
+            idw = pa.array(num / den, pa.float64())
+            return pa.table({"qx": pa.array(key // n, pa.int64()),
+                             "qy": pa.array(key % n, pa.int64()),
+                             "cnt": b["cnt"],
+                             "num_w": b["num_w"], "den_w": b["den_w"],
+                             "idw": _round_half_away(idw, 9)})
+
+        return out.map_batches(final, batch_format="pyarrow")
+    q["idw_cell_surface"] = idw_cell_surface
+
+    def moran_i_cells(sf_dir):
+        """Global Moran's I spatial autocorrelation of per-cell point
+        counts under 8-adjacency weights (w_ij = 1), EXACT-INTEGER
+        core: scaling the centered values by n turns
+        Σ w_ij (x_i−x̄)(x_j−x̄) and Σ (x_i−x̄)² into the integer sums
+        Σ (n·x_i−S)(n·x_j−S) and Σ (n·x_i−S)² (S = Σx) — block partials
+        fit int64, the final merge is arbitrary-precision Python int
+        (the distributed-topk tiny-partials pattern), and the twin
+        accumulates in HUGEINT; I = (n/W)·(num/den) with the identical
+        float tree on both sides. One row out."""
+        import ray
+        from ray.data.aggregate import Sum
+        from ..util import broadcast_inner_join
+        res = DBSCAN_RES
+
+        cells = _cell_counts(sf_dir, res).materialize()
+        n_cells = int(cells.count())
+        s_tot = int((cells.aggregate(Sum("cnt")) or {}).get("sum(cnt)")
+                    or 0)
+
+        adj = _neighbor_edges(cells, res).map_batches(
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+            batch_format="pyarrow")
+        xu = broadcast_inner_join(
+            adj.rename_columns({"src": "key"}), cells, on="key") \
+            .map_batches(lambda b: pa.table(
+                {"key": b["dst"], "xu": b["cnt"]}),
+                batch_format="pyarrow")
+        both = broadcast_inner_join(xu, cells, on="key")
+
+        def num_partial(b: pa.Table) -> pa.Table:
+            a = n_cells * b["xu"].to_numpy() - s_tot
+            c = n_cells * b["cnt"].to_numpy() - s_tot
+            return pa.table({"p": pa.array([int((a * c).sum())],
+                                           pa.int64()),
+                             "w": pa.array([b.num_rows], pa.int64())})
+
+        def den_partial(b: pa.Table) -> pa.Table:
+            c = n_cells * b["cnt"].to_numpy() - s_tot
+            return pa.table({"p": pa.array([int((c * c).sum())],
+                                           pa.int64())})
+
+        def gather(ds, col):
+            tabs = [t for t in ray.get(ds.to_arrow_refs())
+                    if isinstance(t, pa.Table) and t.num_rows]
+            return sum(int(v) for t in tabs
+                       for v in t[col].to_pylist())   # exact python int
+
+        nparts = both.map_batches(num_partial,
+                                  batch_format="pyarrow").materialize()
+        num = gather(nparts, "p")
+        w_pairs = gather(nparts, "w")
+        den = gather(cells.map_batches(den_partial,
+                                       batch_format="pyarrow"), "p")
+        moran = (float(n_cells) / float(w_pairs)) \
+            * (float(num) / float(den))
+        moran = float(np.floor(moran * 1e9 + 0.5) / 1e9)
+        return pd.DataFrame({"n_cells": [n_cells],
+                             "w_pairs": [w_pairs],
+                             "num": [num], "den": [den],
+                             "moran_i": [moran]})
+    q["moran_i_cells"] = moran_i_cells
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -6317,6 +6444,56 @@ def oracle_sql():
                               ELSE rz END AS BIGINT) AS r
                   FROM h4)
             SELECT q, r, COUNT(*) AS cnt FROM b GROUP BY 1, 2""",
+        "idw_cell_surface": f"""
+            WITH c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                  FROM c),
+            pairs AS (
+                SELECT a.key AS t, b.cnt AS ncnt,
+                       (a.qx - b.qx) * (a.qx - b.qx)
+                       + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+                FROM k a JOIN k b
+                ON abs(a.qx - b.qx) <= 3 AND abs(a.qy - b.qy) <= 3
+               AND a.key <> b.key),
+            s AS (SELECT t,
+                         CAST(SUM(ncnt * (9360 // d2)) AS BIGINT)
+                             AS num_w,
+                         CAST(SUM(9360 // d2) AS BIGINT) AS den_w
+                  FROM pairs GROUP BY t)
+            SELECT k.qx, k.qy, k.cnt, s.num_w, s.den_w,
+                   ROUND(CAST(s.num_w AS DOUBLE)
+                         / CAST(s.den_w AS DOUBLE), 9) AS idw
+            FROM k JOIN s ON s.t = k.key""",
+        "moran_i_cells": f"""
+            WITH c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                  FROM c),
+            st AS (SELECT COUNT(*) AS n, SUM(cnt) AS s FROM k),
+            e AS (SELECT a.cnt AS xu, b.cnt AS xv FROM k a JOIN k b
+                  ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                 AND a.key <> b.key),
+            nm AS (SELECT CAST(SUM((st.n * xu - st.s)
+                                   * (st.n * xv - st.s)) AS BIGINT)
+                              AS num,
+                          COUNT(*) AS w
+                   FROM e CROSS JOIN st),
+            dn AS (SELECT CAST(SUM((st.n * cnt - st.s)
+                                   * (st.n * cnt - st.s)) AS BIGINT)
+                              AS den
+                   FROM k CROSS JOIN st)
+            SELECT st.n AS n_cells, nm.w AS w_pairs, nm.num, dn.den,
+                   ROUND((CAST(st.n AS DOUBLE) / CAST(nm.w AS DOUBLE))
+                         * (CAST(nm.num AS DOUBLE)
+                            / CAST(dn.den AS DOUBLE)), 9) AS moran_i
+            FROM st, nm, dn""",
         "tpch_q21_waiting_suppliers": """
             WITH osl AS (
                 SELECT l_orderkey, l_suppkey,
