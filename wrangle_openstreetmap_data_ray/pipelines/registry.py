@@ -42,6 +42,8 @@ DBSCAN_RES = 14      # grid_dbscan_clusters / cell_hop_distance grid res
 DBSCAN_MINPTS = 5    # core-cell threshold
 ISO_BUDGET = 24      # cell_cost_isochrone max path cost (1 dense/2 sparse)
 HEX_SIZE = 0.03      # hexbin_counts flat-top hex width (degrees)
+SEG_XRES = 12        # way_segment_intersections PBSM grid resolution
+PAIR_PACK = np.int64(1) << np.int64(32)   # (way_a, way_b) -> one int64 key
 # stratified hash-sampling contract: permille keep-rates per event type
 # (downsample the frequent, keep the rare) + the shared hash seed; the
 # SQL twin embeds the SAME integers, so both sides are exact
@@ -4684,6 +4686,158 @@ def queries():
                              "moran_i": [moran]})
     q["moran_i_cells"] = moran_i_cells
 
+    def way_segment_intersections(sf_dir):
+        """Big⋈big segment-intersection join (the GIS overlay / map-
+        conflation core): pairs of ways whose polyline segments PROPERLY
+        cross, with the crossing count per way pair. PBSM shape
+        (Patel-DeWitt): segments replicate to the grid cells their bbox
+        covers at SEG_XRES, candidate pairs are tested only within a
+        cell, and each pair is emitted exactly once via the REFERENCE-
+        POINT rule (only the cell containing the max-of-min corners of
+        the two bboxes reports it) — no global dedup shuffle. The
+        orientation tests run on e7-scaled integer coords (exact, no
+        float ties; the twin runs the identical tests on the identical
+        ints over the full n² segment cross join). Hot cells are capped
+        with a loud raise, never silently truncated."""
+        from ..util import bucketed_group_apply
+        res = SEG_XRES
+        n = np.int64(1) << np.int64(res)
+        joined = _way_points(sf_dir)
+
+        def segs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            # e7 integer coords — identical to the twin's
+            # floor(v*1e7+0.5)
+            x = np.floor(lon * 1e7 + 0.5).astype(np.int64)
+            y = np.floor(lat * 1e7 + 0.5).astype(np.int64)
+            qx, qy = geo.cell_xy(lon, lat, res)
+            out = pd.DataFrame({
+                "way_id": wid[1:][same],
+                "x1": x[:-1][same], "y1": y[:-1][same],
+                "x2": x[1:][same], "y2": y[1:][same],
+                "qx_min": np.minimum(qx[:-1][same], qx[1:][same]),
+                "qx_max": np.maximum(qx[:-1][same], qx[1:][same]),
+                "qy_min": np.minimum(qy[:-1][same], qy[1:][same]),
+                "qy_max": np.maximum(qy[:-1][same], qy[1:][same])})
+            return out
+
+        seg = bucketed_group_apply(joined, ["way_id"], segs, n_buckets=64)
+
+        def explode(b: pa.Table) -> pa.Table:
+            qxm = b["qx_min"].to_numpy()
+            qym = b["qy_min"].to_numpy()
+            cx = b["qx_max"].to_numpy() - qxm + 1
+            cy = b["qy_max"].to_numpy() - qym + 1
+            cnt = cx * cy
+            if cnt.size and int(cnt.max()) > 65536:
+                raise RuntimeError(
+                    "way_segment_intersections: a segment bbox covers "
+                    f"{int(cnt.max())} cells at res {res}; lower SEG_XRES")
+            tot = int(cnt.sum())
+            si = np.repeat(np.arange(len(cnt)), cnt)
+            within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            cqx = qxm[si] + within // cy[si]
+            cqy = qym[si] + within % cy[si]
+            cols = {"cell": pa.array(cqx * n + cqy, pa.int64())}
+            for c in ("way_id", "x1", "y1", "x2", "y2",
+                      "qx_min", "qy_min"):
+                cols[c] = pa.array(b[c].to_numpy()[si], pa.int64())
+            return pa.table(cols)
+
+        exploded = seg.map_batches(explode, batch_format="pyarrow")
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b = [], []
+            for cell, gg in g.groupby("cell", sort=False):
+                m = len(gg)
+                if m < 2:
+                    continue
+                if m > 100_000:
+                    raise RuntimeError(
+                        f"way_segment_intersections: hot cell with {m} "
+                        f"segments; raise SEG_XRES or salt")
+                w = gg["way_id"].to_numpy()
+                x1 = gg["x1"].to_numpy()
+                y1 = gg["y1"].to_numpy()
+                x2 = gg["x2"].to_numpy()
+                y2 = gg["y2"].to_numpy()
+                qxm = gg["qx_min"].to_numpy()
+                qym = gg["qy_min"].to_numpy()
+                cq = int(cell)
+                for i0 in range(0, m, 256):
+                    i1 = min(i0 + 256, m)
+                    sl = slice(i0, i1)
+                    # orientation of b's endpoints vs segment a (rows)
+                    dax = (x2[sl] - x1[sl])[:, None]
+                    day = (y2[sl] - y1[sl])[:, None]
+                    d1 = dax * (y1[None, :] - y1[sl][:, None]) \
+                        - day * (x1[None, :] - x1[sl][:, None])
+                    d2 = dax * (y2[None, :] - y1[sl][:, None]) \
+                        - day * (x2[None, :] - x1[sl][:, None])
+                    # orientation of a's endpoints vs segment b (cols)
+                    dbx = (x2 - x1)[None, :]
+                    dby = (y2 - y1)[None, :]
+                    d3 = dbx * (y1[sl][:, None] - y1[None, :]) \
+                        - dby * (x1[sl][:, None] - x1[None, :])
+                    d4 = dbx * (y2[sl][:, None] - y1[None, :]) \
+                        - dby * (x2[sl][:, None] - x1[None, :])
+                    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+                        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+                    # strict upper triangle in GLOBAL index: j > i
+                    jj = np.arange(m)[None, :]
+                    ii = np.arange(i0, i1)[:, None]
+                    proper &= jj > ii
+                    proper &= w[sl][:, None] != w[None, :]
+                    # reference point: only the canonical shared cell
+                    # (max of bbox-min corners) reports the pair
+                    ccell = (np.maximum(qxm[sl][:, None], qxm[None, :]) * n
+                             + np.maximum(qym[sl][:, None], qym[None, :]))
+                    proper &= ccell == cq
+                    ai, bj = np.nonzero(proper)
+                    if len(ai):
+                        wa = w[sl][ai]
+                        wb = w[bj]
+                        out_a.append(np.minimum(wa, wb))
+                        out_b.append(np.maximum(wa, wb))
+            if out_a:
+                a = np.concatenate(out_a)
+                b_ = np.concatenate(out_b)
+            else:
+                a = np.empty(0, np.int64)
+                b_ = np.empty(0, np.int64)
+            # pre-reduce to per-bucket (pair, n) partials on ONE packed
+            # int64 key: a raw two-key groupby-Count over the hit rows
+            # measured >270 s at 1.1M rows (Ray 2.49 sort-agg on pandas
+            # blocks) vs ~1 s for the packed pre-reduced Sum
+            key, cnt = np.unique(a * PAIR_PACK + b_, return_counts=True)
+            return pd.DataFrame({"pair": key,
+                                 "n": cnt.astype(np.int64)})
+
+        hits = bucketed_group_apply(exploded, ["cell"], pairs,
+                                    n_buckets=256)
+
+        # final pair-sum via ONE more bucketed shuffle with a VECTORIZED
+        # pandas groupby — ray groupby().aggregate() walks rows in
+        # Python (TableBlock._aggregate → iter_rows) and took minutes
+        # over the ~0.5M per-bucket partials this synthetic corpus
+        # produces (nearly every way pair crosses)
+        def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("pair", sort=False)["n"].sum()
+            k = s.index.to_numpy()
+            return pd.DataFrame({
+                "way_a": (k // PAIR_PACK).astype(np.int64),
+                "way_b": (k % PAIR_PACK).astype(np.int64),
+                "n_crossings": s.to_numpy().astype(np.int64)})
+
+        return bucketed_group_apply(hits, ["pair"], pair_sum,
+                                    n_buckets=256)
+    q["way_segment_intersections"] = way_segment_intersections
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -6494,6 +6648,36 @@ def oracle_sql():
                          * (CAST(nm.num AS DOUBLE)
                             / CAST(dn.den AS DOUBLE)), 9) AS moran_i
             FROM st, nm, dn""",
+        "way_segment_intersections": f"""
+            WITH p AS (SELECT wn.way_id, wn.position,
+                         CAST(floor(nd.lon * 10000000.0 + 0.5) AS BIGINT)
+                             AS x,
+                         CAST(floor(nd.lat * 10000000.0 + 0.5) AS BIGINT)
+                             AS y
+                       FROM {way_nodes_p} wn
+                       JOIN {nodes_p} nd ON wn.node_id = nd.id),
+            s0 AS (SELECT way_id, position, x AS x1, y AS y1,
+                          LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2,
+                          LEAD(position) OVER w AS p2
+                   FROM p WINDOW w AS (PARTITION BY way_id
+                                       ORDER BY position)),
+            s AS (SELECT way_id, x1, y1, x2, y2 FROM s0
+                  WHERE p2 = position + 1),
+            d AS (SELECT a.way_id AS wa, b.way_id AS wb,
+                    (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1)
+                        AS d1,
+                    (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)
+                        AS d2,
+                    (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1)
+                        AS d3,
+                    (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)
+                        AS d4
+                  FROM s a JOIN s b ON a.way_id < b.way_id)
+            SELECT wa AS way_a, wb AS way_b, COUNT(*) AS n_crossings
+            FROM d
+            WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+              AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+            GROUP BY 1, 2""",
         "tpch_q21_waiting_suppliers": """
             WITH osl AS (
                 SELECT l_orderkey, l_suppkey,
