@@ -68,7 +68,7 @@ def flagship(sf_dir: str, out_root: str | None = None):
                                 parent=fx.sf_tag(sf_dir), fingerprint=fp)
         located = lancelike.read_dataset(out_root)
 
-    from ray.data.aggregate import Count, Sum
+    from ..util import grouped_agg_vec
 
     def to_flags(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -77,11 +77,15 @@ def flagship(sf_dir: str, out_root: str | None = None):
             "in_bb": pc.cast(b["in_bbox"], pa.int64()),
         })
 
-    return (located.map_batches(to_flags, batch_format="pyarrow")
-            .groupby("polygon_id")
-            .aggregate(Count(alias_name="n_images"),
-                       Sum("valid_pc", alias_name="n_valid_postcode"),
-                       Sum("in_bb", alias_name="n_in_bbox")))
+    # vectorized map-side combiner: the plain ray aggregate row-walks
+    # the per-image rows in Python (NOTES_r4); partials are
+    # polygon-bounded
+    return grouped_agg_vec(
+        located.map_batches(to_flags, batch_format="pyarrow"),
+        ["polygon_id"],
+        [(None, "count", "n_images"),
+         ("valid_pc", "sum", "n_valid_postcode"),
+         ("in_bb", "sum", "n_in_bbox")])
 
 
 def flagship_full(sf_dir: str, out_root: str | None = None,

@@ -28,7 +28,8 @@ from ..functions.normalize import (EXPECTED_STREET_TYPES, FIRST_TOKEN_RE,
                                    MALAY_FIRST_TOKEN_TYPES, STREET_TYPE_RE)
 from ..stages import (dedup, interval, knn, multimodal, pip_join, simsearch,
                       textstage, tiles)
-from ..util import cluster_cpus, distributed_topk, join_kwargs
+from ..util import (cluster_cpus, distributed_topk, grouped_count,
+                    join_kwargs)
 from . import fixtures as fx
 
 # ---------------------------------------------------------------- helpers
@@ -139,29 +140,32 @@ def queries():
     # ---------------- aggregations over driver tables (A1-A7 analogues)
 
     def agg_lineitem_pricing(sf_dir):
-        """[R:notebook] A-family flagship groupby-aggregate (TPC-H Q1 shape):
-        partial aggregation inside the hash shuffle via Ray's named aggs."""
-        from ray.data.aggregate import Count, Mean, Sum
+        """[R:notebook] A-family flagship groupby-aggregate (TPC-H Q1
+        shape). Map side pre-reduced with the VECTORIZED pyarrow
+        group_by combiner (``grouped_agg_vec``) — the plain ray
+        aggregate walks rows in Python (NOTES_r4); only ≤ groups×blocks
+        partial rows reach the merge."""
+        from ..util import grouped_agg_vec
         ds = fx.driver_table(sf_dir, "lineitem",
                              columns=["l_returnflag", "l_linestatus",
                                       "l_quantity", "l_extendedprice",
                                       "l_discount"])
-        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="cnt"),
-        ).to_pandas()
+        out = grouped_agg_vec(
+            ds, ["l_returnflag", "l_linestatus"],
+            [("l_quantity", "sum", "sum_qty"),
+             ("l_extendedprice", "sum", "sum_price"),
+             ("l_discount", "sum", "_disc_sum"),
+             (None, "count", "cnt")]).to_pandas()
+        out["avg_disc"] = (out["_disc_sum"] / out["cnt"]).round(4)
+        out = out.drop(columns=["_disc_sum"])
         out["sum_qty"] = out["sum_qty"].round(2)
         out["sum_price"] = out["sum_price"].round(0)
-        out["avg_disc"] = out["avg_disc"].round(4)
         return out
     q["agg_lineitem_pricing"] = agg_lineitem_pricing
 
     def count_by_event_type(sf_dir):
         ds = fx.driver_table(sf_dir, "events", columns=["event_type"])
-        return ds.groupby("event_type").count().rename_columns(
-            {"count()": "cnt"})
+        return grouped_count(ds, "event_type")
     q["count_by_event_type"] = count_by_event_type
 
     def top_users_by_events(sf_dir):
@@ -169,7 +173,7 @@ def queries():
         block select_k partials + tiny merge; the counts table never
         materializes on the driver)."""
         ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
-        counts = ds.groupby("user_id").count().rename_columns({"count()": "cnt"})
+        counts = grouped_count(ds, "user_id")
         return distributed_topk(counts, 10, [("cnt", "descending"),
                                              ("user_id", "ascending")])
     q["top_users_by_events"] = top_users_by_events
@@ -187,14 +191,14 @@ def queries():
     def one_shot_users(sf_dir):
         """A5 double-group: users with exactly one event."""
         ds = fx.driver_table(sf_dir, "events", columns=["user_id"])
-        counts = ds.groupby("user_id").count().rename_columns({"count()": "cnt"})
+        counts = grouped_count(ds, "user_id")
         n = counts.filter(expr="cnt == 1").count()
         return pd.DataFrame({"n_one_shot": [int(n)]})
     q["one_shot_users"] = one_shot_users
 
     def top_parts_by_brand(sf_dir):
         ds = fx.driver_table(sf_dir, "part", columns=["p_brand"])
-        counts = ds.groupby("p_brand").count().rename_columns({"count()": "cnt"})
+        counts = grouped_count(ds, "p_brand")
         return distributed_topk(counts, 10, [("cnt", "descending"),
                                              ("p_brand", "ascending")])
     q["top_parts_by_brand"] = top_parts_by_brand
@@ -216,8 +220,7 @@ def queries():
                           on=("n_regionkey",), join_type="inner",
                           **join_kwargs(fx.table_join_partitions(
                               sf_dir, "nation", "region")))
-        return out.groupby("r_name").count().rename_columns(
-            {"count()": "n_nations"})
+        return grouped_count(out, "r_name", out="n_nations")
     q["nations_per_region"] = nations_per_region
 
     def orders_by_segment(sf_dir):
@@ -243,7 +246,7 @@ def queries():
         """[R:notebook] A6 family — top-10 cuisine values."""
         ds = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
         am = ds.filter(expr="key == 'cuisine'")
-        counts = am.groupby("value").count().rename_columns({"count()": "cnt"})
+        counts = grouped_count(am, "value")
         return distributed_topk(counts, 10, [("cnt", "descending"),
                                              ("value", "ascending")])
     q["top_cuisines"] = top_cuisines
@@ -475,8 +478,7 @@ def queries():
             mask = normalize.audit_street_mask(b["addr_street"])
             return pa.table({"street_type": pc.filter(st, mask)})
         flagged = ds.map_batches(f, batch_format="pyarrow")
-        return flagged.groupby("street_type").count().rename_columns(
-            {"count()": "cnt"})
+        return grouped_count(flagged, "street_type")
     q["audit_street_types"] = audit_street_types
 
     def clean_postcodes(sf_dir):
@@ -497,8 +499,8 @@ def queries():
             clean = normalize.clean_postcode(b["addr_postcode"])
             clean = pc.drop_null(clean)
             return pa.table({"district": pc.utf8_slice_codeunits(clean, 0, 2)})
-        return ds.map_batches(f, batch_format="pyarrow") \
-                 .groupby("district").count().rename_columns({"count()": "cnt"})
+        return grouped_count(
+            ds.map_batches(f, batch_format="pyarrow"), "district")
     q["postcode_district_histogram"] = postcode_district_histogram
 
     def bbox_quarantine(sf_dir):
@@ -508,8 +510,8 @@ def queries():
         def f(b: pa.Table) -> pa.Table:
             m = geo.bbox_contains(b["lon"].to_numpy(), b["lat"].to_numpy())
             return pa.table({"in_bbox": pa.array(m)})
-        return ds.map_batches(f, batch_format="pyarrow") \
-                 .groupby("in_bbox").count().rename_columns({"count()": "cnt"})
+        return grouped_count(
+            ds.map_batches(f, batch_format="pyarrow"), "in_bbox")
     q["bbox_quarantine"] = bbox_quarantine
 
     def cell_encode_points(sf_dir):
@@ -773,8 +775,8 @@ def queries():
 
         def f(b: pa.Table) -> pa.Table:
             return pa.table({"bucket": normalize.classify_keys(b["key"])})
-        return ds.map_batches(f, batch_format="pyarrow") \
-                 .groupby("bucket").count().rename_columns({"count()": "cnt"})
+        return grouped_count(
+            ds.map_batches(f, batch_format="pyarrow"), "bucket")
     q["tag_key_classification"] = tag_key_classification
 
     def tags_clean(sf_dir):
@@ -794,14 +796,14 @@ def queries():
     def tag_counts(sf_dir):
         """[R:mapparser.py::count_tags] M1 — per-key tag counts."""
         ds = fx.read_fixture(sf_dir, "tags", columns=["key"])
-        return ds.groupby("key").count().rename_columns({"count()": "cnt"})
+        return grouped_count(ds, "key")
     q["tag_counts"] = tag_counts
 
     def top_amenities(sf_dir):
         """[R:notebook] A6 — top-10 amenity values."""
         ds = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
         am = ds.filter(expr="key == 'amenity'")
-        counts = am.groupby("value").count().rename_columns({"count()": "cnt"})
+        counts = grouped_count(am, "value")
         return distributed_topk(counts, 10, [("cnt", "descending"),
                                              ("value", "ascending")])
     q["top_amenities"] = top_amenities
@@ -844,8 +846,7 @@ def queries():
         """A4 — top-10 contributors by element count."""
         nodes = fx.read_fixture(sf_dir, "nodes", columns=["user"])
         ways = fx.read_fixture(sf_dir, "ways", columns=["user"])
-        counts = nodes.union(ways).groupby("user").count().rename_columns(
-            {"count()": "cnt"})
+        counts = grouped_count(nodes.union(ways), "user")
         return distributed_topk(counts, 10, [("cnt", "descending"),
                                              ("user", "ascending")])
     q["osm_top_contributors"] = osm_top_contributors
@@ -878,7 +879,7 @@ def queries():
             return f
         u = nodes.map_batches(tag("node"), batch_format="pyarrow").union(
             ways.map_batches(tag("way"), batch_format="pyarrow"))
-        return u.groupby("elem_type").count().rename_columns({"count()": "cnt"})
+        return grouped_count(u, "elem_type")
     q["count_by_elem_type"] = count_by_elem_type
 
     def systematic_sample_nodes(sf_dir):
@@ -1365,7 +1366,7 @@ def queries():
     def image_format_histogram(sf_dir):
         """S6 metadata analytics — row counts per stored image format."""
         ds = fx.read_fixture(sf_dir, "images", columns=["fmt"])
-        return ds.groupby("fmt").count().rename_columns({"count()": "cnt"})
+        return grouped_count(ds, "fmt")
     q["image_format_histogram"] = image_format_histogram
 
     def image_size_stats(sf_dir):
@@ -1455,8 +1456,7 @@ def queries():
         cats = bucketed_group_apply(u, ["key"], classify, n_buckets=64) \
             .map_batches(lambda b: b, batch_format="pyarrow")
         # (blocks must be arrow: rename_columns breaks on pandas blocks)
-        return cats.groupby("category").count().rename_columns(
-            {"count()": "cnt"})
+        return grouped_count(cats, "category")
     q["user_customer_coverage"] = user_customer_coverage
 
     def lancelike_zonemap_scan(sf_dir):
@@ -2512,8 +2512,7 @@ def queries():
         cardinality, so a distributed value-histogram (tiny) + driver
         cumulative walk gives EXACT q25/q50/q75 with no global sort."""
         ds = fx.driver_table(sf_dir, "lineitem", columns=["l_quantity"])
-        hist = ds.groupby("l_quantity").count().rename_columns(
-            {"count()": "cnt"}).to_pandas().sort_values("l_quantity")
+        hist = grouped_count(ds, "l_quantity").to_pandas().sort_values("l_quantity")
         vals = hist["l_quantity"].to_numpy()
         cum = hist["cnt"].to_numpy().cumsum()
         n = int(cum[-1])

@@ -753,9 +753,10 @@ def prefix_filtered_pairs(ds, id_col: str, text_col: str, tau: float = 0.7,
         return pa.table({"sh": pa.array(vals, pa.int64()),
                          "cnt": pa.array(cnts.astype(np.int64))})
 
-    vocab = sets.map_batches(df_partial, batch_format="pyarrow") \
-                .groupby("sh").sum("cnt") \
-                .rename_columns({"sum(cnt)": "cnt"}).materialize()
+    from ..util import bucketed_sum
+    vocab = bucketed_sum(sets.map_batches(df_partial,
+                                          batch_format="pyarrow"),
+                         ["sh"], {"cnt": "cnt"}).materialize()
     if vocab.count() > rank_broadcast_cap:
         raise ValueError(
             "shingle vocabulary exceeds rank_broadcast_cap — use "

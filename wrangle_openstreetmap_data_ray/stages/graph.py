@@ -110,8 +110,11 @@ def _pagerank_broadcast(edges, deg_parts, src, dst, d, n_iters):
 
 
 def _pagerank_distributed(edges, src, dst, d, n_iters, broadcast_cap):
-    deg = edges.groupby(src).count().rename_columns({"count()": "deg"}) \
-               .materialize()
+    from ..util import grouped_agg_vec
+    # vectorized map-side combiner — a plain groupby().count() row-walks
+    # the edge volume in Python (NOTES_r4)
+    deg = grouped_agg_vec(edges, [src], [(None, "count", "deg")]) \
+        .materialize()
 
     def weigh(b: pa.Table) -> pa.Table:
         w = 1.0 / b["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -138,12 +141,16 @@ def _pagerank_distributed(edges, src, dst, d, n_iters, broadcast_cap):
             return pa.table({src: b[dst], "c": pa.array(c, pa.float64())})
 
         def update(b: pa.Table) -> pa.Table:
-            s = b["sum(c)"].to_numpy(zero_copy_only=False)
+            s = b["c"].to_numpy(zero_copy_only=False)
             return pa.table({src: b[src],
                              "r": pa.array((1.0 - d) + d * s, pa.float64())})
 
-        ranks = contrib_in.map_batches(contrib, batch_format="pyarrow") \
-            .groupby(src).sum("c") \
+        # block-partial float sums change the summation tree vs the
+        # row-ordered ray Sum; callers pin ranks to e6 fixed-point and
+        # the regime-equality test compares rounded values
+        ranks = grouped_agg_vec(
+            contrib_in.map_batches(contrib, batch_format="pyarrow"),
+            [src], [("c", "sum", "c")]) \
             .map_batches(update, batch_format="pyarrow").materialize()
 
     def finish(b: pa.Table) -> pa.Table:

@@ -320,9 +320,9 @@ def nearest_class_mean_confusion(ds, vec_col: str, label_col: str):
         return pa.table({"label": b[label_col],
                          "pred": pa.array(pred)})
 
-    return ds.map_batches(assign, batch_format="pyarrow") \
-        .groupby(["label", "pred"]).count() \
-        .rename_columns({"count()": "n"})
+    from ..util import grouped_agg_vec
+    return grouped_agg_vec(ds.map_batches(assign, batch_format="pyarrow"),
+                           ["label", "pred"], [(None, "count", "n")])
 
 
 def _dim_minmax(ds, vec_col: str):

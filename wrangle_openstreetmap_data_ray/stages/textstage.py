@@ -104,9 +104,9 @@ def tfidf_top_terms(ds, n_docs: int, doc_col: str = "doc_id",
         return pa.table({"token": vc.field("values"),
                          "df_part": pc.cast(vc.field("counts"), pa.int64())})
 
-    df = tf.map_batches(df_partial, batch_format="pyarrow") \
-           .groupby("token").sum("df_part") \
-           .rename_columns({"sum(df_part)": "df"}).materialize()
+    from ..util import bucketed_sum
+    df = bucketed_sum(tf.map_batches(df_partial, batch_format="pyarrow"),
+                      ["token"], {"df_part": "df"}).materialize()
 
     scored_in = broadcast_inner_join(tf, df, on="token",
                                      max_rows=vocab_broadcast_cap)
