@@ -4685,6 +4685,91 @@ def queries():
                              "moran_i": [moran]})
     q["moran_i_cells"] = moran_i_cells
 
+    def getis_ord_hotspots(sf_dir):
+        """Getis-Ord Gi* hot-spot z-score per occupied cell (the local
+        companion to [[moran_i_cells]]): Gi* compares each cell's
+        8-neighborhood+self count sum against the global mean, scaled
+        by the neighborhood size. Every ingredient (n, S = Σx,
+        S2 = Σx², per-cell k_i = |N(i)|+1, nsum_i = Σ_{j∈N(i)∪i} x_j)
+        is an EXACT integer computed distributively (neighbor explode +
+        vectorized combiner + one hash agg); only the final z is float,
+        with the identical expression tree on both engines, rounded e6.
+        Output: one row per cell with the exact ints and the z-score."""
+        from ray.data.aggregate import Sum
+        from ..util import broadcast_inner_join
+        res = DBSCAN_RES
+        n2 = np.int64(1) << np.int64(res)
+
+        cells = _cell_counts(sf_dir, res).materialize()
+        n_cells = int(cells.count())
+        agg = cells.aggregate(Sum("cnt")) or {}
+        s_tot = int(agg.get("sum(cnt)") or 0)
+
+        def sq(b: pa.Table) -> pa.Table:
+            c = b["cnt"].to_numpy()
+            return pa.table({"p": pa.array([int((c * c).sum())],
+                                           pa.int64())})
+
+        import ray
+        s2_tot = sum(int(v) for t in ray.get(
+            cells.map_batches(sq, batch_format="pyarrow").to_arrow_refs())
+            if isinstance(t, pa.Table) and t.num_rows
+            for v in t["p"].to_pylist())
+
+        # each cell OFFERS its count to its ≤8 in-range neighbors AND to
+        # itself (Gi* includes self); offers to unoccupied cells must
+        # not count toward k_i, so the per-target reduce joins back to
+        # the occupied-cell table (inner join drops ghost targets)
+        def offers(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            cnt = b["cnt"].to_numpy()
+            qx, qy = key // n2, key % n2
+            ts, vs = [key], [cnt]
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    ax, ay = qx + dx, qy + dy
+                    m = (ax >= 0) & (ax < n2) & (ay >= 0) & (ay < n2)
+                    ts.append(ax[m] * n2 + ay[m])
+                    vs.append(cnt[m])
+            t = np.concatenate(ts)
+            v = np.concatenate(vs)
+            uniq, inv = np.unique(t, return_inverse=True)
+            vsum = np.zeros(len(uniq), np.int64)
+            kcnt = np.zeros(len(uniq), np.int64)
+            np.add.at(vsum, inv, v)
+            np.add.at(kcnt, inv, 1)
+            return pa.table({"key": pa.array(uniq, pa.int64()),
+                             "nsum": pa.array(vsum, pa.int64()),
+                             "k": pa.array(kcnt, pa.int64())})
+
+        per_cell = cells.map_batches(offers, batch_format="pyarrow") \
+            .groupby("key").aggregate(Sum("nsum", alias_name="nsum"),
+                                      Sum("k", alias_name="k"))
+        # offers from the cell itself guarantee every occupied cell has
+        # a row; ghost targets (unoccupied neighbors) are dropped here
+        out = broadcast_inner_join(cells, per_cell, on="key")
+
+        def final(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            nsum = b["nsum"].to_numpy().astype(np.float64)
+            k = b["k"].to_numpy().astype(np.float64)
+            nf = float(n_cells)
+            xbar = float(s_tot) / nf
+            s = np.sqrt(float(s2_tot) / nf - xbar * xbar)
+            denom = s * np.sqrt((nf * k - k * k) / (nf - 1.0))
+            z = (nsum - xbar * k) / denom
+            z = np.floor(z * 1e6 + 0.5) / 1e6
+            return pa.table({"qx": pa.array(key // n2, pa.int64()),
+                             "qy": pa.array(key % n2, pa.int64()),
+                             "cnt": b["cnt"],
+                             "nsum": b["nsum"], "k": b["k"],
+                             "z": pa.array(z, pa.float64())})
+
+        return out.map_batches(final, batch_format="pyarrow")
+    q["getis_ord_hotspots"] = getis_ord_hotspots
+
     def way_segment_intersections(sf_dir):
         """Big⋈big segment-intersection join (the GIS overlay / map-
         conflation core): pairs of ways whose polyline segments PROPERLY
@@ -4884,11 +4969,11 @@ _DRIVER_WINDOW = [
     "doc_repetition_stats", "tpch_q16_shape",
     # round-4 additions — new operator families, all oracle-paired
     # (demoted to keep the 50-window: funnel_conversion, zonal_stats,
-    # way_polyline_length, doc_fingerprint_cluster_sizes, bigram_pmi_top
-    # — still paired in the full sweep)
+    # way_polyline_length, doc_fingerprint_cluster_sizes, bigram_pmi_top,
+    # event_value_histogram_quantiles — still paired in the full sweep)
     "hll_group_registers_check", "nearest_boundary_distance",
-    "event_value_histogram_quantiles",
     "grid_dbscan_clusters", "cell_hop_distance",
+    "way_segment_intersections",
 ]
 
 
@@ -6647,6 +6732,38 @@ def oracle_sql():
                          * (CAST(nm.num AS DOUBLE)
                             / CAST(dn.den AS DOUBLE)), 9) AS moran_i
             FROM st, nm, dn""",
+        "getis_ord_hotspots": f"""
+            WITH c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k0 AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                   FROM c),
+            st AS (SELECT COUNT(*) AS n, SUM(cnt) AS s,
+                          SUM(cnt * cnt) AS s2 FROM k0),
+            nb AS (SELECT a.key, CAST(SUM(b.cnt) AS BIGINT) AS nsum,
+                          COUNT(*) AS k
+                   FROM k0 a JOIN k0 b
+                   ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                   GROUP BY a.key)
+            SELECT a.qx, a.qy, a.cnt, nb.nsum, nb.k,
+                   ROUND((CAST(nb.nsum AS DOUBLE)
+                          - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                            * CAST(nb.k AS DOUBLE))
+                         / (sqrt(CAST(st.s2 AS DOUBLE)
+                                     / CAST(st.n AS DOUBLE)
+                                 - (CAST(st.s AS DOUBLE)
+                                        / CAST(st.n AS DOUBLE))
+                                   * (CAST(st.s AS DOUBLE)
+                                          / CAST(st.n AS DOUBLE)))
+                            * sqrt((CAST(st.n AS DOUBLE)
+                                        * CAST(nb.k AS DOUBLE)
+                                    - CAST(nb.k AS DOUBLE)
+                                        * CAST(nb.k AS DOUBLE))
+                                   / (CAST(st.n AS DOUBLE) - 1.0))), 6)
+                       AS z
+            FROM k0 a JOIN nb ON nb.key = a.key CROSS JOIN st""",
         "way_segment_intersections": f"""
             WITH p AS (SELECT wn.way_id, wn.position,
                          CAST(floor(nd.lon * 10000000.0 + 0.5) AS BIGINT)
