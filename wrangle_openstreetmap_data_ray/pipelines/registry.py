@@ -44,6 +44,8 @@ DBSCAN_MINPTS = 5    # core-cell threshold
 ISO_BUDGET = 24      # cell_cost_isochrone max path cost (1 dense/2 sparse)
 HEX_SIZE = 0.03      # hexbin_counts flat-top hex width (degrees)
 SEG_XRES = 12        # way_segment_intersections PBSM grid resolution
+PHASH_NQ = 16        # phash_topk_retrieval query-set size
+PHASH_K = 5          # phash_topk_retrieval neighbors per query
 PAIR_PACK = np.int64(1) << np.int64(32)   # (way_a, way_b) -> one int64 key
 # stratified hash-sampling contract: permille keep-rates per event type
 # (downsample the frequent, keep the rare) + the shared hash seed; the
@@ -4770,6 +4772,119 @@ def queries():
         return out.map_batches(final, batch_format="pyarrow")
     q["getis_ord_hotspots"] = getis_ord_hotspots
 
+    def way_network_components(sf_dir):
+        """Road-network topology: connected components of the way graph
+        where two ways are adjacent iff they share a node (the OSM
+        routing-graph prep step). Per shared node the engine emits a
+        STAR (min way ↔ each other way, O(k) rows) rather than the
+        O(k²) clique — same components, hub-node safe; labels via the
+        production ``connected_components_pairs``; the twin closes over
+        its own clique edge set with a recursive CTE. Output: one row
+        per component with way count and DISTINCT node count (via the
+        map-side-deduped ``grouped_count_distinct``)."""
+        from ..stages import dedup as dd
+        from ..util import (broadcast_inner_join, bucketed_group_apply,
+                            grouped_count_distinct)
+
+        wn = fx.read_fixture(sf_dir, "way_nodes",
+                             columns=["way_id", "node_id"])
+
+        def star(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node_id", "way_id"], kind="mergesort") \
+                 .drop_duplicates(["node_id", "way_id"])
+            nid = g["node_id"].to_numpy()
+            wid = g["way_id"].to_numpy()
+            new = np.empty(len(nid), bool)
+            if len(nid):
+                new[0] = True
+                new[1:] = nid[1:] != nid[:-1]
+            run_id = np.cumsum(new) - 1
+            first = wid[new][run_id]      # min way per node, broadcast
+            m = wid != first
+            return pd.DataFrame({"id_a": first[m], "id_b": wid[m]})
+
+        edges = bucketed_group_apply(wn, ["node_id"], star,
+                                     n_buckets=64) \
+            .map_batches(lambda b: pa.table({"id_a": b["id_a"],
+                                             "id_b": b["id_b"]}),
+                         batch_format="pyarrow")   # pandas→arrow re-type
+
+        def self_loops(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u = pc.unique(b["way_id"])
+            return pa.table({"id_a": u, "id_b": u})
+
+        labels = dd.connected_components_pairs(
+            edges.union(wn.map_batches(self_loops,
+                                       batch_format="pyarrow")))
+        lab = labels.rename_columns({"id": "way_id",
+                                     "label": "component_id"})
+        n_ways = grouped_count(lab, "component_id", out="n_ways")
+        with_nodes = broadcast_inner_join(wn, lab, on="way_id")
+        n_nodes = grouped_count_distinct(with_nodes, ["component_id"],
+                                         "node_id", out_col="n_nodes")
+        return broadcast_inner_join(n_ways, n_nodes, on="component_id")
+    q["way_network_components"] = way_network_components
+
+    def phash_topk_retrieval(sf_dir):
+        """Query-by-image retrieval over the 64-bit perceptual-hash
+        column: the PHASH_NQ lexicographically-smallest image_ids are
+        the query set (deterministic, oracle-expressible); for each
+        query, the top-PHASH_K nearest OTHER images by Hamming distance
+        (ties → min image_id). Engine: queries broadcast once
+        (``ray.put``), per-batch vectorized XOR + 16×4-bit popcount
+        table over the full corpus, per-block top-k pre-reduce via
+        ``grouped_topk`` — only k×blocks candidate rows reach the
+        merge. Twin: bit_count over the cross join + QUALIFY-shaped
+        window."""
+        import ray
+        from ..util import _bcast_get, grouped_topk
+
+        ds = fx.read_fixture(sf_dir, "images",
+                             columns=["image_id", "phash"])
+        qdf = ds.map_batches(
+            lambda b: pa.table({"image_id": b["image_id"]}),
+            batch_format="pyarrow")
+        qids = distributed_topk(qdf, PHASH_NQ,
+                                [("image_id", "ascending")])
+        # pull ONLY the query rows (narrow columns, tiny id filter)
+        import pyarrow.parquet as pq
+        qset = pa.array(list(qids["image_id"]), pa.string())
+        qall = pq.read_table(fx.fixture_path(sf_dir, "images"),
+                             columns=["image_id", "phash"])
+        qrows = qall.filter(pc.is_in(qall["image_id"],
+                                     value_set=qset)) \
+            .to_pandas().sort_values("image_id", ignore_index=True)
+        ref = ray.put((qrows["image_id"].to_numpy(),
+                       qrows["phash"].to_numpy().astype(np.uint64)))
+
+        pop4 = np.array([bin(i).count("1") for i in range(16)],
+                        np.int64)
+
+        def score(b: pa.Table) -> pa.Table:
+            qid, qh = _bcast_get(ref)
+            ids = b["image_id"].to_numpy(zero_copy_only=False)
+            h = b["phash"].to_numpy().astype(np.uint64)
+            # (corpus, queries) XOR then nibble-table popcount
+            x = h[:, None] ^ qh[None, :]
+            d = np.zeros(x.shape, np.int64)
+            for _ in range(16):
+                d += pop4[(x & np.uint64(0xF)).astype(np.int64)]
+                x >>= np.uint64(4)
+            nq = len(qid)
+            return pa.table({
+                "query_id": pa.array(np.repeat(qid, len(ids))),
+                "image_id": pa.array(np.tile(ids, nq)),
+                "dist": pa.array(d.T.reshape(-1), pa.int64())})
+
+        cand = ds.map_batches(score, batch_format="pyarrow") \
+            .map_batches(lambda b: b.filter(
+                pc.not_equal(b["query_id"], b["image_id"])),
+                batch_format="pyarrow")
+        return grouped_topk(cand, ["query_id"], PHASH_K,
+                            [("dist", "asc"), ("image_id", "asc")])
+    q["phash_topk_retrieval"] = phash_topk_retrieval
+
     def way_segment_intersections(sf_dir):
         """Big⋈big segment-intersection join (the GIS overlay / map-
         conflation core): pairs of ways whose polyline segments PROPERLY
@@ -6732,6 +6847,43 @@ def oracle_sql():
                          * (CAST(nm.num AS DOUBLE)
                             / CAST(dn.den AS DOUBLE)), 9) AS moran_i
             FROM st, nm, dn""",
+        "way_network_components": f"""
+            WITH RECURSIVE wn AS (SELECT way_id, node_id
+                                  FROM {way_nodes_p}),
+            w AS (SELECT DISTINCT way_id FROM wn),
+            e0 AS (SELECT DISTINCT a.way_id AS u, b.way_id AS v
+                   FROM wn a JOIN wn b ON a.node_id = b.node_id
+                  AND a.way_id < b.way_id),
+            e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (SELECT w.way_id,
+                           LEAST(w.way_id, COALESCE(MIN(r.v), w.way_id))
+                               AS component_id
+                    FROM w LEFT JOIN reach r ON r.u = w.way_id
+                    GROUP BY w.way_id)
+            SELECT l.component_id,
+                   COUNT(DISTINCT wn.way_id) AS n_ways,
+                   COUNT(DISTINCT wn.node_id) AS n_nodes
+            FROM lab l JOIN wn ON wn.way_id = l.way_id
+            GROUP BY 1""",
+        "phash_topk_retrieval": f"""
+            WITH q AS (SELECT image_id AS query_id, phash AS qh
+                       FROM {images_p} ORDER BY image_id
+                       LIMIT {PHASH_NQ}),
+            d AS (SELECT q.query_id, i.image_id,
+                         bit_count(xor(i.phash, q.qh)) AS dist
+                  FROM q JOIN {images_p} i
+                  ON i.image_id <> q.query_id),
+            r AS (SELECT query_id, image_id, CAST(dist AS BIGINT) AS dist,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY dist, image_id)
+                             AS rn
+                  FROM d)
+            SELECT query_id, image_id, dist FROM r
+            WHERE rn <= {PHASH_K}""",
         "getis_ord_hotspots": f"""
             WITH c AS (
                 SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
