@@ -1564,3 +1564,50 @@ def test_sssp_costs_regimes_match_dijkstra(ray_session):
 
     assert run() == want                                    # single-task
     assert run(single_task_cap=0, n_buckets=8) == want      # distributed
+
+
+def test_sssp_init_cost_labels_match_both_regimes(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.graph import sssp_costs
+
+    # lexicographic (hops, seed) allocation on a small grid-ish graph
+    rng = np.random.default_rng(3)
+    n, m = 50, 160
+    e = rng.integers(0, n, (m, 2))
+    SHIFT = 1 << 10
+    edges_df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1],
+                             "w": np.full(m, SHIFT)})
+    seeds_df = pd.DataFrame({"node": [7, 23, 41],
+                             "c0": [7, 23, 41]})
+
+    # reference: BFS from all seeds, label = (hops, seed) lexicographic
+    adj = {}
+    for s, d in e:
+        adj.setdefault(int(s), set()).add(int(d))
+    want = {7: 7, 23: 23, 41: 41}     # combined keys
+    frontier = {7: 7, 23: 23, 41: 41}
+    hops = 0
+    while frontier:
+        hops += 1
+        nxt = {}
+        for u, comb in frontier.items():
+            for v in adj.get(u, ()):
+                cand = (comb % SHIFT) + hops * SHIFT
+                if v not in want or cand < want[v]:
+                    if v not in nxt or cand < nxt[v]:
+                        nxt[v] = cand
+        # keep only real improvements
+        nxt = {v: c for v, c in nxt.items()
+               if v not in want or c < want[v]}
+        want.update(nxt)
+        frontier = nxt
+
+    def run(**kw):
+        out = sssp_costs(rd.from_pandas(edges_df).repartition(4),
+                         rd.from_pandas(seeds_df), init_cost="c0",
+                         budget=20 * SHIFT + SHIFT - 1, **kw).take_all()
+        return {int(r["node"]): int(r["cost"]) for r in out}
+
+    assert run() == want
+    assert run(single_task_cap=0, n_buckets=8) == want

@@ -46,6 +46,9 @@ HEX_SIZE = 0.03      # hexbin_counts flat-top hex width (degrees)
 SEG_XRES = 12        # way_segment_intersections PBSM grid resolution
 PHASH_NQ = 16        # phash_topk_retrieval query-set size
 PHASH_K = 5          # phash_topk_retrieval neighbors per query
+VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
+VOR_HOPLIM = 96      # allocation reach limit (hops)
+VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
 PAIR_PACK = np.int64(1) << np.int64(32)   # (way_a, way_b) -> one int64 key
 # stratified hash-sampling contract: permille keep-rates per event type
 # (downsample the frequent, keep the rare) + the shared hash seed; the
@@ -4489,6 +4492,58 @@ def queries():
         return out.map_batches(final, batch_format="pyarrow")
     q["cell_cost_isochrone"] = cell_cost_isochrone
 
+    def cell_voronoi_allocation(sf_dir):
+        """Grid Voronoi / nearest-facility allocation: every occupied
+        cell reachable within VOR_HOPLIM hops is labeled with its
+        nearest of the VOR_NSEEDS densest cells (ties: fewer hops
+        first, then smaller seed key) — the service-area allocation
+        primitive. ONE ``graph.sssp_costs`` run does it: the
+        lexicographic (hops, seed) objective is encoded as
+        hops·VOR_SHIFT + seed_key with uniform edge weight VOR_SHIFT
+        and per-seed initial cost = its own key, so min-cost IS the
+        allocation rule. The twin's bounded recursive CTE carries the
+        same combined key."""
+        import ray.data as rd
+        from ..stages import graph
+        from ..util import broadcast_inner_join
+        res = DBSCAN_RES
+        n = np.int64(1) << np.int64(res)
+
+        cells = _cell_counts(sf_dir, res).materialize()
+        seed = distributed_topk(cells, VOR_NSEEDS,
+                                [("cnt", "descending"),
+                                 ("key", "ascending")])
+        seeds = rd.from_pandas(pd.DataFrame(
+            {"node": seed["key"].to_numpy(),
+             "c0": seed["key"].to_numpy()}))
+        edges = _neighbor_edges(cells, res).map_batches(
+            lambda b: pa.table({
+                "src": b["src"], "dst": b["dst"],
+                "w": pa.array(np.full(len(b["src"]), VOR_SHIFT,
+                                      np.int64))}),
+            batch_format="pyarrow")
+        alloc = graph.sssp_costs(
+            edges, seeds, node="node", init_cost="c0",
+            budget=VOR_HOPLIM * VOR_SHIFT + VOR_SHIFT - 1) \
+            .map_batches(lambda b: pa.table(
+                {"key": b["node"], "c": b["cost"]}),
+                batch_format="pyarrow")
+        out = broadcast_inner_join(cells, alloc, on="key")
+
+        def final(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy()
+            c = b["c"].to_numpy()
+            sk = c % VOR_SHIFT
+            return pa.table({"qx": pa.array(key // n, pa.int64()),
+                             "qy": pa.array(key % n, pa.int64()),
+                             "cnt": b["cnt"],
+                             "hops": pa.array(c // VOR_SHIFT, pa.int64()),
+                             "seed_qx": pa.array(sk // n, pa.int64()),
+                             "seed_qy": pa.array(sk % n, pa.int64())})
+
+        return out.map_batches(final, batch_format="pyarrow")
+    q["cell_voronoi_allocation"] = cell_voronoi_allocation
+
     def dbscan_cluster_diameter(sf_dir):
         """Exact squared diameter (max pairwise cell distance) per
         DBSCAN cluster: convex-hull prune + hull-pair max inside one
@@ -6884,6 +6939,31 @@ def oracle_sql():
                   FROM d)
             SELECT query_id, image_id, dist FROM r
             WHERE rn <= {PHASH_K}""",
+        "cell_voronoi_allocation": f"""
+            WITH RECURSIVE c AS (
+                SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
+                       {_grid_sql('lat', DBSCAN_RES, -90.0, 180.0)} AS qy,
+                       COUNT(*) AS cnt
+                FROM {geo_p} GROUP BY 1, 2),
+            k AS (SELECT qx * {1 << DBSCAN_RES} + qy AS key, qx, qy, cnt
+                  FROM c),
+            seeds AS (SELECT key FROM k
+                      ORDER BY cnt DESC, key LIMIT {VOR_NSEEDS}),
+            e AS (SELECT a.key AS u, b.key AS v FROM k a JOIN k b
+                  ON abs(a.qx - b.qx) <= 1 AND abs(a.qy - b.qy) <= 1
+                 AND a.key <> b.key),
+            r(key, cc) AS (
+                SELECT key, key FROM seeds
+                UNION
+                SELECT e.v, r.cc + {int(VOR_SHIFT)}
+                FROM r JOIN e ON e.u = r.key
+                WHERE r.cc + {int(VOR_SHIFT)}
+                      <= {VOR_HOPLIM * int(VOR_SHIFT) + int(VOR_SHIFT) - 1}),
+            m AS (SELECT key, MIN(cc) AS cc FROM r GROUP BY 1)
+            SELECT qx, qy, cnt, cc // {int(VOR_SHIFT)} AS hops,
+                   (cc % {int(VOR_SHIFT)}) // {1 << DBSCAN_RES} AS seed_qx,
+                   (cc % {int(VOR_SHIFT)}) % {1 << DBSCAN_RES} AS seed_qy
+            FROM k JOIN m USING (key)""",
         "getis_ord_hotspots": f"""
             WITH c AS (
                 SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,

@@ -406,12 +406,17 @@ def bfs_hops(edges, seeds, node: str = "node", src: str = "src",
 def sssp_costs(edges, seeds, node: str = "node", src: str = "src",
                dst: str = "dst", w: str = "w", budget: int | None = None,
                max_rounds: int = 256, broadcast_cap: int = 2_000_000,
-               single_task_cap: int = 5_000_000, n_buckets: int = 512):
+               single_task_cap: int = 5_000_000, n_buckets: int = 512,
+               init_cost: str | None = None):
     """Single/multi-source shortest-path COST over a weighted directed
     edge Dataset → ``(node, cost)`` for every node whose min path cost
-    from ``seeds`` is ≤ ``budget`` (cost 0 at a seed; unreachable /
-    over-budget nodes emit no row). Weights must be POSITIVE integers —
-    exact in float64 and the round bound below depends on it.
+    from ``seeds`` is ≤ ``budget`` (cost 0 at a seed — or the seed's
+    ``init_cost`` column when given, which turns this into generalized
+    label correction: e.g. grid Voronoi allocation encodes (hops, seed)
+    lexicographically as hops·SHIFT + seed_key and seeds start at their
+    own key; unreachable / over-budget nodes emit no row). Weights must
+    be POSITIVE integers — exact in float64 and the round bound below
+    depends on it.
 
     Two regimes (the ``bfs_hops`` rule):
     - edges ≤ ``single_task_cap``: one-task vectorized Bellman-Ford —
@@ -433,8 +438,11 @@ def sssp_costs(edges, seeds, node: str = "node", src: str = "src",
 
     if edges.count() <= single_task_cap:
         def seed_rows(b: pa.Table) -> pa.Table:
-            return pa.table({src: b[node], dst: b[node],
-                             w: pa.array(np.zeros(b.num_rows, np.int64)),
+            import pyarrow.compute as pc
+            c0 = (pa.array(np.zeros(b.num_rows, np.int64))
+                  if init_cost is None
+                  else pc.cast(b[init_cost], pa.int64()))
+            return pa.table({src: b[node], dst: b[node], w: c0,
                              "is_seed": pa.array(np.ones(b.num_rows,
                                                          bool))})
 
@@ -459,7 +467,9 @@ def sssp_costs(edges, seeds, node: str = "node", src: str = "src",
             em = ~is_seed
             es, ed, ew = sc[em], dc[em], ww[em]
             dist = np.full(nn, np.inf)
-            dist[sc[is_seed]] = 0.0
+            # seed init = its w column (0 default / init_cost); min
+            # handles duplicate seed rows
+            np.minimum.at(dist, sc[is_seed], ww[is_seed])
             for _ in range(max_rounds):
                 nd = dist[es] + ew
                 nd[nd > hi] = np.inf      # budget prune
@@ -491,9 +501,22 @@ def sssp_costs(edges, seeds, node: str = "node", src: str = "src",
         return pa.table({node: b[node],
                          "cost": pa.array(np.zeros(b.num_rows, np.int64))})
 
-    frontier = seeds.groupby(node).count().select_columns([node]) \
-        .map_batches(tag0, batch_format="pyarrow") \
-        .repartition(nparts).materialize()
+    if init_cost is None:
+        frontier = seeds.groupby(node).count().select_columns([node]) \
+            .map_batches(tag0, batch_format="pyarrow") \
+            .repartition(nparts).materialize()
+    else:
+        from ..util import grouped_agg_vec
+
+        def retag(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({node: b[node],
+                             "cost": pc.cast(b["cost"], pa.int64())})
+
+        frontier = grouped_agg_vec(seeds, [node],
+                                   [(init_cost, "min", "cost")]) \
+            .map_batches(retag, batch_format="pyarrow") \
+            .repartition(nparts).materialize()
     labels = frontier
     for _ in range(max_rounds):
         f_keys = frontier.map_batches(
