@@ -46,6 +46,8 @@ HEX_SIZE = 0.03      # hexbin_counts flat-top hex width (degrees)
 SEG_XRES = 12        # way_segment_intersections PBSM grid resolution
 PHASH_NQ = 16        # phash_topk_retrieval query-set size
 PHASH_K = 5          # phash_topk_retrieval neighbors per query
+SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
+SPATIAL_SCAN_LAT = 1.30
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -1486,6 +1488,52 @@ def queries():
                 f"zone-map pruning ineffective: {scanned}/{total}")
         return out
     q["lancelike_zonemap_scan"] = lancelike_zonemap_scan
+
+    def lancelike_spatial_scan(sf_dir):
+        """SPATIAL index scan through the store (the north-star
+        "cell-prefiltered" read path): geo points are written sorted by
+        their res-12 Morton cell id (2-D locality ⇒ near-disjoint
+        per-fragment cell zones), then one coarse res-8 parent cell is
+        read as a CONTIGUOUS child-cell range — Morton prefix at res 8
+        IS the res-8 quantization, so fragment pruning is a pure
+        metadata decision and the twin expresses the identical
+        predicate as coarse-cell equality. Asserts the scan opened a
+        strict subset of fragments."""
+        from ..sources import lancelike
+        rf, rc = 12, 8
+        ds = fx.read_fixture(sf_dir, "geo",
+                             columns=["image_id", "lon", "lat"])
+
+        def add_cell(b: pa.Table) -> pa.Table:
+            cell = geo.cell_encode(b["lon"].to_numpy(),
+                                   b["lat"].to_numpy(), rf)
+            return b.append_column("cell", pa.array(cell, pa.int64()))
+
+        withc = ds.map_batches(add_cell, batch_format="pyarrow")
+        root = f"/tmp/graft_out/spatial_zm_{fx.sf_tag(sf_dir)}"
+        lancelike.write_dataset(
+            withc.sort("cell"), root, stage="spatial_zm",
+            parent=fx.sf_tag(sf_dir),
+            fingerprint=lancelike.input_fingerprint(ds),
+            zonemap_cols=["cell"])
+        qx8, qy8 = geo.cell_xy(np.array([SPATIAL_SCAN_LON]),
+                               np.array([SPATIAL_SCAN_LAT]), rc)
+        m8 = geo.interleave2(qy8.astype(np.uint64),
+                             qx8.astype(np.uint64))[0]
+        span = np.uint64(1) << np.uint64(2 * (rf - rc))
+        base = np.uint64(rf) << geo._RES_SHIFT
+        lo = int(base | (m8 * span))
+        hi = int(base | ((m8 + np.uint64(1)) * span - np.uint64(1)))
+        out, scanned, total = lancelike.read_dataset_range(
+            root, "cell", lo, hi, columns=["image_id", "lon", "lat"])
+        # a tiny store (few fragments, query covers the extent) can
+        # legitimately scan everything — demand pruning only when there
+        # is something to prune
+        if scanned == 0 or (total >= 8 and scanned == total):
+            raise AssertionError(
+                f"spatial zone-map pruning ineffective: {scanned}/{total}")
+        return out
+    q["lancelike_spatial_scan"] = lancelike_spatial_scan
 
     def lancelike_compact_scan(sf_dir):
         """Fragment compaction through the correctness gate: the geo
@@ -5160,6 +5208,9 @@ def oracle_sql():
     edges_p = f"read_parquet('{_fxp('edges')}')"
     knn_p = f"read_parquet('{_fxp('knn_pts')}')"
     nodes_p = f"read_parquet('{_fxp('nodes')}')"
+    _sx, _sy = geo.cell_xy(np.array([SPATIAL_SCAN_LON]),
+                           np.array([SPATIAL_SCAN_LAT]), 8)
+    _sscan_qx, _sscan_qy = int(_sx[0]), int(_sy[0])
     ways_p = f"read_parquet('{_fxp('ways')}')"
     way_nodes_p = f"read_parquet('{_fxp('way_nodes')}')"
     tags_p = f"read_parquet('{_fxp('tags')}')"
@@ -6939,6 +6990,10 @@ def oracle_sql():
                   FROM d)
             SELECT query_id, image_id, dist FROM r
             WHERE rn <= {PHASH_K}""",
+        "lancelike_spatial_scan": f"""
+            SELECT image_id, lon, lat FROM {geo_p}
+            WHERE {_grid_sql('lon', 8, -180.0, 360.0)} = {_sscan_qx}
+              AND {_grid_sql('lat', 8, -90.0, 180.0)} = {_sscan_qy}""",
         "cell_voronoi_allocation": f"""
             WITH RECURSIVE c AS (
                 SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
