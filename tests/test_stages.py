@@ -1611,3 +1611,45 @@ def test_sssp_init_cost_labels_match_both_regimes(ray_session):
 
     assert run() == want
     assert run(single_task_cap=0, n_buckets=8) == want
+
+
+def test_grouped_agg_vec_matches_ray_aggregate(ray_session):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from wrangle_openstreetmap_data_ray.util import (bucketed_sum,
+                                                     grouped_agg_vec,
+                                                     grouped_count)
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], 5000),
+        "v": rng.integers(-100, 100, 5000),
+        "f": rng.normal(size=5000).round(3)})
+    ds = rd.from_pandas(df).repartition(7)
+
+    got = grouped_agg_vec(ds, ["k"],
+                          [("v", "sum", "sv"), (None, "count", "n"),
+                           ("v", "min", "mn"), ("v", "max", "mx")]) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    want = ds.groupby("k").aggregate(
+        Sum("v", alias_name="sv"), Count(alias_name="n"),
+        Min("v", alias_name="mn"), Max("v", alias_name="mx")) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
+
+    gc = grouped_count(ds, "k").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    assert dict(zip(gc.k, gc.cnt)) == df.groupby("k").size().to_dict()
+
+    # bucketed_sum over pre-reduced partials == global integer sums
+    parts = rd.from_pandas(
+        df.groupby("k", as_index=False)["v"].sum()
+          .sample(frac=1.0, random_state=0)).repartition(3) \
+        .union(rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [7]})))
+    bs = bucketed_sum(parts, ["k"], {"v": "total"}, n_buckets=8) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    want2 = df.groupby("k")["v"].sum().to_dict()
+    want2["a"] += 7
+    assert dict(zip(bs.k, bs.total)) == want2
