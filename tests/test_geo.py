@@ -171,3 +171,19 @@ def test_hex_axial_roundtrip_and_adjacency():
     # binning is deterministic and dense points share bins
     q2, r2 = geo.hex_axial(lon, lat, s)
     assert np.array_equal(q, q2) and np.array_equal(r, r2)
+
+
+def test_polygon_overlay_predicates():
+    from wrangle_openstreetmap_data_ray.functions import geo
+    sq = lambda x0, y0, s: geo.ring_edges_float(
+        [x0, x0 + s, x0 + s, x0], [y0, y0, y0 + s, y0 + s])
+    outer = sq(0.0, 0.0, 10.0)
+    inner = sq(3.0, 3.0, 2.0)       # strictly nested
+    shifted = sq(8.0, 8.0, 4.0)     # crosses outer's corner
+    far = sq(20.0, 20.0, 1.0)       # disjoint
+    assert not geo.edges_cross_float(outer, inner)
+    assert geo.point_in_edges_float(outer, inner[0][0], inner[1][0])
+    assert not geo.point_in_edges_float(inner, outer[0][0], outer[1][0])
+    assert geo.edges_cross_float(outer, shifted)
+    assert not geo.edges_cross_float(outer, far)
+    assert not geo.point_in_edges_float(outer, far[0][0], far[1][0])

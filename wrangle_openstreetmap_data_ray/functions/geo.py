@@ -431,3 +431,40 @@ def hex_axial(lon: np.ndarray, lat: np.ndarray,
     q = np.where(fix_x, -ry - rz, rx).astype(np.int64)
     r = np.where(fix_z, -rx - ry, rz).astype(np.int64)
     return q, r
+
+
+def ring_edges_float(rx, ry):
+    """(x1, y1, x2, y2) edge arrays of one closed ring — the SAME
+    explode (vertex i → roll(-1)) that builds the edges fixture, so
+    float predicates over these mirror the SQL twins exactly."""
+    rx = np.asarray(rx, np.float64)
+    ry = np.asarray(ry, np.float64)
+    return rx, ry, np.roll(rx, -1), np.roll(ry, -1)
+
+
+def edges_cross_float(a, b) -> bool:
+    """True iff any edge of ring a STRICTLY crosses any edge of ring b
+    — the d1·d2<0 ∧ d3·d4<0 float convention shared with the
+    ways_crossing_polygons SQL twin (touches/collinear excluded)."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    d1 = ((ax2 - ax1)[:, None] * (by1[None, :] - ay1[:, None])
+          - (ay2 - ay1)[:, None] * (bx1[None, :] - ax1[:, None]))
+    d2 = ((ax2 - ax1)[:, None] * (by2[None, :] - ay1[:, None])
+          - (ay2 - ay1)[:, None] * (bx2[None, :] - ax1[:, None]))
+    d3 = ((bx2 - bx1)[None, :] * (ay1[:, None] - by1[None, :])
+          - (by2 - by1)[None, :] * (ax1[:, None] - bx1[None, :]))
+    d4 = ((bx2 - bx1)[None, :] * (ay2[:, None] - by1[None, :])
+          - (by2 - by1)[None, :] * (ax2[:, None] - bx1[None, :]))
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def point_in_edges_float(edges, px: float, py: float) -> bool:
+    """Ray-cast parity over exploded ring edges with the EXACT float
+    expression of the way_polygon_relation SQL twin
+    (``(y1 <= py) != (y2 <= py) AND px < x1 + (py-y1)/(y2-y1)*(x2-x1)``)."""
+    x1, y1, x2, y2 = edges
+    m = (y1 <= py) != (y2 <= py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xc = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+    return int((m & (px < xc)).sum()) % 2 == 1

@@ -46,6 +46,7 @@ HEX_SIZE = 0.03      # hexbin_counts flat-top hex width (degrees)
 SEG_XRES = 12        # way_segment_intersections PBSM grid resolution
 PHASH_NQ = 16        # phash_topk_retrieval query-set size
 PHASH_K = 5          # phash_topk_retrieval neighbors per query
+POLY_XRES = 9        # polygon_overlap_pairs PBSM grid resolution
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
@@ -1534,6 +1535,122 @@ def queries():
                 f"spatial zone-map pruning ineffective: {scanned}/{total}")
         return out
     q["lancelike_spatial_scan"] = lancelike_spatial_scan
+
+    def polygon_overlap_pairs(sf_dir):
+        """Polygon⋈polygon overlay join — the last cell of the join
+        matrix (point×poly = PIP, segment×poly = crossings,
+        segment×segment = intersections, now poly×poly): pairs of
+        polygons whose boundaries CROSS or where one CONTAINS the
+        other, with the relation. PBSM shape again: each polygon's bbox
+        replicates to its POLY_XRES cells carrying the ring coordinate
+        arrays (rings are small; bytes-bounded by polygons × cells),
+        candidate pairs bbox-pretested within a cell, reference-point
+        dedup, then the exact tests mirror the twin's float trees
+        exactly: strict d1·d2<0 ∧ d3·d4<0 edge crossing (the
+        ways_crossing convention) and first-vertex ray-cast parity (the
+        way_polygon_relation convention)."""
+        from ..util import bucketed_group_apply, typed_empty_series
+        res = POLY_XRES
+        n = np.int64(1) << np.int64(res)
+
+        ds = fx.read_fixture(sf_dir, "polygons",
+                             columns=["polygon_id", "ring", "bbox_w",
+                                      "bbox_s", "bbox_e", "bbox_n"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            rows = b.to_pylist()
+            pid, rxs, rys = [], [], []
+            for r in rows:
+                pid.append(r["polygon_id"])
+                rxs.append([p["lon"] for p in r["ring"]])
+                rys.append([p["lat"] for p in r["ring"]])
+            w = np.array([r["bbox_w"] for r in rows])
+            s_ = np.array([r["bbox_s"] for r in rows])
+            e = np.array([r["bbox_e"] for r in rows])
+            nn_ = np.array([r["bbox_n"] for r in rows])
+            qxl, qyl = geo.cell_xy(w, s_, res)
+            qxh, qyh = geo.cell_xy(e, nn_, res)
+            cols = {"polygon_id": pa.array(pid, pa.string()),
+                    "rx": pa.array(rxs, pa.list_(pa.float64())),
+                    "ry": pa.array(rys, pa.list_(pa.float64())),
+                    "w": pa.array(w), "s": pa.array(s_),
+                    "e": pa.array(e), "n": pa.array(nn_),
+                    "qxl": pa.array(qxl, pa.int64()),
+                    "qyl": pa.array(qyl, pa.int64()),
+                    "qxh": pa.array(qxh, pa.int64()),
+                    "qyh": pa.array(qyh, pa.int64())}
+            # explode to covered cells
+            cx = qxh - qxl + 1
+            cy = qyh - qyl + 1
+            cnt = cx * cy
+            si = np.repeat(np.arange(len(cnt)), cnt)
+            within = np.arange(int(cnt.sum())) \
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            ccx = qxl[si] + within // cy[si]
+            ccy = qyl[si] + within % cy[si]
+            t = pa.table(cols).take(pa.array(si, pa.int64()))
+            return t.append_column("cell",
+                                   pa.array(ccx * n + ccy, pa.int64()))
+
+        exploded = ds.map_batches(prep, batch_format="pyarrow",
+                                  batch_size=None)
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_r = [], [], []
+            for cell, gg in g.groupby("cell", sort=False):
+                m = len(gg)
+                if m < 2:
+                    continue
+                if m > 50_000:
+                    raise RuntimeError(
+                        f"polygon_overlap_pairs: hot cell with {m} "
+                        f"polygons; raise POLY_XRES or salt")
+                pid = gg["polygon_id"].to_numpy()
+                W = gg["w"].to_numpy()
+                S = gg["s"].to_numpy()
+                E = gg["e"].to_numpy()
+                N_ = gg["n"].to_numpy()
+                qxl = gg["qxl"].to_numpy()
+                qyl = gg["qyl"].to_numpy()
+                rx = gg["rx"].to_numpy()
+                ry = gg["ry"].to_numpy()
+                ov = ((W[:, None] <= E[None, :])
+                      & (W[None, :] <= E[:, None])
+                      & (S[:, None] <= N_[None, :])
+                      & (S[None, :] <= N_[:, None]))
+                jj = np.arange(m)[None, :]
+                ov &= jj > np.arange(m)[:, None]
+                ov &= pid[:, None] != pid[None, :]
+                # reference point over the pair's bbox-intersection min
+                ccell = (np.maximum(qxl[:, None], qxl[None, :]) * n
+                         + np.maximum(qyl[:, None], qyl[None, :]))
+                ov &= ccell == int(cell)
+                ai, bj = np.nonzero(ov)
+                for i, j in zip(ai, bj):
+                    ea = geo.ring_edges_float(rx[i], ry[i])
+                    eb = geo.ring_edges_float(rx[j], ry[j])
+                    rel = None
+                    if geo.edges_cross_float(ea, eb):
+                        rel = "crosses"
+                    elif geo.point_in_edges_float(ea, eb[0][0], eb[1][0]) \
+                            or geo.point_in_edges_float(eb, ea[0][0],
+                                                        ea[1][0]):
+                        rel = "contains"
+                    if rel is not None:
+                        a_, b_ = sorted((pid[i], pid[j]))
+                        out_a.append(a_)
+                        out_b.append(b_)
+                        out_r.append(rel)
+            if not out_a:
+                es = typed_empty_series(np.array(["x"], dtype=object))
+                return pd.DataFrame({"poly_a": es, "poly_b": es.copy(),
+                                     "relation": es.copy()})
+            return pd.DataFrame({"poly_a": out_a, "poly_b": out_b,
+                                 "relation": out_r})
+
+        return bucketed_group_apply(exploded, ["cell"], pairs,
+                                    n_buckets=128)
+    q["polygon_overlap_pairs"] = polygon_overlap_pairs
 
     def lancelike_compact_scan(sf_dir):
         """Fragment compaction through the correctness gate: the geo
@@ -5214,6 +5331,7 @@ def oracle_sql():
     ways_p = f"read_parquet('{_fxp('ways')}')"
     way_nodes_p = f"read_parquet('{_fxp('way_nodes')}')"
     tags_p = f"read_parquet('{_fxp('tags')}')"
+    polys_p = f"read_parquet('{_fxp('polygons')}')"
 
     expected = ", ".join(f"'{t}'" for t in EXPECTED_STREET_TYPES)
     stype = _street_type_sql("addr_street")
@@ -6994,6 +7112,46 @@ def oracle_sql():
             SELECT image_id, lon, lat FROM {geo_p}
             WHERE {_grid_sql('lon', 8, -180.0, 360.0)} = {_sscan_qx}
               AND {_grid_sql('lat', 8, -90.0, 180.0)} = {_sscan_qy}""",
+        "polygon_overlap_pairs": f"""
+            WITH p AS (SELECT polygon_id, bbox_w, bbox_s, bbox_e, bbox_n,
+                              ring[1].lon AS v0x, ring[1].lat AS v0y
+                       FROM {polys_p}),
+            cand AS (SELECT a.polygon_id AS pa, b.polygon_id AS pb,
+                            a.v0x AS avx, a.v0y AS avy,
+                            b.v0x AS bvx, b.v0y AS bvy
+                     FROM p a JOIN p b ON a.polygon_id < b.polygon_id
+                      AND a.bbox_w <= b.bbox_e AND b.bbox_w <= a.bbox_e
+                      AND a.bbox_s <= b.bbox_n AND b.bbox_s <= a.bbox_n),
+            r AS (SELECT c.*,
+              EXISTS (SELECT 1 FROM {edges_p} ea, {edges_p} eb
+                      WHERE ea.polygon_id = c.pa
+                        AND eb.polygon_id = c.pb
+                        AND ((ea.x2-ea.x1)*(eb.y1-ea.y1)
+                             - (ea.y2-ea.y1)*(eb.x1-ea.x1))
+                          * ((ea.x2-ea.x1)*(eb.y2-ea.y1)
+                             - (ea.y2-ea.y1)*(eb.x2-ea.x1)) < 0
+                        AND ((eb.x2-eb.x1)*(ea.y1-eb.y1)
+                             - (eb.y2-eb.y1)*(ea.x1-eb.x1))
+                          * ((eb.x2-eb.x1)*(ea.y2-eb.y1)
+                             - (eb.y2-eb.y1)*(ea.x2-eb.x1)) < 0)
+                  AS crosses,
+              ((SELECT COUNT(*) FROM {edges_p} e
+                WHERE e.polygon_id = c.pa
+                  AND ((e.y1 <= c.bvy) != (e.y2 <= c.bvy))
+                  AND c.bvx < e.x1 + (c.bvy - e.y1)/(e.y2 - e.y1)
+                                     *(e.x2 - e.x1)) % 2 = 1)
+                  AS a_has_b,
+              ((SELECT COUNT(*) FROM {edges_p} e
+                WHERE e.polygon_id = c.pb
+                  AND ((e.y1 <= c.avy) != (e.y2 <= c.avy))
+                  AND c.avx < e.x1 + (c.avy - e.y1)/(e.y2 - e.y1)
+                                     *(e.x2 - e.x1)) % 2 = 1)
+                  AS b_has_a
+              FROM cand c)
+            SELECT pa AS poly_a, pb AS poly_b,
+                   CASE WHEN crosses THEN 'crosses'
+                        ELSE 'contains' END AS relation
+            FROM r WHERE crosses OR a_has_b OR b_has_a""",
         "cell_voronoi_allocation": f"""
             WITH RECURSIVE c AS (
                 SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
