@@ -1652,6 +1652,65 @@ def queries():
                                     n_buckets=128)
     q["polygon_overlap_pairs"] = polygon_overlap_pairs
 
+    def polygon_dissolve_components(sf_dir):
+        """Dissolve-by-attribute (the GIS ST_Union-by-kind prep):
+        polygons of the SAME kind that overlap (boundary cross or
+        containment, per [[polygon_overlap_pairs]]) merge into one
+        dissolved feature; output is one row per dissolved component
+        (id = min polygon_id) with its kind and member count. Pure
+        composition: the overlay join feeds the production CC (plus
+        self-loops so isolated polygons dissolve to themselves); the
+        twin re-derives the same pairs and closes over them with a
+        recursive CTE."""
+        from ..stages import dedup as dd
+        from ..util import broadcast_inner_join
+
+        pairs = polygon_overlap_pairs(sf_dir)
+        polys = fx.read_fixture(sf_dir, "polygons",
+                                columns=["polygon_id", "kind"])
+
+        # same-kind filter: kinds attach via a capped broadcast (the
+        # polygon dimension table), never a shuffle join
+        kinds = polys.map_batches(
+            lambda b: pa.table({"poly_a": b["polygon_id"],
+                                "kind_a": b["kind"]}),
+            batch_format="pyarrow")
+        kinds_b = polys.map_batches(
+            lambda b: pa.table({"poly_b": b["polygon_id"],
+                                "kind_b": b["kind"]}),
+            batch_format="pyarrow")
+        pe = pairs.map_batches(
+            lambda b: pa.table({"poly_a": b["poly_a"],
+                                "poly_b": b["poly_b"]}),
+            batch_format="pyarrow")
+        pe = broadcast_inner_join(pe, kinds, on="poly_a")
+        pe = broadcast_inner_join(pe, kinds_b, on="poly_b")
+
+        def same_kind(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["kind_a"], b["kind_b"])
+            t = b.filter(m)
+            return pa.table({"id_a": t["poly_a"], "id_b": t["poly_b"]})
+
+        edges = pe.map_batches(same_kind, batch_format="pyarrow")
+
+        def self_loops(b: pa.Table) -> pa.Table:
+            return pa.table({"id_a": b["polygon_id"],
+                             "id_b": b["polygon_id"]})
+
+        labels = dd.connected_components_pairs(
+            edges.union(polys.map_batches(self_loops,
+                                          batch_format="pyarrow")))
+        lab = labels.rename_columns({"id": "polygon_id",
+                                     "label": "component_id"})
+        withk = broadcast_inner_join(lab, polys.map_batches(
+            lambda b: pa.table({"polygon_id": b["polygon_id"],
+                                "kind": b["kind"]}),
+            batch_format="pyarrow"), on="polygon_id")
+        from ..util import grouped_agg_vec
+        return grouped_agg_vec(withk, ["component_id", "kind"],
+                               [(None, "count", "n_members")])
+    q["polygon_dissolve_components"] = polygon_dissolve_components
+
     def lancelike_compact_scan(sf_dir):
         """Fragment compaction through the correctness gate: the geo
         points are written as MANY deliberately-small fragments, compacted
@@ -7152,6 +7211,59 @@ def oracle_sql():
                    CASE WHEN crosses THEN 'crosses'
                         ELSE 'contains' END AS relation
             FROM r WHERE crosses OR a_has_b OR b_has_a""",
+        "polygon_dissolve_components": f"""
+            WITH RECURSIVE p AS (
+                SELECT polygon_id, kind, bbox_w, bbox_s, bbox_e, bbox_n,
+                       ring[1].lon AS v0x, ring[1].lat AS v0y
+                FROM {polys_p}),
+            cand AS (SELECT a.polygon_id AS pa, b.polygon_id AS pb,
+                            a.v0x AS avx, a.v0y AS avy,
+                            b.v0x AS bvx, b.v0y AS bvy
+                     FROM p a JOIN p b ON a.polygon_id < b.polygon_id
+                      AND a.kind = b.kind
+                      AND a.bbox_w <= b.bbox_e AND b.bbox_w <= a.bbox_e
+                      AND a.bbox_s <= b.bbox_n AND b.bbox_s <= a.bbox_n),
+            rr AS (SELECT c.*,
+              EXISTS (SELECT 1 FROM {edges_p} ea, {edges_p} eb
+                      WHERE ea.polygon_id = c.pa
+                        AND eb.polygon_id = c.pb
+                        AND ((ea.x2-ea.x1)*(eb.y1-ea.y1)
+                             - (ea.y2-ea.y1)*(eb.x1-ea.x1))
+                          * ((ea.x2-ea.x1)*(eb.y2-ea.y1)
+                             - (ea.y2-ea.y1)*(eb.x2-ea.x1)) < 0
+                        AND ((eb.x2-eb.x1)*(ea.y1-eb.y1)
+                             - (eb.y2-eb.y1)*(ea.x1-eb.x1))
+                          * ((eb.x2-eb.x1)*(ea.y2-eb.y1)
+                             - (eb.y2-eb.y1)*(ea.x2-eb.x1)) < 0)
+                  AS crosses,
+              ((SELECT COUNT(*) FROM {edges_p} e
+                WHERE e.polygon_id = c.pa
+                  AND ((e.y1 <= c.bvy) != (e.y2 <= c.bvy))
+                  AND c.bvx < e.x1 + (c.bvy - e.y1)/(e.y2 - e.y1)
+                                     *(e.x2 - e.x1)) % 2 = 1)
+                  AS a_has_b,
+              ((SELECT COUNT(*) FROM {edges_p} e
+                WHERE e.polygon_id = c.pb
+                  AND ((e.y1 <= c.avy) != (e.y2 <= c.avy))
+                  AND c.avx < e.x1 + (c.avy - e.y1)/(e.y2 - e.y1)
+                                     *(e.x2 - e.x1)) % 2 = 1)
+                  AS b_has_a
+              FROM cand c),
+            ov AS (SELECT pa AS u, pb AS v FROM rr
+                   WHERE crosses OR a_has_b OR b_has_a),
+            e AS (SELECT u, v FROM ov UNION SELECT v, u FROM ov),
+            reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r2.u, e2.v FROM reach r2 JOIN e e2 ON r2.v = e2.u),
+            lab AS (SELECT p.polygon_id, p.kind,
+                           LEAST(p.polygon_id,
+                                 COALESCE(MIN(r3.v), p.polygon_id))
+                               AS component_id
+                    FROM p LEFT JOIN reach r3 ON r3.u = p.polygon_id
+                    GROUP BY p.polygon_id, p.kind)
+            SELECT component_id, kind, COUNT(*) AS n_members
+            FROM lab GROUP BY 1, 2""",
         "cell_voronoi_allocation": f"""
             WITH RECURSIVE c AS (
                 SELECT {_grid_sql('lon', DBSCAN_RES, -180.0, 360.0)} AS qx,
