@@ -49,6 +49,7 @@ PHASH_K = 5          # phash_topk_retrieval neighbors per query
 POLY_XRES = 9        # polygon_overlap_pairs PBSM grid resolution
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
+OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -5316,6 +5317,74 @@ def queries():
                                     n_buckets=256)
     q["way_segment_intersections"] = way_segment_intersections
 
+    # ------------- trajectory analytics over the node edit history
+
+    def user_edit_path_length(sf_dir):
+        """Per-user trajectory length over the OSM edit history: each
+        user's node edits ordered by (timestamp, id) become a path whose
+        consecutive great-circle hops are summed. Hop distances go to
+        integer millimeters BEFORE the sum (floor(d*1000+0.5)) so the
+        per-user total is exact at any parallelism; single-edit users
+        have no hops and appear on neither side. Scale shape: ONE
+        bounded-bucket shuffle on the trajectory key (user), vectorized
+        haversine inside the bucket — the same plan at 10^12 edit rows."""
+        from ..util import bucketed_group_apply, typed_empty_series
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat", "timestamp",
+                                         "user"])
+
+        def hops(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user", "timestamp", "id"], kind="mergesort")
+            u = g["user"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = u[1:] == u[:-1]
+            d = geo.haversine_m(lon[:-1][same], lat[:-1][same],
+                                lon[1:][same], lat[1:][same])
+            mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            df = pd.DataFrame({"user": u[1:][same], "mm": mm})
+            if not len(df):
+                return pd.DataFrame({"user": typed_empty_series(u),
+                                     "n_hops": np.empty(0, np.int64),
+                                     "path_mm": np.empty(0, np.int64)})
+            out = df.groupby("user", sort=False)["mm"] \
+                    .agg(["size", "sum"]).reset_index()
+            return pd.DataFrame({"user": out["user"],
+                                 "n_hops": out["size"].astype(np.int64),
+                                 "path_mm": out["sum"].astype(np.int64)})
+
+        return bucketed_group_apply(nodes, ["user"], hops, n_buckets=64)
+    q["user_edit_path_length"] = user_edit_path_length
+
+    def od_cell_flows(sf_dir):
+        """Origin→destination flow matrix: consecutive node edits per user
+        (same (timestamp, id) total order as the path query) become
+        directed cell→cell flows on the coarse OD grid, counted
+        globally. Per-user transition extraction is one bucketed
+        shuffle; the flow count merges per-block partials through the
+        vectorized arrow combiner (never a raw row-walked aggregate)."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat", "timestamp",
+                                         "user"])
+
+        def transitions(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user", "timestamp", "id"], kind="mergesort")
+            u = g["user"].to_numpy()
+            qx, qy = geo.cell_xy(g["lon"].to_numpy(), g["lat"].to_numpy(),
+                                 OD_RES)
+            same = u[1:] == u[:-1]
+            return pd.DataFrame({"from_x": qx[:-1][same],
+                                 "from_y": qy[:-1][same],
+                                 "to_x": qx[1:][same],
+                                 "to_y": qy[1:][same]})
+
+        flows = bucketed_group_apply(nodes, ["user"], transitions,
+                                     n_buckets=64)
+        return grouped_agg_vec(flows, ["from_x", "from_y", "to_x", "to_y"],
+                               [(None, "count", "n_flows")])
+    q["od_cell_flows"] = od_cell_flows
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7371,6 +7440,38 @@ def oracle_sql():
                 GROUP BY 1)
             JOIN supplier USING (s_suppkey)
             ORDER BY numwait DESC, s_suppkey LIMIT 10""",
+        # trajectory analytics: LAG window = the engine's in-bucket
+        # consecutive-row adjacency after the same (ts, id) total order
+        "user_edit_path_length": f"""
+            WITH s AS (SELECT user, id, lon, lat, timestamp AS ts
+                       FROM {nodes_p}),
+            p AS (SELECT user, lon, lat,
+                         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                  FROM s WINDOW w AS (PARTITION BY user ORDER BY ts, id)),
+            d AS (SELECT user,
+                         2*6371008.8*asin(sqrt(LEAST(GREATEST(
+                             sin((radians(lat)-radians(plat))/2)^2
+                             + cos(radians(plat))*cos(radians(lat))
+                             *sin((radians(lon)-radians(plon))/2)^2,
+                             0.0), 1.0))) AS dm
+                  FROM p WHERE plon IS NOT NULL)
+            SELECT user, COUNT(*) AS n_hops,
+                   CAST(SUM(CAST(floor(dm * 1000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS path_mm
+            FROM d GROUP BY user""",
+        "od_cell_flows": f"""
+            WITH s AS (SELECT user, id, lon, lat, timestamp AS ts
+                       FROM {nodes_p}),
+            p AS (SELECT lon, lat,
+                         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                  FROM s WINDOW w AS (PARTITION BY user ORDER BY ts, id))
+            SELECT {_grid_sql('plon', OD_RES, -180.0, 360.0)} AS from_x,
+                   {_grid_sql('plat', OD_RES, -90.0, 180.0)} AS from_y,
+                   {_grid_sql('lon', OD_RES, -180.0, 360.0)} AS to_x,
+                   {_grid_sql('lat', OD_RES, -90.0, 180.0)} AS to_y,
+                   COUNT(*) AS n_flows
+            FROM p WHERE plon IS NOT NULL
+            GROUP BY 1, 2, 3, 4""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
