@@ -202,3 +202,81 @@ def nearest_boundary_join(points_ds, polygons: pa.Table,
                          "d9": pa.array(d9, pa.int64())})
 
     return points_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def snap_to_segments(points_ds, segments: pa.Table,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     id_col: str = "image_id",
+                     point_chunk: int = 1024,
+                     max_segments: int = 5_000_000):
+    """Map-matching primitive: snap every point to the NEAREST segment of
+    a line network — (id, way_id, d9) with distance ties resolved to the
+    smallest way_id, exact by construction (full point×segment min, no
+    prefilter that could miss a far-away nearest).
+
+    ``segments`` is the dimension side (way_id:int64, x1, y1, x2, y2 in
+    lon/lat degrees): a road network is bounded (10^6-10^8 segments)
+    while points scale to 10^12, so the network broadcasts once
+    (``ray.put``) and points stream map-only with zero shuffles —
+    exactly the PIP/boundary-join shape. Beyond ``max_segments`` this
+    raises: at that size snap must become a cell-bucketed join with an
+    expanding-ring guarantee (the kNN stage's pattern), not a broadcast.
+
+    Zero-length segments (consecutive duplicate vertices) must be
+    dropped by the CALLER on both engine and oracle sides — they have no
+    projection and would divide by zero.
+    """
+    import ray
+
+    if segments.num_rows > max_segments:
+        raise ValueError(
+            f"{segments.num_rows} segments exceeds the broadcast cap "
+            f"({max_segments}); use a cell-bucketed snap join instead")
+    w = segments["way_id"].to_numpy()
+    sx1 = segments["x1"].to_numpy()
+    sy1 = segments["y1"].to_numpy()
+    dx = segments["x2"].to_numpy() - sx1
+    dy = segments["y2"].to_numpy() - sy1
+    len2 = dx * dx + dy * dy
+    if np.any(len2 == 0):
+        raise ValueError("degenerate zero-length segment (drop before snap)")
+    ref = ray.put((w, sx1, sy1, dx, dy, len2))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..util import _bcast_get
+        bw, bx1, by1, bdx, bdy, bl2 = _bcast_get(ref)
+        px = batch[lon_col].to_numpy()
+        py = batch[lat_col].to_numpy()
+        best = np.full(len(px), np.inf)
+        bestw = np.full(len(px), np.iinfo(np.int64).max, np.int64)
+        seg_chunk = 4096   # (P, S) temporaries stay ≤ ~32 MB per task
+        for c0 in range(0, len(px), point_chunk):
+            p_x = px[c0:c0 + point_chunk, None]
+            p_y = py[c0:c0 + point_chunk, None]
+            acc = best[c0:c0 + point_chunk]
+            accw = bestw[c0:c0 + point_chunk]
+            for e0 in range(0, len(bx1), seg_chunk):
+                x1 = bx1[None, e0:e0 + seg_chunk]
+                y1 = by1[None, e0:e0 + seg_chunk]
+                sdx = bdx[None, e0:e0 + seg_chunk]
+                sdy = bdy[None, e0:e0 + seg_chunk]
+                l2 = bl2[None, e0:e0 + seg_chunk]
+                t = ((p_x - x1) * sdx + (p_y - y1) * sdy) / l2
+                t = np.clip(t, 0.0, 1.0)
+                cx = x1 + t * sdx
+                cy = y1 + t * sdy
+                d2 = (p_x - cx) * (p_x - cx) + (p_y - cy) * (p_y - cy)
+                m = d2.min(axis=1)
+                # smallest way_id among this chunk's exact-tie columns
+                tie = d2 == m[:, None]
+                wm = np.where(tie, bw[None, e0:e0 + seg_chunk],
+                              np.iinfo(np.int64).max).min(axis=1)
+                upd = (m < acc) | ((m == acc) & (wm < accw))
+                acc[upd] = m[upd]
+                accw[upd] = wm[upd]
+        d9 = np.floor(np.sqrt(best) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"id": batch[id_col],
+                         "way_id": pa.array(bestw, pa.int64()),
+                         "d9": pa.array(d9, pa.int64())})
+
+    return points_ds.map_batches(fn, batch_format="pyarrow")
