@@ -50,6 +50,7 @@ POLY_XRES = 9        # polygon_overlap_pairs PBSM grid resolution
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
+WAY_RASTER_RES = 17  # way_rasterize_cells grid (~300 m cells)
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -5417,6 +5418,51 @@ def queries():
         return pip_join.snap_to_segments(pts, segs)
     q["snap_points_to_ways"] = snap_points_to_ways
 
+    def way_rasterize_cells(sf_dir):
+        """Vector→raster line burn: the distinct grid cells each way
+        covers, by fixed-step DDA sampling of every segment in GRID
+        space (steps = ceil(chebyshev length in cells), so consecutive
+        samples never skip a cell column/row). The whole explode runs
+        inside the same bucketed pass that resolves way order — distinct
+        cells settle in-bucket (a way lives in one bucket), and only
+        ≤ cells-per-way rows leave the shuffle. Float discipline: grid
+        coords, step counts and the i/steps parameter use identical
+        expression trees on both engines."""
+        from ..util import bucketed_group_apply
+        n = 1 << WAY_RASTER_RES
+        joined = _way_points(sf_dir)
+
+        def burn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            gx = (g["lon"].to_numpy() + 180.0) / 360.0 * n
+            gy = (g["lat"].to_numpy() + 90.0) / 180.0 * n
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            w = wid[1:][same]
+            gx1, gy1 = gx[:-1][same], gy[:-1][same]
+            gx2, gy2 = gx[1:][same], gy[1:][same]
+            if not len(w):
+                z = np.empty(0, np.int64)
+                return pd.DataFrame({"way_id": z, "cx": z, "cy": z})
+            steps = np.maximum(np.ceil(np.maximum(np.abs(gx2 - gx1),
+                                                  np.abs(gy2 - gy1))),
+                               1.0).astype(np.int64)
+            cnt = steps + 1
+            seg = np.repeat(np.arange(len(steps)), cnt)
+            i = np.arange(int(cnt.sum()), dtype=np.int64) \
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            t = i.astype(np.float64) / steps[seg].astype(np.float64)
+            cx = np.clip(np.floor(gx1[seg] + (gx2 - gx1)[seg] * t)
+                         .astype(np.int64), 0, n - 1)
+            cy = np.clip(np.floor(gy1[seg] + (gy2 - gy1)[seg] * t)
+                         .astype(np.int64), 0, n - 1)
+            df = pd.DataFrame({"way_id": w[seg], "cx": cx, "cy": cy})
+            return df.drop_duplicates()
+
+        return bucketed_group_apply(joined, ["way_id"], burn, n_buckets=64)
+    q["way_rasterize_cells"] = way_rasterize_cells
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7534,6 +7580,33 @@ def oracle_sql():
             SELECT id, way_id,
                    CAST(floor(sqrt(d2) * 1e9 + 0.5) AS BIGINT) AS d9
             FROM r WHERE rn = 1""",
+        # DDA line burn: identical grid/step/parameter float trees
+        "way_rasterize_cells": f"""
+            WITH pts AS (SELECT wn.way_id, wn.position,
+                                (nd.lon + 180.0) / 360.0
+                                    * {1 << WAY_RASTER_RES}.0 AS gx,
+                                (nd.lat + 90.0) / 180.0
+                                    * {1 << WAY_RASTER_RES}.0 AS gy
+                         FROM {way_nodes_p} wn
+                         JOIN {nodes_p} nd ON wn.node_id = nd.id),
+            st AS (SELECT a.way_id, a.gx AS gx1, a.gy AS gy1,
+                          b.gx AS gx2, b.gy AS gy2,
+                          GREATEST(CAST(ceil(GREATEST(abs(b.gx - a.gx),
+                                                      abs(b.gy - a.gy)))
+                                        AS BIGINT), 1) AS steps
+                   FROM pts a JOIN pts b ON a.way_id = b.way_id
+                    AND b.position = a.position + 1),
+            e AS (SELECT way_id, gx1, gy1, gx2, gy2, steps,
+                         unnest(generate_series(0, steps)) AS i FROM st),
+            c AS (SELECT way_id,
+                         LEAST(GREATEST(CAST(floor(gx1 + (gx2 - gx1)
+                             * (CAST(i AS DOUBLE) / steps)) AS BIGINT), 0),
+                             {(1 << WAY_RASTER_RES) - 1}) AS cx,
+                         LEAST(GREATEST(CAST(floor(gy1 + (gy2 - gy1)
+                             * (CAST(i AS DOUBLE) / steps)) AS BIGINT), 0),
+                             {(1 << WAY_RASTER_RES) - 1}) AS cy
+                  FROM e)
+            SELECT DISTINCT way_id, cx, cy FROM c""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
