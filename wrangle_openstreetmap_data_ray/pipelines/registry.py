@@ -51,6 +51,8 @@ SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
 WAY_RASTER_RES = 17  # way_rasterize_cells grid (~300 m cells)
+RIPLEY_MAX_M = 500.0             # ripley_k_counts largest radius
+RIPLEY_RADII_MM = (125000, 250000, 500000)
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -5463,6 +5465,31 @@ def queries():
         return bucketed_group_apply(joined, ["way_id"], burn, n_buckets=64)
     q["way_rasterize_cells"] = way_rasterize_cells
 
+    def ripley_k_counts(sf_dir):
+        """Ripley's K point-pattern statistic (the exact-integer core):
+        directed pair counts within each radius band, from ONE exact
+        radius join at the largest radius (ring-1 cell guarantee — no
+        retry rounds) banded per block and merged through the vectorized
+        combiner. K̂(r) is these counts times the constant
+        area/(n·(n−1)); the counts are the hash-stable surface."""
+        from ..util import grouped_agg_vec
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        pairs = knn.radius_join(pts, radius_m=RIPLEY_MAX_M,
+                                id_col="image_id")
+        rs = np.array(RIPLEY_RADII_MM, np.int64)
+
+        def band(b: pa.Table) -> pa.Table:
+            mm = np.floor(b["dist_m"].to_numpy() * 1000.0 + 0.5) \
+                   .astype(np.int64)
+            n = (mm[None, :] <= rs[:, None]).sum(axis=1).astype(np.int64)
+            return pa.table({"r_mm": pa.array(rs, pa.int64()),
+                             "n_pairs_p": pa.array(n, pa.int64())})
+
+        partials = pairs.map_batches(band, batch_format="pyarrow")
+        return grouped_agg_vec(partials, ["r_mm"],
+                               [("n_pairs_p", "sum", "n_pairs")])
+    q["ripley_k_counts"] = ripley_k_counts
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7607,6 +7634,18 @@ def oracle_sql():
                              {(1 << WAY_RASTER_RES) - 1}) AS cy
                   FROM e)
             SELECT DISTINCT way_id, cx, cy FROM c""",
+        # Ripley banding over the same exact radius predicate as the
+        # radius join; LEFT JOIN keeps empty bands at count 0
+        "ripley_k_counts": f"""
+            WITH d AS (SELECT CAST(floor({hav.replace(chr(10), ' ')}
+                                 * 1000 + 0.5) AS BIGINT) AS mm
+                       FROM {knn_p} a, {knn_p} b
+                       WHERE a.image_id != b.image_id
+                         AND {hav} <= {RIPLEY_MAX_M}),
+            r AS (SELECT CAST(unnest([{', '.join(map(str, RIPLEY_RADII_MM))}])
+                              AS BIGINT) AS r_mm)
+            SELECT r.r_mm, COUNT(d.mm) AS n_pairs
+            FROM r LEFT JOIN d ON d.mm <= r.r_mm GROUP BY 1""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
