@@ -1653,3 +1653,40 @@ def test_grouped_agg_vec_matches_ray_aggregate(ray_session):
     want2 = df.groupby("k")["v"].sum().to_dict()
     want2["a"] += 7
     assert dict(zip(bs.k, bs.total)) == want2
+
+
+def test_augment_images_pixel_semantics(ray_session):
+    """Augmentation pixels are pinned here (SQL pins only the manifest):
+    hflip is an involution, rot90 transposes geometry with exact pixel
+    mapping, crop75 is the centered integer-floor window, and every
+    variant's phash matches a direct recompute over those pixels."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.functions.hashing import hash64_bytes
+    imgs = synth.gen_images_table(0, 24)
+    out = multimodal.augment_images(rd.from_arrow(imgs), out_fmt="raw8",
+                                    concurrency=2).take_all()
+    assert len(out) == 24 * 3
+    src = {imgs["image_id"][i].as_py():
+           codecs.decode(imgs["bytes"][i].as_py(), imgs["fmt"][i].as_py(),
+                         imgs["w"][i].as_py(), imgs["h"][i].as_py())
+           for i in range(imgs.num_rows)}
+    caps = {imgs["image_id"][i].as_py(): imgs["caption"][i].as_py()
+            for i in range(imgs.num_rows)}
+    for r in out:
+        img = src[r["image_id"]]
+        got = codecs.decode(r["bytes"], "raw8", r["w"], r["h"])
+        h, w, _ = img.shape
+        if r["aug"] == "hflip":
+            assert np.array_equal(got, img[:, ::-1])
+            assert np.array_equal(got[:, ::-1], img)      # involution
+        elif r["aug"] == "rot90":
+            assert (r["h"], r["w"]) == (w, h)
+            assert np.array_equal(got, np.rot90(img))
+        else:
+            nw, nh = (w * 3) // 4, (h * 3) // 4
+            x0, y0 = (w - nw) // 2, (h - nh) // 2
+            assert np.array_equal(got, img[y0:y0 + nh, x0:x0 + nw])
+        assert r["caption"] == caps[r["image_id"]]
+        assert r["phash"] == np.int64(np.uint64(
+            hash64_bytes(np.ascontiguousarray(got).tobytes(), 42)))

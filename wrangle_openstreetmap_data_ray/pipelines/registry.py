@@ -5490,6 +5490,27 @@ def queries():
                                [("n_pairs_p", "sum", "n_pairs")])
     q["ripley_k_counts"] = ripley_k_counts
 
+    def image_augment_manifest(sf_dir):
+        """Training-data image augmentation (hflip / rot90 / crop75):
+        decode → transform → re-encode as raw8 on the task pool, ONE row
+        per (image, op). The manifest surface is oracle-pinned: output
+        geometry per op is integer arithmetic over (w, h), the raw8 byte
+        length must equal 3·w'·h' (so REAL bytes flowed through the
+        transform), and the caption rides through unchanged (the
+        BASELINE caption-equality invariant). Pixels themselves are
+        pinned by pytest (involution/geometry goldens) — SQL can't
+        decode."""
+        ds = fx.read_fixture(sf_dir, "images")
+        aug = multimodal.augment_images(ds, out_fmt="raw8")
+
+        def manifest(b: pa.Table) -> pa.Table:
+            nb = pc.binary_length(b["bytes"]).cast(pa.int64())
+            return pa.table({"image_id": b["image_id"], "aug": b["aug"],
+                             "w": b["w"], "h": b["h"], "fmt": b["fmt"],
+                             "n_bytes": nb, "caption": b["caption"]})
+        return aug.map_batches(manifest, batch_format="pyarrow")
+    q["image_augment_manifest"] = image_augment_manifest
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7646,6 +7667,24 @@ def oracle_sql():
                               AS BIGINT) AS r_mm)
             SELECT r.r_mm, COUNT(d.mm) AS n_pairs
             FROM r LEFT JOIN d ON d.mm <= r.r_mm GROUP BY 1""",
+        # augmentation manifest: per-op output geometry is integer
+        # arithmetic over (w, h); raw8 length == 3*w'*h' pins that real
+        # bytes flowed; caption equality rides through
+        "image_augment_manifest": f"""
+            SELECT image_id, 'hflip' AS aug, w, h, 'raw8' AS fmt,
+                   3 * CAST(w AS BIGINT) * h AS n_bytes, caption
+            FROM {images_p}
+            UNION ALL
+            SELECT image_id, 'rot90', h, w, 'raw8',
+                   3 * CAST(w AS BIGINT) * h, caption
+            FROM {images_p}
+            UNION ALL
+            SELECT image_id, 'crop75',
+                   CAST(CAST(w AS BIGINT) * 3 // 4 AS INTEGER),
+                   CAST(CAST(h AS BIGINT) * 3 // 4 AS INTEGER), 'raw8',
+                   3 * (CAST(w AS BIGINT) * 3 // 4)
+                     * (CAST(h AS BIGINT) * 3 // 4), caption
+            FROM {images_p}""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]

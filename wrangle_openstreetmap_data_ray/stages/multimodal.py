@@ -224,3 +224,92 @@ def video_scene_scores(ds, batch_size: int = 128):
     return ds.map_batches(VideoSceneScore, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=(1, 4),
                           num_cpus=1)
+
+
+AUG_OPS = ("hflip", "rot90", "crop75")
+
+
+def _augment_one(img: np.ndarray, op: str) -> np.ndarray:
+    """Deterministic geometric augmentations over an (h, w, 3) uint8
+    image. crop75 center-crops to (3w//4, 3h//4) — integer floor dims,
+    so the SQL twin can pin the output geometry exactly."""
+    if op == "hflip":
+        return img[:, ::-1]
+    if op == "rot90":           # CCW quarter turn: (h, w) -> (w, h)
+        return np.rot90(img)
+    if op == "crop75":
+        h, w, _ = img.shape
+        nw, nh = (w * 3) // 4, (h * 3) // 4
+        x0, y0 = (w - nw) // 2, (h - nh) // 2
+        return img[y0:y0 + nh, x0:x0 + nw]
+    raise ValueError(f"unknown augmentation op {op!r}")
+
+
+class AugmentImages:
+    """Actor-pool stage: decode → deterministic geometric augmentations
+    (hflip / rot90 / crop75) → re-encode; ONE OUTPUT ROW PER (image, op)
+    with the images schema plus an ``aug`` column. The phash is
+    recomputed over the augmented pixels (same content-hash as the
+    ingest path) so downstream exact dedup treats each variant as its
+    own content. Decoded pixels never leave the task — only re-encoded
+    bytes cross the boundary, like every other multimodal stage."""
+
+    def __init__(self, ops=AUG_OPS, out_fmt: str | None = None,
+                 seed: int = 42):
+        self.ops = tuple(ops)
+        self.out_fmt = out_fmt
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        ids = batch["image_id"].to_pylist()
+        caps = (batch["caption"].to_pylist()
+                if "caption" in batch.column_names
+                else [""] * batch.num_rows)
+        o_id, o_aug, o_bytes, o_w, o_h = [], [], [], [], []
+        o_fmt, o_cap, o_ph = [], [], []
+        for i in range(batch.num_rows):
+            img = codecs.decode(blobs[i].as_py(), fmts[i],
+                                int(ws[i]), int(hs[i]))
+            fmt = self.out_fmt or fmts[i]
+            for op in self.ops:
+                a = np.ascontiguousarray(_augment_one(img, op))
+                o_id.append(ids[i])
+                o_aug.append(op)
+                o_bytes.append(codecs.encode(a, fmt))
+                o_h.append(a.shape[0])
+                o_w.append(a.shape[1])
+                o_fmt.append(fmt)
+                o_cap.append(caps[i])
+                o_ph.append(np.int64(np.uint64(
+                    hash64_bytes(a.tobytes(), self.seed))))
+        return pa.table({
+            "image_id": pa.array(o_id, pa.string()),
+            "aug": pa.array(o_aug, pa.string()),
+            "bytes": pa.array(o_bytes, pa.binary()),
+            "w": pa.array(o_w, pa.int32()),
+            "h": pa.array(o_h, pa.int32()),
+            "fmt": pa.array(o_fmt, pa.string()),
+            "caption": pa.array(o_cap, pa.string()),
+            "phash": pa.array(np.asarray(o_ph, np.int64), pa.int64()),
+        })
+
+
+def augment_images(ds, ops=AUG_OPS, out_fmt: str | None = None,
+                   concurrency=None, batch_size: int = 128):
+    """Augmentation fan-out (rows ×= len(ops)): task-based by default,
+    actor pool via ``concurrency`` for model-adjacent setups."""
+    if concurrency is not None:
+        return ds.map_batches(AugmentImages,
+                              fn_constructor_kwargs={"ops": ops,
+                                                     "out_fmt": out_fmt},
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
+
+    def task(batch):
+        return AugmentImages(ops=ops, out_fmt=out_fmt)(batch)
+    return ds.map_batches(task, batch_format="pyarrow",
+                          batch_size=batch_size)
