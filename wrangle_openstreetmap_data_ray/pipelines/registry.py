@@ -5511,6 +5511,77 @@ def queries():
         return aug.map_batches(manifest, batch_format="pyarrow")
     q["image_augment_manifest"] = image_augment_manifest
 
+    def lancelike_time_travel_check(sf_dir):
+        """Snapshot isolation / time travel through the store: commit a
+        base version, MERGE a second version on top, then read BOTH
+        pinned versions back concurrently — the old snapshot must still
+        equal the pre-merge table value-exactly (copy-on-write means the
+        base fragments are untouched, only the manifest moved). The twin
+        computes both relational states; the comparison pins that
+        version pinning really isolates (same mk_upd kernel as the
+        merge check, different store root so the two queries never race
+        on a manifest chain)."""
+        import shutil
+
+        from ..sources import lancelike
+        from ..util import grouped_agg_vec
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_timetravel/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        man1 = lancelike.write_dataset(orders, root, stage="base",
+                                       resume=False)
+
+        def mk_upd(b: pa.Table) -> pa.Table:
+            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            i_key = b.schema.get_field_index("o_orderkey")
+            i_tp = b.schema.get_field_index("o_totalprice")
+            i_pr = b.schema.get_field_index("o_orderpriority")
+            t7 = b.filter(pa.array(kk % 7 == 0))
+            t7 = t7.set_column(i_tp, "o_totalprice",
+                               pc.multiply(t7["o_totalprice"], 2.0))
+            t7 = t7.set_column(i_pr, "o_orderpriority",
+                               pa.array(["MERGED"] * t7.num_rows,
+                                        pa.string()))
+            t13 = b.filter(pa.array(kk % 13 == 0))
+            t13 = t13.set_column(
+                i_key, "o_orderkey",
+                pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
+            t13 = t13.set_column(i_pr, "o_orderpriority",
+                                 pa.array(["NEWROW"] * t13.num_rows,
+                                          pa.string()))
+            return pa.concat_tables([t7, t13])
+
+        upd = orders.map_batches(mk_upd, batch_format="pyarrow")
+        man2 = lancelike.merge_upsert(upd, root, "o_orderkey",
+                                      stage="merge1")
+
+        def cents_tagged(snapshot):
+            def fn(b: pa.Table) -> pa.Table:
+                c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                             * 100 + 0.5).astype(np.int64)
+                return pa.table({
+                    "snapshot": pa.array([snapshot] * b.num_rows,
+                                         pa.string()),
+                    "o_orderpriority": b["o_orderpriority"],
+                    "cents_p": pa.array(c, pa.int64()),
+                    "n_p": pa.array(np.ones(b.num_rows, np.int64))})
+            return fn
+
+        cols = ["o_orderpriority", "o_totalprice"]
+        v1 = lancelike.read_dataset(root, columns=cols,
+                                    version=man1["version"]) \
+            .map_batches(cents_tagged("v1"), batch_format="pyarrow")
+        v2 = lancelike.read_dataset(root, columns=cols,
+                                    version=man2["version"]) \
+            .map_batches(cents_tagged("v2"), batch_format="pyarrow")
+        return grouped_agg_vec(v1.union(v2),
+                               ["snapshot", "o_orderpriority"],
+                               [("n_p", "sum", "n"),
+                                ("cents_p", "sum", "cents")])
+    q["lancelike_time_travel_check"] = lancelike_time_travel_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7685,6 +7756,30 @@ def oracle_sql():
                    3 * (CAST(w AS BIGINT) * 3 // 4)
                      * (CAST(h AS BIGINT) * 3 // 4), caption
             FROM {images_p}""",
+        # time travel: v1 = the untouched base, v2 = the merged state
+        "lancelike_time_travel_check": """
+            WITH upd AS (
+                SELECT o_orderkey, o_totalprice*2 AS o_totalprice,
+                       'MERGED' AS o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_totalprice, 'NEWROW'
+                FROM orders WHERE o_orderkey % 13 = 0),
+            v2 AS (
+                SELECT o_orderpriority, o_totalprice FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+                UNION ALL
+                SELECT o_orderpriority, o_totalprice FROM upd),
+            snaps AS (
+                SELECT 'v1' AS snapshot, o_orderpriority, o_totalprice
+                FROM orders
+                UNION ALL
+                SELECT 'v2', o_orderpriority, o_totalprice FROM v2)
+            SELECT snapshot, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM snaps GROUP BY 1, 2""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
