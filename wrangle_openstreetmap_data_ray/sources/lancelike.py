@@ -353,6 +353,51 @@ def dataset_row_count(root: str) -> int:
     return 0 if man is None else man["total_rows"]
 
 
+def _drop_hits_probe(root: str, key_col: str, kref):
+    """Per-fragment probe shared by merge_upsert / delete_by_keys: a
+    fragment with NO key hit is carried over by manifest reference
+    (zero I/O — the common case for localized updates); a hit fragment
+    is rewritten without its matched rows; a fully-matched fragment
+    disappears. Returns the map_batches kernel over fragment metadata."""
+    import pyarrow.compute as pc
+
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+
+    def probe(b: pa.Table) -> pa.Table:
+        from ..util import _bcast_get
+        ks = _bcast_get(kref)
+        paths, rows, sizes = [], [], []
+        for path, nrows, nbytes in zip(b["path"].to_pylist(),
+                                       b["rows"].to_pylist(),
+                                       b["bytes"].to_pylist()):
+            t = pq.read_table(os.path.join(root, path))
+            hit = pc.is_in(t[key_col], ks)
+            n_hit = pc.sum(hit).as_py() or 0
+            if not n_hit:                     # carried over by reference
+                paths.append(path)
+                rows.append(nrows)
+                sizes.append(nbytes)
+                continue
+            kept = t.filter(pc.invert(hit))
+            if not kept.num_rows:             # fully replaced/deleted
+                continue
+            name = f"frag-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(frag_dir, f".{name}.tmp")
+            pq.write_table(kept, tmp, compression="zstd")
+            final = os.path.join(frag_dir, name)
+            os.replace(tmp, final)
+            paths.append(os.path.join(_FRAGMENT_DIR, name))
+            rows.append(kept.num_rows)
+            sizes.append(os.path.getsize(final))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "rows": pa.array(rows, pa.int64()),
+                         "bytes": pa.array(sizes, pa.int64()),
+                         "zonemap": pa.array(["{}"] * len(paths),
+                                             pa.string())})
+
+    return probe
+
+
 def merge_upsert(updates, root: str, key_col: str, stage: str,
                  key_broadcast_cap: int = 2_000_000) -> dict:
     """Copy-on-write MERGE (upsert by key) committing a new version:
@@ -403,37 +448,7 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
         "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
                           pa.int64())})
 
-    def probe(b: pa.Table) -> pa.Table:
-        from ..util import _bcast_get
-        ks = _bcast_get(kref)
-        paths, rows, sizes = [], [], []
-        for path, nrows, nbytes in zip(b["path"].to_pylist(),
-                                       b["rows"].to_pylist(),
-                                       b["bytes"].to_pylist()):
-            t = pq.read_table(os.path.join(root, path))
-            hit = pc.is_in(t[key_col], ks)
-            n_hit = pc.sum(hit).as_py() or 0
-            if not n_hit:                     # carried over by reference
-                paths.append(path)
-                rows.append(nrows)
-                sizes.append(nbytes)
-                continue
-            kept = t.filter(pc.invert(hit))
-            if not kept.num_rows:             # fully replaced fragment
-                continue
-            name = f"frag-{uuid.uuid4().hex}.parquet"
-            tmp = os.path.join(frag_dir, f".{name}.tmp")
-            pq.write_table(kept, tmp, compression="zstd")
-            final = os.path.join(frag_dir, name)
-            os.replace(tmp, final)
-            paths.append(os.path.join(_FRAGMENT_DIR, name))
-            rows.append(kept.num_rows)
-            sizes.append(os.path.getsize(final))
-        return pa.table({"path": pa.array(paths, pa.string()),
-                         "rows": pa.array(rows, pa.int64()),
-                         "bytes": pa.array(sizes, pa.int64()),
-                         "zonemap": pa.array(["{}"] * len(paths),
-                                             pa.string())})
+    probe = _drop_hits_probe(root, key_col, kref)
 
     surv = rd.from_arrow(frag_meta).map_batches(
         probe, batch_format="pyarrow", batch_size=4)
@@ -456,6 +471,70 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
     metrics = {"merge_key": key_col, "updates": len(keys),
                "carried_fragments": carried,
                "rewritten_or_new_fragments": len(frags) - carried}
+    return _commit(root, stage, parent=man["stage"], fragments=frags,
+                   metrics=metrics, fingerprint=None)
+
+
+def delete_by_keys(keys, root: str, key_col: str, stage: str,
+                   key_broadcast_cap: int = 2_000_000) -> dict:
+    """DELETE by key committing a new version — the missing CRUD verb
+    next to merge_upsert, same fragment-granular copy-on-write play:
+    the (deduplicated) key set broadcasts once, unhit fragments are
+    carried by manifest reference with their zone maps intact, hit
+    fragments are rewritten without the matched rows, fully-matched
+    fragments vanish. Total I/O is O(touched fragments), never
+    O(table); deleting an absent key is a no-op (idempotent).
+
+    ``keys`` is a Dataset with ``key_col`` or a pyarrow array."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        karr = pa.chunked_array([keys]).combine_chunks() \
+            if isinstance(keys, pa.Array) else keys.combine_chunks()
+    else:
+        ktabs = [t for t in
+                 ray.get(keys.select_columns([key_col]).to_arrow_refs())
+                 if t.num_rows and t.num_columns]
+        karr = (pa.concat_tables(ktabs)[key_col].combine_chunks()
+                if ktabs else pa.array([]))
+    karr = pc.unique(karr)
+    if len(karr) > key_broadcast_cap:
+        raise ValueError("delete key set exceeds key_broadcast_cap — "
+                         "split it into smaller deletes")
+    kref = ray.put(karr)
+
+    frag_meta = pa.table({
+        "path": pa.array([f["path"] for f in man["fragments"]]),
+        "rows": pa.array([int(f["rows"]) for f in man["fragments"]],
+                         pa.int64()),
+        "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
+                          pa.int64())})
+    surv = rd.from_arrow(frag_meta).map_batches(
+        _drop_hits_probe(root, key_col, kref),
+        batch_format="pyarrow", batch_size=4)
+
+    old_zm = {f["path"]: f.get("zonemap") for f in man["fragments"]}
+    frags = []
+    for r in surv.take_all():
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"])}
+        zm = old_zm.get(r["path"])
+        if zm:
+            f["zonemap"] = zm
+        frags.append(f)
+    old_paths = {f["path"] for f in man["fragments"]}
+    carried = sum(1 for f in frags if f["path"] in old_paths)
+    deleted = (sum(int(f["rows"]) for f in man["fragments"])
+               - sum(f["rows"] for f in frags))
+    metrics = {"delete_key": key_col, "keys": len(karr),
+               "deleted_rows": deleted, "carried_fragments": carried,
+               "rewritten_fragments": len(frags) - carried}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
 
