@@ -53,6 +53,8 @@ OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
 WAY_RASTER_RES = 17  # way_rasterize_cells grid (~300 m cells)
 RIPLEY_MAX_M = 500.0             # ripley_k_counts largest radius
 RIPLEY_RADII_MM = (125000, 250000, 500000)
+KCORE_K = 4          # kcore_radius_graph core threshold
+KCORE_ROUNDS = 12    # engine peel cap == oracle unroll depth
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -5630,6 +5632,22 @@ def queries():
                                 ("cents_p", "sum", "cents")])
     q["lancelike_delete_check"] = lancelike_delete_check
 
+    def kcore_radius_graph(sf_dir):
+        """k-core decomposition of the exact radius graph: peel nodes of
+        degree < KCORE_K until fixpoint, return (id, deg) of the
+        surviving core. The twin unrolls the SAME number of peel rounds
+        (peeling is idempotent after convergence; the engine raises if
+        it would need more)."""
+        from ..stages import graph
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        pairs = knn.radius_join(pts, radius_m=RADIUS_M, id_col="image_id")
+        edges = pairs.map_batches(
+            lambda b: pa.table({"src": b["id"], "dst": b["neighbor_id"]}),
+            batch_format="pyarrow")
+        core = graph.k_core(edges, KCORE_K, max_rounds=KCORE_ROUNDS)
+        return core.rename_columns({"src": "id"})
+    q["kcore_radius_graph"] = kcore_radius_graph
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7837,4 +7855,20 @@ def oracle_sql():
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
+    # k-core: unroll exactly KCORE_ROUNDS peel rounds (peeling is
+    # idempotent once converged; the engine raises if it needs more)
+    _kc = [f"""e0 AS MATERIALIZED (SELECT a.image_id AS s, b.image_id AS t
+                      FROM {knn_p} a, {knn_p} b
+                      WHERE a.image_id != b.image_id
+                        AND {hav} <= {RADIUS_M})"""]
+    for i in range(KCORE_ROUNDS):
+        _kc.append(f"d{i} AS MATERIALIZED (SELECT s, COUNT(*) AS c "
+                   f"FROM e{i} GROUP BY s)")
+        _kc.append(f"""e{i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e{i} e
+                    JOIN d{i} da ON e.s = da.s AND da.c >= {KCORE_K}
+                    JOIN d{i} db ON e.t = db.s AND db.c >= {KCORE_K})""")
+    o["kcore_radius_graph"] = (
+        "WITH " + ",\n".join(_kc)
+        + f" SELECT s AS id, COUNT(*) AS deg FROM e{KCORE_ROUNDS} "
+          f"GROUP BY s")
     return o

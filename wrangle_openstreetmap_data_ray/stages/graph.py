@@ -572,3 +572,63 @@ def sssp_costs(edges, seeds, node: str = "node", src: str = "src",
     raise RuntimeError(
         f"sssp_costs: frontier still non-empty after max_rounds="
         f"{max_rounds}; raise max_rounds or set a budget")
+
+
+def k_core(edges, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 12, nparts: int | None = None,
+           low_broadcast_cap: int = 2_000_000):
+    """Iterative k-core peel: repeatedly drop nodes of degree < k until
+    a fixpoint, over a DIRECTED-SYMMETRIC edge Dataset (both directions
+    present, no self-loops, distinct pairs — what ``radius_join``
+    emits). Returns (src, deg) rows for the surviving core.
+
+    Scale shape per round: one vectorized grouped count over the edge
+    volume (arrow C++ map combiner); then the low-degree node set —
+    bounded by the NODE count, which the peel only shrinks — is
+    broadcast once and edges drop it in a single map-only pass (zero
+    shuffles). Past ``low_broadcast_cap`` (a first round on a sparse
+    10^12-edge graph can shed most nodes) the round falls back to TWO
+    distributed anti-joins instead. Edge state re-pins to ``nparts``
+    blocks each round (NOTES_r4: unpinned iterative chains compound
+    per-round cost). Raises if the peel has not converged after
+    ``max_rounds`` rounds — the SQL twin unrolls exactly that many
+    peels, and peeling is idempotent once converged, so the contract
+    only holds for converged runs."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import anti_semi_join, cluster_cpus, grouped_count
+
+    nparts = nparts or max(2, cluster_cpus() // 4)
+    edges = edges.select_columns([src, dst]) \
+                 .repartition(nparts).materialize()
+    for i in range(max_rounds + 1):
+        deg = grouped_count(edges, src, out="deg")
+        low = deg.filter(expr=f"deg < {k}").materialize()
+        n_low = low.count()
+        if n_low == 0:
+            return deg
+        if i == max_rounds:
+            raise RuntimeError(
+                f"k_core did not converge within {max_rounds} rounds; "
+                f"raise max_rounds (and unroll the oracle to match)")
+        if n_low <= low_broadcast_cap:
+            # per-block select AFTER the fetch: zero-row blocks of a
+            # filtered dataset can keep the pre-select schema and break
+            # a straight concat (same class as NOTES_r4 to_pandas drops)
+            tabs = [t.select([src]) for t in ray.get(low.to_arrow_refs())
+                    if t.num_rows]
+            ids = pa.concat_tables(tabs)[src].combine_chunks()
+            lref = ray.put(ids)
+
+            def drop(b: pa.Table, _l=lref) -> pa.Table:
+                ks = _bcast_get(_l)
+                keep = pc.and_(pc.invert(pc.is_in(b[src], ks)),
+                               pc.invert(pc.is_in(b[dst], ks)))
+                return b.filter(keep)
+
+            edges = edges.map_batches(drop, batch_format="pyarrow")
+        else:
+            edges = anti_semi_join(edges, low, on=src, keys_on=src)
+            edges = anti_semi_join(edges, low, on=dst, keys_on=src)
+        edges = edges.repartition(nparts).materialize()
