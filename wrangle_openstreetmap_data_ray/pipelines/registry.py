@@ -55,6 +55,7 @@ RIPLEY_MAX_M = 500.0             # ripley_k_counts largest radius
 RIPLEY_RADII_MM = (125000, 250000, 500000)
 KCORE_K = 4          # kcore_radius_graph core threshold
 KCORE_ROUNDS = 12    # engine peel cap == oracle unroll depth
+STAY_MM = 10_000_000             # user_stay_segments near-hop bound (10 km)
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -5648,6 +5649,49 @@ def queries():
         return core.rename_columns({"src": "id"})
     q["kcore_radius_graph"] = kcore_radius_graph
 
+    def user_stay_segments(sf_dir):
+        """Stay-point detection (gaps-and-islands over trajectories):
+        maximal runs of consecutive near hops (≤ STAY_MM integer mm)
+        in each user's (timestamp, id)-ordered edit path — the segment
+        anchor ids, point count per stay. One bucketed shuffle on the
+        trajectory key; run-length extraction is pure numpy in-bucket.
+        The twin is the classic islands window (hop_no − ROW_NUMBER)."""
+        from ..util import bucketed_group_apply, typed_empty_series
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat", "timestamp",
+                                         "user"])
+
+        def stays(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user", "timestamp", "id"], kind="mergesort")
+            u = g["user"].to_numpy()
+            ids = g["id"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = u[1:] == u[:-1]
+            d = geo.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+            mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            near = same & (mm <= STAY_MM)
+            idx = np.nonzero(near)[0]
+            if not len(idx):
+                z = np.empty(0, np.int64)
+                return pd.DataFrame({"user": typed_empty_series(u),
+                                     "start_id": z, "end_id": z,
+                                     "n_points": z})
+            isl = idx - np.arange(len(idx))
+            df = pd.DataFrame({"user": u[idx], "isl": isl,
+                               "pid": ids[idx], "cid": ids[idx + 1]})
+            gr = df.groupby(["user", "isl"], sort=False) \
+                   .agg(start_id=("pid", "first"), end_id=("cid", "last"),
+                        n=("pid", "size")).reset_index()
+            return pd.DataFrame({
+                "user": gr["user"],
+                "start_id": gr["start_id"].astype(np.int64),
+                "end_id": gr["end_id"].astype(np.int64),
+                "n_points": (gr["n"] + 1).astype(np.int64)})
+
+        return bucketed_group_apply(nodes, ["user"], stays, n_buckets=64)
+    q["user_stay_segments"] = user_stay_segments
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7852,6 +7896,30 @@ def oracle_sql():
                         AS BIGINT) AS cents
             FROM orders WHERE o_orderkey % 11 != 0
             GROUP BY o_orderstatus""",
+        # gaps-and-islands stay segments: hop_no − ROW_NUMBER() labels
+        # each maximal run of near hops; arg_min/arg_max anchor it
+        "user_stay_segments": f"""
+            WITH s AS (SELECT user, id, lon, lat,
+                              ROW_NUMBER() OVER (PARTITION BY user
+                                  ORDER BY timestamp, id) AS rn
+                       FROM {nodes_p}),
+            h AS (SELECT cur.user, prev.id AS pid, cur.id AS cid,
+                         cur.rn AS hn,
+                         CAST(floor(2*6371008.8*asin(sqrt(LEAST(GREATEST(
+                             sin((radians(cur.lat)-radians(prev.lat))/2)^2
+                             + cos(radians(prev.lat))*cos(radians(cur.lat))
+                             *sin((radians(cur.lon)-radians(prev.lon))/2)^2,
+                             0.0), 1.0))) * 1000 + 0.5) AS BIGINT) AS mm
+                  FROM s cur JOIN s prev ON prev.user = cur.user
+                   AND prev.rn = cur.rn - 1),
+            n AS (SELECT user, pid, cid, hn,
+                         hn - ROW_NUMBER() OVER (PARTITION BY user
+                                                 ORDER BY hn) AS isl
+                  FROM h WHERE mm <= {STAY_MM})
+            SELECT user, arg_min(pid, hn) AS start_id,
+                   arg_max(cid, hn) AS end_id,
+                   COUNT(*) + 1 AS n_points
+            FROM n GROUP BY user, isl""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
