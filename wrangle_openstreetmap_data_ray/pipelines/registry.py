@@ -56,6 +56,8 @@ RIPLEY_RADII_MM = (125000, 250000, 500000)
 KCORE_K = 4          # kcore_radius_graph core threshold
 KCORE_ROUNDS = 12    # engine peel cap == oracle unroll depth
 STAY_MM = 10_000_000             # user_stay_segments near-hop bound (10 km)
+CHUNK_SIZE = 64      # doc_chunk_windows tokens per chunk
+CHUNK_STRIDE = 48    # doc_chunk_windows stride (16-token overlap)
 VOR_NSEEDS = 5       # cell_voronoi_allocation facility count
 VOR_HOPLIM = 96      # allocation reach limit (hops)
 VOR_SHIFT = np.int64(1) << np.int64(30)   # (hops, seed) lexicographic key
@@ -5692,6 +5694,18 @@ def queries():
         return bucketed_group_apply(nodes, ["user"], stays, n_buckets=64)
     q["user_stay_segments"] = user_stay_segments
 
+    def doc_chunk_windows(sf_dir):
+        """RAG chunking: overlapping CHUNK_SIZE-token windows every
+        CHUNK_STRIDE tokens over the documents table (\\S+ tokens,
+        single-space rejoin) — the exact chunk TEXT is part of the
+        pinned surface, so tokenize→slice→rejoin matches DuckDB's
+        regexp_extract_all/list_slice/array_to_string bit-for-bit."""
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+        return textstage.chunk_documents(ds, size=CHUNK_SIZE,
+                                         stride=CHUNK_STRIDE)
+    q["doc_chunk_windows"] = doc_chunk_windows
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7920,6 +7934,26 @@ def oracle_sql():
                    arg_max(cid, hn) AS end_id,
                    COUNT(*) + 1 AS n_points
             FROM n GROUP BY user, isl""",
+        # RAG chunking: DuckDB list_slice is 1-based/inclusive; the
+        # engine's Arrow list_slice is 0-based/exclusive — same window
+        "doc_chunk_windows": f"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(text, '\\S+') AS tk
+                          FROM documents),
+            c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+            e AS (SELECT doc_id, tk, n,
+                         unnest(generate_series(0,
+                             (n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} - 1))
+                             AS k
+                  FROM c)
+            SELECT doc_id, k AS chunk_no,
+                   CAST(len(list_slice(tk, k*{CHUNK_STRIDE} + 1,
+                                       k*{CHUNK_STRIDE} + {CHUNK_SIZE}))
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(tk, k*{CHUNK_STRIDE} + 1,
+                                              k*{CHUNK_STRIDE} + {CHUNK_SIZE}),
+                                   ' ') AS chunk_text
+            FROM e""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]

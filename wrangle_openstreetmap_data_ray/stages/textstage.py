@@ -238,3 +238,67 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def chunk_documents(ds, size: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    batch_size: int = 512):
+    """RAG-style document chunking: overlapping ``size``-token windows
+    every ``stride`` tokens (``\\S+`` tokenization, single-space
+    rejoin), ONE OUTPUT ROW PER (doc, chunk). Chunk k covers tokens
+    [k·stride, k·stride+size) and k ranges over 0 .. ceil(n/stride)−1,
+    so every token is covered and the last window may be short; empty /
+    whitespace-only docs produce no chunks.
+
+    Fully vectorized: Arrow ``utf8_split_whitespace`` tokenizes the
+    whole batch (empty boundary tokens filtered so the token sets match
+    ``\\S+`` — the repo-wide tokenizer contract), the clean list column
+    is rebuilt zero-copy-ish from filtered values + recomputed offsets,
+    and each chunk index is one ``list_slice`` + ``binary_join`` C++
+    pass over the docs that still have that chunk. Map-only — chunking
+    never shuffles; fan-out is bounded by ceil(tokens/stride)."""
+    import pyarrow.compute as pcc
+
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def chunks(b: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.string()),
+                          "chunk_no": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if not b.num_rows:
+            return empty
+        lists = pcc.utf8_split_whitespace(b[text_col])
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens0 = np.diff(lists.offsets.to_numpy())
+        keep = pcc.greater(pcc.utf8_length(lists.values), 0)
+        flat = lists.values.filter(keep)
+        parent0 = np.repeat(np.arange(b.num_rows), lens0)
+        lens = np.bincount(parent0[keep.to_numpy(zero_copy_only=False)],
+                           minlength=b.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        clean = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat)
+        ids = b[id_col].combine_chunks() \
+            if isinstance(b[id_col], pa.ChunkedArray) else b[id_col]
+        n_chunks = (lens + stride - 1) // stride
+        parts = []
+        for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            sel = np.nonzero(n_chunks > k)[0]
+            idx = pa.array(sel, pa.int64())
+            sl = pcc.list_slice(clean.take(idx), start=k * stride,
+                                stop=k * stride + size)
+            txt = pcc.binary_join(sl, " ")
+            ntok = np.minimum(size, lens[sel] - k * stride)
+            parts.append(pa.table({
+                id_col: ids.take(idx),
+                "chunk_no": pa.array(np.full(len(sel), k, np.int64)),
+                "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
+                "chunk_text": txt}))
+        return pa.concat_tables(parts) if parts else empty
+
+    return ds.select_columns([id_col, text_col]) \
+             .map_batches(chunks, batch_format="pyarrow",
+                          batch_size=batch_size)
