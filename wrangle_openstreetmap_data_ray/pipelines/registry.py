@@ -5706,6 +5706,45 @@ def queries():
                                          stride=CHUNK_STRIDE)
     q["doc_chunk_windows"] = doc_chunk_windows
 
+    def user_retention_cohorts(sf_dir):
+        """Cohort retention triangle: users grouped by first-active epoch
+        week, counted per week offset they return in. Active (user,
+        week) pairs pre-dedupe in the block combiner (repeats never
+        cross the wire; GLOBAL dedupe lands in the final count-distinct
+        shuffle — block dedupe alone is not distinct across blocks),
+        the user→cohort map attaches through the capped broadcast join
+        (hash-join fallback past 2M users), and the triangle is one
+        exact grouped COUNT(DISTINCT user)."""
+        from ..util import (broadcast_inner_join, grouped_agg_vec,
+                            grouped_count_distinct)
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id", "ts"])
+        WK_US = 86400 * 10**6    # day grain: ~35 cohorts on this corpus
+                                 # (week grain collapses to one)
+
+        def wk_pairs(b: pa.Table) -> pa.Table:
+            us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            t = pa.table({"user_id": b["user_id"],
+                          "wk": pa.array(us // WK_US, pa.int64())})
+            return t.group_by(["user_id", "wk"]).aggregate([])
+
+        pairs = ev.map_batches(wk_pairs, batch_format="pyarrow")
+        cohort = grouped_agg_vec(pairs, ["user_id"],
+                                 [("wk", "min", "cohort")])
+        joined = broadcast_inner_join(pairs, cohort, on="user_id")
+
+        def offs(b: pa.Table) -> pa.Table:
+            wk = b["wk"].to_numpy()
+            co = b["cohort"].to_numpy()
+            return pa.table({"user_id": b["user_id"],
+                             "cohort_week": pa.array(co, pa.int64()),
+                             "week_offset": pa.array(wk - co, pa.int64())})
+
+        tri = joined.map_batches(offs, batch_format="pyarrow")
+        return grouped_count_distinct(tri, ["cohort_week", "week_offset"],
+                                      "user_id", out_col="n_users",
+                                      n_buckets=64)
+    q["user_retention_cohorts"] = user_retention_cohorts
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -7954,6 +7993,15 @@ def oracle_sql():
                                               k*{CHUNK_STRIDE} + {CHUNK_SIZE}),
                                    ' ') AS chunk_text
             FROM e""",
+        "user_retention_cohorts": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS wk
+                       FROM events GROUP BY 1, 2),
+            c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1)
+            SELECT c.cohort AS cohort_week,
+                   w.wk - c.cohort AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM w JOIN c USING (user_id) GROUP BY 1, 2""",
     }
     # the auto-salted kNN must equal the unsalted oracle bit-for-bit
     o["knn_pairs_autosalt"] = o["knn_pairs"]
