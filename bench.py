@@ -36,6 +36,7 @@ HEADLINE = [
     "near_dedup_docs_minhash",
     "embedding_topk",
     "store_lifecycle",
+    "snap_points_to_ways",   # round-4 s3: map-matching broadcast join
 ]
 
 

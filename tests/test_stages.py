@@ -1690,3 +1690,133 @@ def test_augment_images_pixel_semantics(ray_session):
         assert r["caption"] == caps[r["image_id"]]
         assert r["phash"] == np.int64(np.uint64(
             hash64_bytes(np.ascontiguousarray(got).tobytes(), 42)))
+
+
+def test_k_core_both_regimes_match_networkless_reference(ray_session):
+    """k_core: broadcast peel and anti-join fallback (cap=0) produce the
+    same core, and both match a direct numpy peel on a random graph."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import graph
+
+    rng = np.random.default_rng(7)
+    n, m, k = 80, 400, 3
+    a = rng.integers(0, n, m)
+    b = (a + 1 + rng.integers(0, n - 1, m)) % n      # no self-loops
+    und = {(int(min(x, y)), int(max(x, y))) for x, y in zip(a, b)}
+    src = [u for u, v in und] + [v for u, v in und]
+    dst = [v for u, v in und] + [u for u, v in und]
+
+    alive = set(range(n))
+    while True:
+        deg = {i: 0 for i in alive}
+        for u, v in und:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        low = {i for i in alive if deg[i] < k}
+        if not low:
+            break
+        alive -= low
+    want = {i: d for i, d in deg.items() if i in alive}
+
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    for cap in (2_000_000, 0):     # broadcast regime / anti-join fallback
+        out = graph.k_core(edges, k, max_rounds=40,
+                           low_broadcast_cap=cap).to_pandas()
+        got = dict(zip(out["src"].astype(int), out["deg"].astype(int)))
+        assert got == want, f"cap={cap}"
+
+
+def test_k_core_raises_past_round_cap(ray_session):
+    """A path graph peels one layer per round at k=2... actually a path
+    peels endpoints inward: n//2 rounds — max_rounds=1 must raise on a
+    6-path rather than return a half-peeled state."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import graph
+
+    a = list(range(5))
+    src = a + [x + 1 for x in a]
+    dst = [x + 1 for x in a] + a
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.k_core(edges, 2, max_rounds=1)
+
+
+def test_chunk_documents_edges(ray_session):
+    """Chunking contract: empty/whitespace docs emit nothing; exact
+    multiples and short docs produce the documented window set; chunk
+    text is the single-space rejoin of the \\S+ tokens."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import textstage
+
+    docs = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "text": pa.array(["one  two\tthree\nfour", "", "   ",
+                          " ".join(f"t{i}" for i in range(10))],
+                         pa.string())})
+    out = textstage.chunk_documents(rd.from_arrow(docs), size=4, stride=3) \
+        .to_pandas().sort_values(["doc_id", "chunk_no"]).reset_index(drop=True)
+    got = {(r.doc_id, r.chunk_no): (r.n_tokens, r.chunk_text)
+           for r in out.itertuples()}
+    assert ("b", 0) not in got and ("c", 0) not in got
+    assert got[("a", 0)] == (4, "one two three four")
+    assert got[("a", 1)] == (1, "four")          # start 3 < n=4
+    assert got[("d", 0)] == (4, "t0 t1 t2 t3")
+    assert got[("d", 3)] == (1, "t9")
+    assert max(k[1] for k in got if k[0] == "d") == 3   # ceil(10/3)-1
+
+
+def test_delete_by_keys_lifecycle(tmp_path, ray_session):
+    """delete: victims disappear, survivors keep values, absent-key
+    delete is a zero-rewrite no-op, and the pre-delete version is still
+    readable (time travel)."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.sources import lancelike
+
+    root = str(tmp_path / "store")
+    t = pa.table({"k": pa.array(np.arange(100), pa.int64()),
+                  "v": pa.array(np.arange(100) * 10, pa.int64())})
+    man1 = lancelike.write_dataset(rd.from_arrow(t), root, stage="base",
+                                   resume=False)
+    man2 = lancelike.delete_by_keys(pa.array([5, 50, 95, 999], pa.int64()),
+                                    root, "k", stage="d1")
+    assert man2["metrics"]["deleted_rows"] == 3
+    got = lancelike.read_dataset(root).to_pandas().sort_values("k")
+    assert len(got) == 97 and not {5, 50, 95} & set(got["k"])
+    assert (got["v"].to_numpy() == got["k"].to_numpy() * 10).all()
+    man3 = lancelike.delete_by_keys(pa.array([5], pa.int64()),
+                                    root, "k", stage="d2")
+    assert man3["metrics"]["deleted_rows"] == 0
+    assert man3["metrics"]["rewritten_fragments"] == 0
+    old = lancelike.read_dataset(root, version=man1["version"]).to_pandas()
+    assert len(old) == 100
+
+
+def test_snap_to_segments_ties_and_exactness(ray_session):
+    """snap: matches an n² reference with the same float tree, and an
+    equidistant point resolves to the SMALLEST way_id."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import pip_join
+
+    segs = pa.table({"way_id": pa.array([7, 3], pa.int64()),
+                     "x1": [0.0, 0.0], "y1": [1.0, -1.0],
+                     "x2": [10.0, 10.0], "y2": [1.0, -1.0]})
+    pts = pa.table({"image_id": pa.array(["p0", "p1", "p2"], pa.string()),
+                    "lon": [5.0, 5.0, 5.0], "lat": [0.0, 0.9, -0.5]})
+    out = pip_join.snap_to_segments(rd.from_arrow(pts), segs) \
+        .to_pandas().set_index("id")
+    assert out.loc["p0", "way_id"] == 3          # tie -> smaller way_id
+    assert out.loc["p1", "way_id"] == 7
+    assert out.loc["p2", "way_id"] == 3
+    assert out.loc["p0", "d9"] == 10**9          # exactly 1 degree
+    with pytest.raises(ValueError, match="zero-length"):
+        bad = pa.table({"way_id": pa.array([1], pa.int64()),
+                        "x1": [0.0], "y1": [0.0], "x2": [0.0], "y2": [0.0]})
+        pip_join.snap_to_segments(rd.from_arrow(pts), bad)

@@ -5769,15 +5769,14 @@ _DRIVER_WINDOW = [
     "audit_street_types", "clean_postcodes", "corpus_prep_summary",
     "bbox_quarantine", "cell_encode_points",
     "shape_documents_flat_check", "tag_counts",
-    "tag_key_classification",
     "osm_top_contributors", "per_cell_counts",
     "exact_dedup_images",
     "image_phash_verify", "near_dedup_docs_check",
     "resize_images_thumb",
-    "embedding_dup_pairs", "embedding_topk", "embedding_topk_ivf_fullprobe",
-    "audio_features", "video_frame_index", "lancelike_partition_counts",
+    "embedding_dup_pairs", "embedding_topk",
+    "audio_features", "lancelike_partition_counts",
     "sessionize_events",
-    "event_type_pivot", "orders_rollup",
+    "event_type_pivot",
     "lineitem_quantity_quantiles", "asof_next_event",
     # round-3 additions — each a distinct operator family, all paired
     "pagerank_order_part", "kmeans_embeddings", "tfidf_top_terms",
@@ -5789,14 +5788,21 @@ _DRIVER_WINDOW = [
     # quarantine_rows, doc_token_counts, events_hourly,
     # image_phash_near_dup)
     "radius_join_pairs", "interval_overlap_pairs", "decontaminate_docs",
-    "doc_repetition_stats", "tpch_q16_shape",
+    "doc_repetition_stats",
     # round-4 additions — new operator families, all oracle-paired
     # (demoted to keep the 50-window: funnel_conversion, zonal_stats,
     # way_polyline_length, doc_fingerprint_cluster_sizes, bigram_pmi_top,
     # event_value_histogram_quantiles — still paired in the full sweep)
     "hll_group_registers_check", "nearest_boundary_distance",
-    "grid_dbscan_clusters", "cell_hop_distance",
+    "grid_dbscan_clusters",
     "way_segment_intersections",
+    # round-4 session-3 additions — one row per new family (demoted, all
+    # still paired in the full sweep: tag_key_classification,
+    # orders_rollup, embedding_topk_ivf_fullprobe, video_frame_index,
+    # cell_hop_distance, tpch_q16_shape)
+    "snap_points_to_ways", "image_augment_manifest",
+    "lancelike_delete_check", "kcore_radius_graph",
+    "user_edit_path_length", "doc_chunk_windows",
 ]
 
 
