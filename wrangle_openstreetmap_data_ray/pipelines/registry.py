@@ -69,6 +69,12 @@ SAMPLE_RATES_PERMILLE = {"view": 50, "click": 100, "purchase": 500,
                          "signup": 250, "error": 900}
 SAMPLE_SEED = 1234
 SPLIT_SEED = 77      # dataset_split_counts train/val/test hash seed
+BUFFER_RES = 14      # cell_buffer_dilate grid resolution (~2.4 km cells)
+BUFFER_R = 2         # cell_buffer_dilate Chebyshev dilation radius (cells)
+SIMPLIFY_MIN_CROSS = 2_000_000_000_000   # way_simplify_onepass: min |cross|
+                     # of an interior vertex's neighbor triangle, in e7-int
+                     # coordinate units (2e12 ≈ a 0.02°-base × 0.02°-height
+                     # deviation triangle on this extract)
 
 _SQL_ORACLE_TAG = "sf0.01"   # driver runs correctness at sf0.01
 
@@ -5745,6 +5751,181 @@ def queries():
                                       n_buckets=64)
     q["user_retention_cohorts"] = user_retention_cohorts
 
+    # -------- round-4 session-4: orientation / dispersion / buffer /
+    # simplification (geospatial analytics over the OSM edit tables)
+
+    def way_bearing_octants(sf_dir):
+        """Street-orientation histogram (the osmnx bearing-entropy shape):
+        every consecutive way segment classified into one of 8 compass
+        octants with TRIG-FREE sign/magnitude comparisons on the raw
+        lon/lat deltas — the identical CASE tree runs in SQL, so the
+        histogram is exact (no atan2, no libm divergence). Scale shape:
+        hash join to resolve coordinates, ONE bounded-bucket shuffle on
+        way_id to order vertices, per-octant counts merged through the
+        vectorized combiner."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        j = wn.join(nodes, on=("node_id",), join_type="inner",
+                    **join_kwargs(fx.table_join_partitions(
+                        sf_dir, "way_nodes", "nodes")))
+
+        def octants(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            dx = (lon[1:] - lon[:-1])[same]
+            dy = (lat[1:] - lat[:-1])[same]
+            nz = (dx != 0.0) | (dy != 0.0)
+            dx, dy = dx[nz], dy[nz]
+            # first-match-wins chain, mirrored verbatim in the SQL CASE
+            conds = [
+                (dy >= 0) & (dx > 0) & (dx >= dy),      # 0: E  (0°,45°]
+                (dy > 0) & (dx >= 0) & (dy > dx),       # 1: N-ish
+                (dy > 0) & (dx < 0) & (dy >= -dx),      # 2
+                (dy >= 0) & (dx < 0) & (-dx > dy),      # 3: W-ish
+                (dy < 0) & (dx < 0) & (-dx >= -dy),     # 4
+                (dy < 0) & (dx <= 0) & (-dy > -dx),     # 5: S-ish
+                (dy < 0) & (dx > 0) & (-dy >= dx),      # 6
+            ]
+            oc = np.select(conds, np.arange(7, dtype=np.int64),
+                           default=np.int64(7))
+            return pd.DataFrame({"octant": oc.astype(np.int64),
+                                 "n_p": np.ones(len(oc), np.int64)})
+
+        segs = bucketed_group_apply(j, ["way_id"], octants, n_buckets=64)
+        return grouped_agg_vec(segs, ["octant"],
+                               [("n_p", "sum", "n_segments")])
+    q["way_bearing_octants"] = way_bearing_octants
+
+    def user_radius_gyration(sf_dir):
+        """Per-user radius of gyration (trajectory dispersion, Gonzalez
+        et al. human-mobility metric): mean squared deviation from the
+        user's mean edit location, EXACT — coordinates quantize to an
+        e4 integer grid (~11 m), the translation-invariant identity
+        n·Σd² − (Σd)² runs on per-user MIN-anchored deviations so every
+        partial fits int64, and the final division is integer floor on
+        both engines (the n·Σ product goes through Python/HUGEINT ints,
+        never floats). One bounded-bucket shuffle on the user key."""
+        from ..util import bucketed_group_apply
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["lon", "lat", "user"])
+
+        def rg(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.copy()
+            g["x"] = np.floor(g["lon"].to_numpy() * 1e4 + 0.5) \
+                       .astype(np.int64)
+            g["y"] = np.floor(g["lat"].to_numpy() * 1e4 + 0.5) \
+                       .astype(np.int64)
+            gb = g.groupby("user", sort=False)
+            g["x"] -= gb["x"].transform("min")
+            g["y"] -= gb["y"].transform("min")
+            g["xx"] = g["x"] * g["x"]
+            g["yy"] = g["y"] * g["y"]
+            a = g.groupby("user", sort=False) \
+                 .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                      sxx=("xx", "sum"), syy=("yy", "sum")).reset_index()
+            n = a["n"].astype(object)
+            num = (n * (a["sxx"].astype(object) + a["syy"].astype(object))
+                   - a["sx"].astype(object) * a["sx"]
+                   - a["sy"].astype(object) * a["sy"])
+            rg2 = (num // (n * n)).astype(np.int64)
+            return pd.DataFrame({"user": a["user"],
+                                 "n_edits": a["n"].astype(np.int64),
+                                 "rg2_e8": rg2})
+
+        return bucketed_group_apply(nodes, ["user"], rg, n_buckets=64)
+    q["user_radius_gyration"] = user_radius_gyration
+
+    def cell_buffer_dilate(sf_dir):
+        """Morphological BUFFER of the occupied-cell set: every grid cell
+        holding at least one geo point, dilated by a Chebyshev radius of
+        BUFFER_R cells (the raster analogue of a vector buffer — the
+        coverage mask a tiling/render stage would precompute). Per-block
+        arrow dedup bounds the explode input at distinct-cells×blocks;
+        the 25-fold neighbor expansion happens AFTER the first global
+        distinct, so the shuffles only ever carry cell keys."""
+        from ..util import grouped_agg_vec
+        g = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+        n = np.int64(1 << BUFFER_RES)
+        offs = np.arange(-BUFFER_R, BUFFER_R + 1, dtype=np.int64)
+        ox = np.repeat(offs, len(offs))
+        oy = np.tile(offs, len(offs))
+
+        def cells(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 BUFFER_RES)
+            t = pa.table({"qx": pa.array(qx, pa.int64()),
+                          "qy": pa.array(qy, pa.int64())})
+            return t.group_by(["qx", "qy"]).aggregate([])
+
+        occ = grouped_agg_vec(g.map_batches(cells, batch_format="pyarrow"),
+                              ["qx", "qy"], [(None, "count", "_c")])
+
+        def dilate(b: pa.Table) -> pa.Table:
+            qx = b["qx"].to_numpy()
+            qy = b["qy"].to_numpy()
+            dx = (qx[:, None] + ox[None, :]).ravel()
+            dy = (qy[:, None] + oy[None, :]).ravel()
+            np.clip(dx, 0, n - 1, out=dx)
+            np.clip(dy, 0, n - 1, out=dy)
+            t = pa.table({"qx": pa.array(dx, pa.int64()),
+                          "qy": pa.array(dy, pa.int64())})
+            return t.group_by(["qx", "qy"]).aggregate([])
+
+        dil = grouped_agg_vec(occ.map_batches(dilate,
+                                              batch_format="pyarrow"),
+                              ["qx", "qy"], [(None, "count", "_c")])
+        return dil.map_batches(
+            lambda b: b.select(["qx", "qy"]), batch_format="pyarrow")
+    q["cell_buffer_dilate"] = cell_buffer_dilate
+
+    def way_simplify_onepass(sf_dir):
+        """One-pass polyline vertex decimation (the non-iterative
+        Visvalingam screen): an interior vertex survives iff the
+        triangle it forms with its two neighbors has |cross product| ≥
+        SIMPLIFY_MIN_CROSS in e7-integer coordinate units — endpoints
+        always survive. Exact integer geometry (deltas ≤ the extract
+        span keep every product inside int64), LAG/LEAD adjacency
+        identical to the SQL window twin. Same bucketed per-way shuffle
+        as the other trajectory kernels."""
+        from ..util import bucketed_group_apply
+        wn = fx.read_fixture(sf_dir, "way_nodes")
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat"]) \
+                  .rename_columns({"id": "node_id"})
+        j = wn.join(nodes, on=("node_id",), join_type="inner",
+                    **join_kwargs(fx.table_join_partitions(
+                        sf_dir, "way_nodes", "nodes")))
+
+        def simp(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            x = np.floor(g["lon"].to_numpy() * 1e7 + 0.5).astype(np.int64)
+            y = np.floor(g["lat"].to_numpy() * 1e7 + 0.5).astype(np.int64)
+            m = len(g)
+            keep = np.ones(m, dtype=bool)
+            if m >= 3:
+                interior = (wid[1:-1] == wid[:-2]) & (wid[1:-1] == wid[2:])
+                cross = ((x[1:-1] - x[:-2]) * (y[2:] - y[:-2])
+                         - (y[1:-1] - y[:-2]) * (x[2:] - x[:-2]))
+                keep[1:-1] = ~interior | (np.abs(cross)
+                                          >= SIMPLIFY_MIN_CROSS)
+            df = pd.DataFrame({"way_id": wid, "k": keep.astype(np.int64)})
+            out = df.groupby("way_id", sort=False)["k"] \
+                    .agg(["size", "sum"]).reset_index()
+            return pd.DataFrame({"way_id": out["way_id"],
+                                 "n_total": out["size"].astype(np.int64),
+                                 "n_kept": out["sum"].astype(np.int64)})
+
+        return bucketed_group_apply(j, ["way_id"], simp, n_buckets=64)
+    q["way_simplify_onepass"] = way_simplify_onepass
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -8027,4 +8208,72 @@ def oracle_sql():
         "WITH " + ",\n".join(_kc)
         + f" SELECT s AS id, COUNT(*) AS deg FROM e{KCORE_ROUNDS} "
           f"GROUP BY s")
+
+    # round-4 session-4: orientation / dispersion / buffer / simplification
+    o["way_bearing_octants"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        seg AS (SELECT b.lon - a.lon AS dx, b.lat - a.lat AS dy
+                FROM pts a JOIN pts b ON a.way_id = b.way_id
+                 AND b.position = a.position + 1
+                WHERE b.lon - a.lon != 0 OR b.lat - a.lat != 0)
+        SELECT CASE
+            WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 0
+            WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1
+            WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2
+            WHEN dy >= 0 AND dx < 0 AND -dx > dy THEN 3
+            WHEN dy < 0 AND dx < 0 AND -dx >= -dy THEN 4
+            WHEN dy < 0 AND dx <= 0 AND -dy > -dx THEN 5
+            WHEN dy < 0 AND dx > 0 AND -dy >= dx THEN 6
+            ELSE 7 END AS octant,
+            CAST(SUM(1) AS BIGINT) AS n_segments
+        FROM seg GROUP BY 1"""
+    o["user_radius_gyration"] = f"""
+        WITH s AS (SELECT user,
+                          CAST(floor(lon * 10000.0 + 0.5) AS BIGINT) AS x,
+                          CAST(floor(lat * 10000.0 + 0.5) AS BIGINT) AS y
+                   FROM {nodes_p}),
+        c AS (SELECT user, x - MIN(x) OVER (PARTITION BY user) AS cx,
+                     y - MIN(y) OVER (PARTITION BY user) AS cy FROM s),
+        a AS (SELECT user, COUNT(*) AS n,
+                     SUM(CAST(cx AS HUGEINT)) AS sx,
+                     SUM(CAST(cy AS HUGEINT)) AS sy,
+                     SUM(CAST(cx AS HUGEINT) * cx) AS sxx,
+                     SUM(CAST(cy AS HUGEINT) * cy) AS syy
+              FROM c GROUP BY user)
+        SELECT user, CAST(n AS BIGINT) AS n_edits,
+               CAST((CAST(n AS HUGEINT) * (sxx + syy) - sx*sx - sy*sy)
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS rg2_e8
+        FROM a"""
+    _bn = (1 << BUFFER_RES) - 1
+    o["cell_buffer_dilate"] = f"""
+        WITH occ AS (SELECT DISTINCT
+                 {_grid_sql('lon', BUFFER_RES, -180.0, 360.0)} AS qx,
+                 {_grid_sql('lat', BUFFER_RES, -90.0, 180.0)} AS qy
+                 FROM {geo_p})
+        SELECT DISTINCT LEAST(GREATEST(qx + i, 0), {_bn}) AS qx,
+               LEAST(GREATEST(qy + j, 0), {_bn}) AS qy
+        FROM occ,
+             UNNEST(generate_series(-{BUFFER_R}, {BUFFER_R})) AS gi(i),
+             UNNEST(generate_series(-{BUFFER_R}, {BUFFER_R})) AS gj(j)"""
+    o["way_simplify_onepass"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        e AS (SELECT way_id, position,
+                     CAST(floor(lon * 10000000.0 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(lat * 10000000.0 + 0.5) AS BIGINT) AS y
+              FROM pts),
+        t AS (SELECT way_id, x, y,
+                     LAG(x) OVER w AS px, LAG(y) OVER w AS py,
+                     LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny
+              FROM e WINDOW w AS (PARTITION BY way_id ORDER BY position))
+        SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE
+                   WHEN px IS NULL OR nx IS NULL THEN 1
+                   WHEN abs((x - px) * (ny - py) - (y - py) * (nx - px))
+                        >= {SIMPLIFY_MIN_CROSS} THEN 1
+                   ELSE 0 END) AS BIGINT) AS n_kept
+        FROM t GROUP BY way_id"""
     return o
