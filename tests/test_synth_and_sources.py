@@ -156,3 +156,45 @@ def test_systematic_sample(ray_session):
     got = sorted(r["id"] for r in sampled.take_all())
     expect = sorted(i for i in nodes["id"].to_pylist() if i % 10 == 0)
     assert got == expect
+
+
+def test_lancelike_vacuum_gc(ray_session, tmp_path):
+    import os
+
+    import pytest
+    import ray.data as rd
+    root = str(tmp_path / "vac")
+    t = synth.gen_geo_table(0, 2000)
+    man1 = lancelike.write_dataset(rd.from_arrow(t).repartition(8), root,
+                                   stage="base")
+    man2 = lancelike.compact(root, stage="c",
+                             target_bytes=64 * 1024 * 1024)
+    assert man2["version"] == man1["version"] + 1
+    # a crashed-task strand should be GC'd too
+    strand = os.path.join(root, "fragments", ".frag-dead.parquet.tmp")
+    open(strand, "wb").close()
+    stats = lancelike.vacuum(root, keep_versions=1)
+    assert stats["kept_versions"] == [man2["version"]]
+    assert stats["removed_manifests"] == 1
+    assert stats["removed_fragments"] >= 1
+    assert not os.path.exists(strand)
+    # old version unreadable, latest intact and content-identical
+    with pytest.raises(FileNotFoundError):
+        lancelike.read_dataset(root, version=man1["version"])
+    back = lancelike.read_dataset(root, columns=["image_id"])
+    assert sorted(r["image_id"] for r in back.take_all()) \
+        == sorted(t["image_id"].to_pylist())
+    # every surviving file is referenced; keep_versions must be >= 1
+    kept = {f["path"] for f in lancelike.latest_manifest(root)["fragments"]}
+    on_disk = set()
+    fdir = os.path.join(root, "fragments")
+    for dirpath, _dirs, files in os.walk(fdir):
+        for name in files:
+            on_disk.add(os.path.relpath(os.path.join(dirpath, name), root))
+    assert on_disk == kept
+    with pytest.raises(ValueError):
+        lancelike.vacuum(root, keep_versions=0)
+    # vacuum with everything kept removes nothing further
+    stats2 = lancelike.vacuum(root, keep_versions=5)
+    assert stats2["removed_manifests"] == 0
+    assert stats2["removed_fragments"] == 0

@@ -5926,6 +5926,211 @@ def queries():
         return bucketed_group_apply(j, ["way_id"], simp, n_buckets=64)
     q["way_simplify_onepass"] = way_simplify_onepass
 
+    def cumulative_new_users(sf_dir):
+        """Running cumulative-distinct-users curve (the growth-metric
+        window): first-seen hour per user (vectorized min combiner), new
+        users counted per hour, and the running total taken driver-side
+        over the CALENDAR-BOUNDED hour table (≤ tens of thousands of
+        rows at any corpus size — the only all-to-one step is over
+        hours, never users or events)."""
+        from ..util import grouped_agg_vec, grouped_count
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id", "ts"])
+        HOUR_US = 3600 * 10**6
+
+        def hour(b: pa.Table) -> pa.Table:
+            us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            return pa.table({"user_id": b["user_id"],
+                             "hr": pa.array(us // HOUR_US, pa.int64())})
+
+        first = grouped_agg_vec(ev.map_batches(hour, batch_format="pyarrow"),
+                                ["user_id"], [("hr", "min", "first_hr")])
+        per_hr = grouped_count(first, "first_hr", out="n_new").to_pandas()
+        per_hr = per_hr.sort_values("first_hr").reset_index(drop=True)
+        return pd.DataFrame({
+            "hr": per_hr["first_hr"].astype(np.int64),
+            "n_new": per_hr["n_new"].astype(np.int64),
+            "cum_users": per_hr["n_new"].cumsum().astype(np.int64)})
+    q["cumulative_new_users"] = cumulative_new_users
+
+    def doc_dup_ngram_counts(sf_dir):
+        """Cross-document exact n-gram duplication (the substring-level
+        dedup signal next to MinHash's doc-level one): per document, the
+        count of distinct word 3-grams and how many of those are shared
+        with at least one OTHER document. Shingles hash to 64-bit
+        map-side (same blake2b kernel as decontamination — only fixed-
+        width ints cross the wire, never shingle text); per-shingle doc
+        counts resolve in ONE bounded-bucket shuffle whose groups carry
+        the doc ids, so no second join is needed; per-doc totals merge
+        through the vectorized combiner."""
+        from ..functions import text as tx
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+
+        def shingle_rows(b: pa.Table) -> pa.Table:
+            ids, hs = [], []
+            for i, t in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+                toks = tx.WS_RE.findall(t or "")
+                if len(toks) >= 3:
+                    u = np.unique(
+                        tx._shingle_hashes(toks, 3).view(np.int64))
+                    ids.append(np.full(len(u), i, np.int64))
+                    hs.append(u)
+            if not ids:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "h": pa.array([], pa.int64())})
+            return pa.table({
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "h": pa.array(np.concatenate(hs), pa.int64())})
+
+        rows = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+        def mark(g: pd.DataFrame) -> pd.DataFrame:
+            sz = g.groupby("h", sort=False)["doc_id"].transform("size")
+            return pd.DataFrame({
+                "doc_id": g["doc_id"],
+                "dup": (sz >= 2).to_numpy().astype(np.int64)})
+
+        marked = bucketed_group_apply(rows, ["h"], mark, n_buckets=64)
+        return grouped_agg_vec(marked, ["doc_id"],
+                               [(None, "count", "n_shingles"),
+                                ("dup", "sum", "n_dup")])
+    q["doc_dup_ngram_counts"] = doc_dup_ngram_counts
+
+    def graph_degree_assortativity(sf_dir):
+        """Degree assortativity of the radius graph (Newman's r over the
+        directed edge list): the five sufficient statistics are EXACT
+        integer sums — per-edge endpoint degrees attach through two
+        capped broadcast LUT joins (hash-join fallback past 2M nodes),
+        blocks pre-reduce to one partial row each, and only the final
+        1-row division touches floats (identical expression tree +
+        floor-e6 fixed point on both engines). Degenerate den²=0 drops
+        the row on both sides."""
+        import math
+        from ..util import broadcast_inner_join, grouped_agg_vec, grouped_count
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        pairs = knn.radius_join(pts, radius_m=RADIUS_M, id_col="image_id") \
+                   .select_columns(["id", "neighbor_id"])
+        deg = grouped_count(pairs, "id", out="du")
+        ndeg = deg.map_batches(
+            lambda b: pa.table({"neighbor_id": b["id"], "dv": b["du"]}),
+            batch_format="pyarrow")
+        e = broadcast_inner_join(pairs, deg, on="id")
+        e = broadcast_inner_join(e, ndeg, on="neighbor_id")
+
+        def part(b: pa.Table) -> pa.Table:
+            du = b["du"].to_numpy()
+            dv = b["dv"].to_numpy()
+            return pa.table({
+                "k": pa.array([0], pa.int64()),
+                "m_p": pa.array([len(du)], pa.int64()),
+                "su_p": pa.array([int(du.sum())], pa.int64()),
+                "sv_p": pa.array([int(dv.sum())], pa.int64()),
+                "suv_p": pa.array([int((du * dv).sum())], pa.int64()),
+                "su2_p": pa.array([int((du * du).sum())], pa.int64()),
+                "sv2_p": pa.array([int((dv * dv).sum())], pa.int64())})
+
+        s = grouped_agg_vec(e.map_batches(part, batch_format="pyarrow"),
+                            ["k"],
+                            [("m_p", "sum", "m"), ("su_p", "sum", "su"),
+                             ("sv_p", "sum", "sv"), ("suv_p", "sum", "suv"),
+                             ("su2_p", "sum", "su2"),
+                             ("sv2_p", "sum", "sv2")]).to_pandas()
+        m, su, sv = int(s["m"][0]), int(s["su"][0]), int(s["sv"][0])
+        suv, su2, sv2 = int(s["suv"][0]), int(s["su2"][0]), int(s["sv2"][0])
+        den_a, den_b = m * su2 - su * su, m * sv2 - sv * sv
+        if den_a <= 0 or den_b <= 0:
+            return pd.DataFrame({"n_edges": pd.Series([], dtype=np.int64),
+                                 "s_du": pd.Series([], dtype=np.int64),
+                                 "s_dudv": pd.Series([], dtype=np.int64),
+                                 "s_du2": pd.Series([], dtype=np.int64),
+                                 "r_e6": pd.Series([], dtype=np.int64)})
+        r = float(m * suv - su * sv) / math.sqrt(float(den_a) * float(den_b))
+        return pd.DataFrame({"n_edges": [m], "s_du": [su], "s_dudv": [suv],
+                             "s_du2": [su2],
+                             "r_e6": [int(np.floor(r * 1000000 + 0.5))]})
+    q["graph_degree_assortativity"] = graph_degree_assortativity
+
+    def lancelike_vacuum_check(sf_dir):
+        """Version GC through the store: base write → copy-on-write MERGE
+        → ``vacuum(keep_versions=1)`` — the superseded manifest and every
+        fragment only it referenced must be GONE (pinned: re-reading the
+        old version raises), while the latest version must read back
+        value-identical to the relational merge (the twin). Every
+        surviving file must be referenced by the kept manifest (no
+        leaked strands)."""
+        import shutil
+
+        from ..sources import lancelike
+        from ..util import grouped_agg_vec
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_vacuum/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        man1 = lancelike.write_dataset(orders, root, stage="base",
+                                       resume=False)
+
+        def mk_upd(b: pa.Table) -> pa.Table:
+            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            i_key = b.schema.get_field_index("o_orderkey")
+            i_tp = b.schema.get_field_index("o_totalprice")
+            i_pr = b.schema.get_field_index("o_orderpriority")
+            t7 = b.filter(pa.array(kk % 7 == 0))
+            t7 = t7.set_column(i_tp, "o_totalprice",
+                               pc.multiply(t7["o_totalprice"], 2.0))
+            t7 = t7.set_column(i_pr, "o_orderpriority",
+                               pa.array(["MERGED"] * t7.num_rows,
+                                        pa.string()))
+            t13 = b.filter(pa.array(kk % 13 == 0))
+            t13 = t13.set_column(
+                i_key, "o_orderkey",
+                pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
+            t13 = t13.set_column(i_pr, "o_orderpriority",
+                                 pa.array(["NEWROW"] * t13.num_rows,
+                                          pa.string()))
+            return pa.concat_tables([t7, t13])
+
+        upd = orders.map_batches(mk_upd, batch_format="pyarrow")
+        lancelike.merge_upsert(upd, root, "o_orderkey", stage="merge1")
+        stats = lancelike.vacuum(root, keep_versions=1)
+        if stats["removed_manifests"] < 1 or stats["removed_fragments"] < 1:
+            raise AssertionError(f"vacuum reclaimed nothing: {stats}")
+        try:
+            lancelike.read_dataset(root, version=man1["version"])
+        except FileNotFoundError:
+            pass
+        else:
+            raise AssertionError("vacuumed version is still readable")
+        kept = {f["path"] for f in lancelike.latest_manifest(root)
+                ["fragments"]}
+        on_disk = set()
+        fdir = os.path.join(root, "fragments")
+        for dirpath, _dirs, files in os.walk(fdir):
+            for name in files:
+                on_disk.add(os.path.relpath(os.path.join(dirpath, name),
+                                            root))
+        if on_disk != kept:
+            raise AssertionError(
+                f"orphans={on_disk - kept} missing={kept - on_disk}")
+
+        merged = lancelike.read_dataset(
+            root, columns=["o_orderpriority", "o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+            return pa.table({"o_orderpriority": b["o_orderpriority"],
+                             "cents_p": pa.array(c, pa.int64()),
+                             "n_p": pa.array(np.ones(b.num_rows, np.int64))})
+
+        return grouped_agg_vec(
+            merged.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            [("n_p", "sum", "n"), ("cents_p", "sum", "cents")])
+    q["lancelike_vacuum_check"] = lancelike_vacuum_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -8276,4 +8481,43 @@ def oracle_sql():
                         >= {SIMPLIFY_MIN_CROSS} THEN 1
                    ELSE 0 END) AS BIGINT) AS n_kept
         FROM t GROUP BY way_id"""
+    o["cumulative_new_users"] = """
+        WITH f AS (SELECT user_id,
+                          MIN(epoch_us(ts) // 3600000000) AS hr
+                   FROM events GROUP BY user_id),
+        d AS (SELECT hr, COUNT(*) AS n_new FROM f GROUP BY hr)
+        SELECT hr, CAST(n_new AS BIGINT) AS n_new,
+               CAST(SUM(n_new) OVER (ORDER BY hr) AS BIGINT) AS cum_users
+        FROM d"""
+    o["doc_dup_ngram_counts"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)),
+        c AS (SELECT s, COUNT(*) AS ndocs FROM sh GROUP BY s)
+        SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM sh JOIN c USING (s) GROUP BY sh.doc_id"""
+    o["graph_degree_assortativity"] = f"""
+        WITH e AS (SELECT a.image_id AS id, b.image_id AS nid
+                   FROM {knn_p} a, {knn_p} b
+                   WHERE a.image_id != b.image_id AND {hav} <= {RADIUS_M}),
+        d AS (SELECT id, COUNT(*) AS deg FROM e GROUP BY id),
+        j AS (SELECT CAST(da.deg AS HUGEINT) AS du,
+                     CAST(db.deg AS HUGEINT) AS dv
+              FROM e JOIN d da ON e.id = da.id JOIN d db ON e.nid = db.id),
+        s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(du) AS su,
+                     SUM(dv) AS sv, SUM(du*dv) AS suv,
+                     SUM(du*du) AS su2, SUM(dv*dv) AS sv2 FROM j),
+        f AS (SELECT m, su, suv, su2,
+                     m*su2 - su*su AS dena, m*sv2 - sv*sv AS denb,
+                     m*suv - su*sv AS num FROM s)
+        SELECT CAST(m AS BIGINT) AS n_edges, CAST(su AS BIGINT) AS s_du,
+               CAST(suv AS BIGINT) AS s_dudv, CAST(su2 AS BIGINT) AS s_du2,
+               CAST(floor(CAST(num AS DOUBLE)
+                    / sqrt(CAST(dena AS DOUBLE) * CAST(denb AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS r_e6
+        FROM f WHERE dena > 0 AND denb > 0"""
+    o["lancelike_vacuum_check"] = o["lancelike_merge_upsert_check"]
     return o

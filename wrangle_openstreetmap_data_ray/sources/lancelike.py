@@ -621,3 +621,46 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
                "carried_fragments": len(carried)}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
+
+
+def vacuum(root: str, keep_versions: int = 1) -> dict:
+    """Garbage-collect superseded store versions (the Lance
+    ``cleanup_old_versions`` / Iceberg ``expire_snapshots`` maintenance
+    verb): manifests older than the newest ``keep_versions`` are
+    deleted, then every file under ``fragments/`` that no RETAINED
+    manifest references is unlinked — including ``*.tmp`` strands from
+    crashed write tasks. Metadata-only work (O(#fragments) dict lookups
+    + unlinks, zero data I/O). Deletion order is crash-safe: manifests
+    go first, so an interrupted vacuum can leave unreferenced files
+    behind but never a readable version with missing fragments."""
+    paths = _manifest_paths(root)
+    if not paths:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    drop, keep = paths[:-keep_versions], paths[-keep_versions:]
+    kept_refs: set[str] = set()
+    kept_versions: list[int] = []
+    for p in keep:
+        with open(p) as f:
+            man = json.load(f)
+        kept_refs.update(fr["path"] for fr in man["fragments"])
+        kept_versions.append(int(man["version"]))
+    for p in drop:
+        os.remove(p)
+    fdir = os.path.join(root, _FRAGMENT_DIR)
+    removed_fragments, reclaimed = 0, 0
+    for dirpath, _dirs, files in os.walk(fdir, topdown=False):
+        for name in files:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            if rel not in kept_refs:
+                reclaimed += os.path.getsize(full)
+                os.remove(full)
+                removed_fragments += 1
+        if dirpath != fdir and not os.listdir(dirpath):
+            os.rmdir(dirpath)           # empty partition subdir
+    return {"removed_manifests": len(drop),
+            "removed_fragments": removed_fragments,
+            "reclaimed_bytes": reclaimed,
+            "kept_versions": kept_versions}
