@@ -6131,6 +6131,76 @@ def queries():
             [("n_p", "sum", "n"), ("cents_p", "sum", "cents")])
     q["lancelike_vacuum_check"] = lancelike_vacuum_check
 
+    def nn_distance_stats(sf_dir):
+        """Nearest-neighbor distance statistics (the Clark–Evans point-
+        pattern surface): each point's 1-NN great-circle distance from
+        the engine's own exact kNN join (compact-cell ring pass + guarded
+        laggard rounds), floored to integer millimeters BEFORE the global
+        sum/min/max so the one-row result is exact at any parallelism —
+        the mean is sum_nn_mm / n_points on the consumer side."""
+        from ..util import grouped_agg_vec
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        pairs = knn.knn_join(pts, k=1, res=11, id_col="image_id",
+                             exact=True)
+
+        def part(b: pa.Table) -> pa.Table:
+            mm = np.floor(b["dist_m"].to_numpy() * 1000.0 + 0.5) \
+                   .astype(np.int64)
+            if not len(mm):
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n_p": pa.array([], pa.int64()),
+                                 "s_p": pa.array([], pa.int64()),
+                                 "mn_p": pa.array([], pa.int64()),
+                                 "mx_p": pa.array([], pa.int64())})
+            return pa.table({"k": pa.array([0], pa.int64()),
+                             "n_p": pa.array([len(mm)], pa.int64()),
+                             "s_p": pa.array([int(mm.sum())], pa.int64()),
+                             "mn_p": pa.array([int(mm.min())], pa.int64()),
+                             "mx_p": pa.array([int(mm.max())], pa.int64())})
+
+        s = grouped_agg_vec(pairs.map_batches(part, batch_format="pyarrow"),
+                            ["k"],
+                            [("n_p", "sum", "n_points"),
+                             ("s_p", "sum", "sum_nn_mm"),
+                             ("mn_p", "min", "min_nn_mm"),
+                             ("mx_p", "max", "max_nn_mm")]).to_pandas()
+        return s[["n_points", "sum_nn_mm", "min_nn_mm", "max_nn_mm"]] \
+            .astype(np.int64)
+    q["nn_distance_stats"] = nn_distance_stats
+
+    def corpus_filter_funnel(sf_dir):
+        """Gopher-style quality-filter FUNNEL: documents surviving each
+        cumulative filter stage — minimum length, distinct-token ratio,
+        modal-bigram repetition — counted per stage. The per-doc signals
+        are the already-oracle-pinned repetition surface (e6 fixed-point
+        on both engines, so the threshold comparisons agree exactly);
+        per-block flag partials merge through the vectorized combiner,
+        so the whole funnel is one streaming pass."""
+        from ..stages import textstage
+        from ..util import grouped_agg_vec
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+        stats = textstage.repetition_stats(docs)
+
+        def flags(b: pa.Table) -> pa.Table:
+            n = b["n_tokens"].to_numpy()
+            dr = b["distinct_token_ratio"].to_numpy(zero_copy_only=False)
+            bf = b["top_bigram_frac"].to_numpy(zero_copy_only=False)
+            s1 = n >= 30
+            s2 = s1 & ~np.isnan(dr) & (dr >= 0.45)
+            s3 = s2 & (bf <= 0.04)
+            return pa.table({
+                "stage": pa.array(["s0_total", "s1_min_len",
+                                   "s2_distinct_ratio", "s3_repetition"],
+                                  pa.string()),
+                "n_p": pa.array([len(n), int(s1.sum()), int(s2.sum()),
+                                 int(s3.sum())], pa.int64())})
+
+        return grouped_agg_vec(stats.map_batches(flags,
+                                                 batch_format="pyarrow"),
+                               ["stage"], [("n_p", "sum", "n_docs")])
+    q["corpus_filter_funnel"] = corpus_filter_funnel
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -8520,4 +8590,41 @@ def oracle_sql():
                     * 1000000 + 0.5) AS BIGINT) AS r_e6
         FROM f WHERE dena > 0 AND denb > 0"""
     o["lancelike_vacuum_check"] = o["lancelike_merge_upsert_check"]
+    o["nn_distance_stats"] = f"""
+        WITH nn AS (SELECT a.image_id AS id,
+                           CAST(floor({hav} * 1000.0 + 0.5) AS BIGINT) AS mm,
+                           ROW_NUMBER() OVER (PARTITION BY a.image_id
+                               ORDER BY {hav}, b.image_id) AS rn
+                    FROM {knn_p} a, {knn_p} b
+                    WHERE a.image_id != b.image_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(mm) AS BIGINT) AS sum_nn_mm,
+               MIN(mm) AS min_nn_mm, MAX(mm) AS max_nn_mm
+        FROM nn WHERE rn = 1"""
+    o["corpus_filter_funnel"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+        bgtop AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot FROM
+                  (SELECT doc_id, b, COUNT(*) AS c FROM bg
+                   GROUP BY doc_id, b) GROUP BY doc_id),
+        r AS (SELECT len(k.t) AS n,
+                     ROUND(len(list_distinct(k.t)) * 1.0 / len(k.t), 6)
+                       AS dr,
+                     ROUND(COALESCE(g.topc * 1.0 / g.tot, 0.0), 6) AS bf
+              FROM toks k LEFT JOIN bgtop g USING (doc_id))
+        SELECT 's0_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM r
+        UNION ALL SELECT 's1_min_len',
+            CAST(SUM(CASE WHEN n >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM r
+        UNION ALL SELECT 's2_distinct_ratio',
+            CAST(SUM(CASE WHEN n >= 30 AND dr IS NOT NULL AND dr >= 0.45
+                     THEN 1 ELSE 0 END) AS BIGINT)
+        FROM r
+        UNION ALL SELECT 's3_repetition',
+            CAST(SUM(CASE WHEN n >= 30 AND dr IS NOT NULL AND dr >= 0.45
+                          AND bf <= 0.04 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM r"""
     return o
