@@ -5817,6 +5817,12 @@ def queries():
                                 columns=["lon", "lat", "user"])
 
         def rg(g: pd.DataFrame) -> pd.DataFrame:
+            from ..util import typed_empty_series
+            if not len(g):      # empty bucket: keep user string-typed
+                return pd.DataFrame({
+                    "user": typed_empty_series(g["user"].to_numpy()),
+                    "n_edits": np.empty(0, np.int64),
+                    "rg2_e8": np.empty(0, np.int64)})
             g = g.copy()
             g["x"] = np.floor(g["lon"].to_numpy() * 1e4 + 0.5) \
                        .astype(np.int64)
@@ -6219,20 +6225,18 @@ def queries():
 # render_tile_stats is the one rows-only entry (pixel bytes have no SQL
 # twin); everything else here is oracle-paired.
 _DRIVER_WINDOW = [
-    "flagship_full_summary", "tpch_q3_topk", "tpch_q5_volume",
+    "flagship_full_summary", "tpch_q3_topk",
     "render_tile_stats", "knn_pairs", "pip_join_pairs",
-    "way_node_resolution", "way_geometry", "normalize_streets",
+    "way_node_resolution", "normalize_streets",
     "audit_street_types", "clean_postcodes", "corpus_prep_summary",
     "bbox_quarantine", "cell_encode_points",
     "shape_documents_flat_check", "tag_counts",
     "osm_top_contributors", "per_cell_counts",
     "exact_dedup_images",
     "image_phash_verify", "near_dedup_docs_check",
-    "resize_images_thumb",
     "embedding_dup_pairs", "embedding_topk",
     "audio_features", "lancelike_partition_counts",
     "sessionize_events",
-    "event_type_pivot",
     "lineitem_quantity_quantiles", "asof_next_event",
     # round-3 additions — each a distinct operator family, all paired
     "pagerank_order_part", "kmeans_embeddings", "tfidf_top_terms",
@@ -6257,8 +6261,20 @@ _DRIVER_WINDOW = [
     # orders_rollup, embedding_topk_ivf_fullprobe, video_frame_index,
     # cell_hop_distance, tpch_q16_shape)
     "snap_points_to_ways", "image_augment_manifest",
-    "lancelike_delete_check", "kcore_radius_graph",
-    "user_edit_path_length", "doc_chunk_windows",
+    "kcore_radius_graph",
+    "user_edit_path_length",
+    # round-4 session-4 additions — one row per new family (demoted to
+    # keep the 50-window, all still paired in the full sweep:
+    # lancelike_delete_check — vacuum_check exercises the same store
+    # CRUD path plus GC; doc_chunk_windows — doc_dup_ngram_counts is
+    # the sharper text-explode representative; way_geometry — same J1
+    # family as way_node_resolution; tpch_q5_volume — q3 keeps the
+    # TPC-H seat; event_type_pivot — sessionize/asof keep the window
+    # family; resize_images_thumb — image_augment_manifest covers the
+    # decode→transform→encode path)
+    "way_simplify_onepass", "doc_dup_ngram_counts",
+    "graph_degree_assortativity", "lancelike_vacuum_check",
+    "corpus_filter_funnel", "nn_distance_stats",
 ]
 
 
@@ -8312,11 +8328,11 @@ def oracle_sql():
                          g.lon AS px, g.lat AS py, s.x1, s.y1, s.dx, s.dy,
                          LEAST(1.0, GREATEST(0.0,
                              ((g.lon - s.x1) * s.dx + (g.lat - s.y1) * s.dy)
-                             / s.len2)) AS tt
+                             * (1.0 / s.len2))) AS tt
                   FROM {geo_p} g CROSS JOIN segs s),
             d AS (SELECT id, way_id,
-                         (px - (x1 + tt*dx)) * (px - (x1 + tt*dx))
-                       + (py - (y1 + tt*dy)) * (py - (y1 + tt*dy)) AS d2
+                         ((px - x1) - tt*dx) * ((px - x1) - tt*dx)
+                       + ((py - y1) - tt*dy) * ((py - y1) - tt*dy) AS d2
                   FROM t),
             r AS (SELECT id, way_id, d2, ROW_NUMBER() OVER
                       (PARTITION BY id ORDER BY d2, way_id) AS rn

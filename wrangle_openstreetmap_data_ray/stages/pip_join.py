@@ -207,7 +207,7 @@ def nearest_boundary_join(points_ds, polygons: pa.Table,
 def snap_to_segments(points_ds, segments: pa.Table,
                      lon_col: str = "lon", lat_col: str = "lat",
                      id_col: str = "image_id",
-                     point_chunk: int = 1024,
+                     point_chunk: int = 2048,
                      max_segments: int = 5_000_000):
     """Map-matching primitive: snap every point to the NEAREST segment of
     a line network — (id, way_id, d9) with distance ties resolved to the
@@ -233,44 +233,60 @@ def snap_to_segments(points_ds, segments: pa.Table,
             f"{segments.num_rows} segments exceeds the broadcast cap "
             f"({max_segments}); use a cell-bucketed snap join instead")
     w = segments["way_id"].to_numpy()
-    sx1 = segments["x1"].to_numpy()
-    sy1 = segments["y1"].to_numpy()
-    dx = segments["x2"].to_numpy() - sx1
-    dy = segments["y2"].to_numpy() - sy1
+    # ascending way_id makes per-tile argmin's FIRST-min index the
+    # smallest-way_id tiebreak for free (no tie-matrix passes)
+    order = np.argsort(w, kind="stable")
+    w = np.ascontiguousarray(w[order])
+    sx1 = np.ascontiguousarray(segments["x1"].to_numpy()[order])
+    sy1 = np.ascontiguousarray(segments["y1"].to_numpy()[order])
+    dx = np.ascontiguousarray(segments["x2"].to_numpy()[order]) - sx1
+    dy = np.ascontiguousarray(segments["y2"].to_numpy()[order]) - sy1
     len2 = dx * dx + dy * dy
     if np.any(len2 == 0):
         raise ValueError("degenerate zero-length segment (drop before snap)")
-    ref = ray.put((w, sx1, sy1, dx, dy, len2))
+    il2 = 1.0 / len2      # divide ONCE per segment, multiply per pair
+    ref = ray.put((w, sx1, sy1, dx, dy, il2))
 
     def fn(batch: pa.Table) -> pa.Table:
         from ..util import _bcast_get
-        bw, bx1, by1, bdx, bdy, bl2 = _bcast_get(ref)
+        bw, bx1, by1, bdx, bdy, bil2 = _bcast_get(ref)
         px = batch[lon_col].to_numpy()
         py = batch[lat_col].to_numpy()
         best = np.full(len(px), np.inf)
         bestw = np.full(len(px), np.iinfo(np.int64).max, np.int64)
-        seg_chunk = 4096   # (P, S) temporaries stay ≤ ~32 MB per task
+        seg_chunk = 256    # (P, S) tile set stays L2/L3-resident — the
+                           # 4096-wide tiles of the first version were
+                           # memory-bound (4× slower, measured)
         for c0 in range(0, len(px), point_chunk):
             p_x = px[c0:c0 + point_chunk, None]
             p_y = py[c0:c0 + point_chunk, None]
             acc = best[c0:c0 + point_chunk]
             accw = bestw[c0:c0 + point_chunk]
+            rows = np.arange(len(acc))
             for e0 in range(0, len(bx1), seg_chunk):
                 x1 = bx1[None, e0:e0 + seg_chunk]
                 y1 = by1[None, e0:e0 + seg_chunk]
                 sdx = bdx[None, e0:e0 + seg_chunk]
                 sdy = bdy[None, e0:e0 + seg_chunk]
-                l2 = bl2[None, e0:e0 + seg_chunk]
-                t = ((p_x - x1) * sdx + (p_y - y1) * sdy) / l2
-                t = np.clip(t, 0.0, 1.0)
-                cx = x1 + t * sdx
-                cy = y1 + t * sdy
-                d2 = (p_x - cx) * (p_x - cx) + (p_y - cy) * (p_y - cy)
-                m = d2.min(axis=1)
-                # smallest way_id among this chunk's exact-tie columns
-                tie = d2 == m[:, None]
-                wm = np.where(tie, bw[None, e0:e0 + seg_chunk],
-                              np.iinfo(np.int64).max).min(axis=1)
+                # t = ((p-a)·d) * (1/len2), clamped — the oracle twin
+                # mirrors this exact tree (multiply by the reciprocal,
+                # NOT a per-pair divide; e = (p-a) - t*d, squared)
+                dpx = p_x - x1
+                dpy = p_y - y1
+                t = dpx * sdx
+                t += dpy * sdy
+                t *= bil2[None, e0:e0 + seg_chunk]
+                np.clip(t, 0.0, 1.0, out=t)
+                ex = t * sdx
+                ex -= dpx                 # -(dpx - t·dx); square equal
+                ey = t * sdy
+                ey -= dpy
+                ex *= ex
+                ey *= ey
+                ex += ey                  # d2, built in place
+                j = ex.argmin(axis=1)     # first min = smallest way_id
+                m = ex[rows, j]
+                wm = bw[e0 + j]
                 upd = (m < acc) | ((m == acc) & (wm < accw))
                 acc[upd] = m[upd]
                 accw[upd] = wm[upd]
