@@ -198,3 +198,12 @@ def test_lancelike_vacuum_gc(ray_session, tmp_path):
     stats2 = lancelike.vacuum(root, keep_versions=5)
     assert stats2["removed_manifests"] == 0
     assert stats2["removed_fragments"] == 0
+    # grace window protects an in-flight writer's uncommitted fragments
+    strand2 = os.path.join(root, "fragments", ".frag-live.parquet.tmp")
+    open(strand2, "wb").close()
+    stats3 = lancelike.vacuum(root, keep_versions=1, grace_s=3600)
+    assert stats3["removed_fragments"] == 0
+    assert os.path.exists(strand2)
+    stats4 = lancelike.vacuum(root, keep_versions=1)
+    assert stats4["removed_fragments"] == 1
+    assert not os.path.exists(strand2)

@@ -157,6 +157,29 @@ def _supplier_nation_lut(sf_dir, nk_sorted, nname_sorted):
 
 # ================================================================ queries
 
+def _orders_merge_update(b):
+    """Shared MERGE-update recipe for the store CRUD checks (merge_upsert
+    / time-travel / vacuum use the SAME update batch so their oracles can
+    share one relational twin): keys %7==0 double o_totalprice and stamp
+    MERGED; keys %13==0 re-key +1e8 as NEWROW inserts."""
+    kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+    i_key = b.schema.get_field_index("o_orderkey")
+    i_tp = b.schema.get_field_index("o_totalprice")
+    i_pr = b.schema.get_field_index("o_orderpriority")
+    t7 = b.filter(pa.array(kk % 7 == 0))
+    t7 = t7.set_column(i_tp, "o_totalprice",
+                       pc.multiply(t7["o_totalprice"], 2.0))
+    t7 = t7.set_column(i_pr, "o_orderpriority",
+                       pa.array(["MERGED"] * t7.num_rows, pa.string()))
+    t13 = b.filter(pa.array(kk % 13 == 0))
+    t13 = t13.set_column(
+        i_key, "o_orderkey",
+        pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
+    t13 = t13.set_column(i_pr, "o_orderpriority",
+                         pa.array(["NEWROW"] * t13.num_rows, pa.string()))
+    return pa.concat_tables([t7, t13])
+
+
 def queries():
     q = {}
 
@@ -4002,25 +4025,8 @@ def queries():
         orders = fx.driver_table(sf_dir, "orders")
         lancelike.write_dataset(orders, root, stage="base", resume=False)
 
-        def mk_upd(b: pa.Table) -> pa.Table:
-            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
-            i_key = b.schema.get_field_index("o_orderkey")
-            i_tp = b.schema.get_field_index("o_totalprice")
-            i_pr = b.schema.get_field_index("o_orderpriority")
-            t7 = b.filter(pa.array(kk % 7 == 0))
-            t7 = t7.set_column(i_tp, "o_totalprice",
-                               pc.multiply(t7["o_totalprice"], 2.0))
-            t7 = t7.set_column(i_pr, "o_orderpriority",
-                               pa.array(["MERGED"] * t7.num_rows))
-            t13 = b.filter(pa.array(kk % 13 == 0))
-            t13 = t13.set_column(
-                i_key, "o_orderkey",
-                pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
-            t13 = t13.set_column(i_pr, "o_orderpriority",
-                                 pa.array(["NEWROW"] * t13.num_rows))
-            return pa.concat_tables([t7, t13])
-
-        upd = orders.map_batches(mk_upd, batch_format="pyarrow")
+        upd = orders.map_batches(_orders_merge_update,
+                                 batch_format="pyarrow")
         lancelike.merge_upsert(upd, root, "o_orderkey", stage="merge1")
 
         merged = lancelike.read_dataset(
@@ -5544,27 +5550,8 @@ def queries():
         man1 = lancelike.write_dataset(orders, root, stage="base",
                                        resume=False)
 
-        def mk_upd(b: pa.Table) -> pa.Table:
-            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
-            i_key = b.schema.get_field_index("o_orderkey")
-            i_tp = b.schema.get_field_index("o_totalprice")
-            i_pr = b.schema.get_field_index("o_orderpriority")
-            t7 = b.filter(pa.array(kk % 7 == 0))
-            t7 = t7.set_column(i_tp, "o_totalprice",
-                               pc.multiply(t7["o_totalprice"], 2.0))
-            t7 = t7.set_column(i_pr, "o_orderpriority",
-                               pa.array(["MERGED"] * t7.num_rows,
-                                        pa.string()))
-            t13 = b.filter(pa.array(kk % 13 == 0))
-            t13 = t13.set_column(
-                i_key, "o_orderkey",
-                pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
-            t13 = t13.set_column(i_pr, "o_orderpriority",
-                                 pa.array(["NEWROW"] * t13.num_rows,
-                                          pa.string()))
-            return pa.concat_tables([t7, t13])
-
-        upd = orders.map_batches(mk_upd, batch_format="pyarrow")
+        upd = orders.map_batches(_orders_merge_update,
+                                 batch_format="pyarrow")
         man2 = lancelike.merge_upsert(upd, root, "o_orderkey",
                                       stage="merge1")
 
@@ -5795,8 +5782,10 @@ def queries():
             ]
             oc = np.select(conds, np.arange(7, dtype=np.int64),
                            default=np.int64(7))
-            return pd.DataFrame({"octant": oc.astype(np.int64),
-                                 "n_p": np.ones(len(oc), np.int64)})
+            cnt = np.bincount(oc.astype(np.int64), minlength=8)
+            nz = np.nonzero(cnt)[0]     # pre-reduce: <=8 rows per bucket
+            return pd.DataFrame({"octant": nz.astype(np.int64),
+                                 "n_p": cnt[nz].astype(np.int64)})
 
         segs = bucketed_group_apply(j, ["way_id"], octants, n_buckets=64)
         return grouped_agg_vec(segs, ["octant"],
@@ -5828,12 +5817,12 @@ def queries():
                        .astype(np.int64)
             g["y"] = np.floor(g["lat"].to_numpy() * 1e4 + 0.5) \
                        .astype(np.int64)
-            gb = g.groupby("user", sort=False)
+            gb = g.groupby("user", sort=False, dropna=False)
             g["x"] -= gb["x"].transform("min")
             g["y"] -= gb["y"].transform("min")
             g["xx"] = g["x"] * g["x"]
             g["yy"] = g["y"] * g["y"]
-            a = g.groupby("user", sort=False) \
+            a = g.groupby("user", sort=False, dropna=False) \
                  .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
                       sxx=("xx", "sum"), syy=("yy", "sum")).reset_index()
             n = a["n"].astype(object)
@@ -5979,8 +5968,8 @@ def queries():
                             b["text"].to_pylist()):
                 toks = tx.WS_RE.findall(t or "")
                 if len(toks) >= 3:
-                    u = np.unique(
-                        tx._shingle_hashes(toks, 3).view(np.int64))
+                    # _shingle_hashes output is already unique per doc
+                    u = tx._shingle_hashes(toks, 3).view(np.int64)
                     ids.append(np.full(len(u), i, np.int64))
                     hs.append(u)
             if not ids:
@@ -6078,27 +6067,8 @@ def queries():
         man1 = lancelike.write_dataset(orders, root, stage="base",
                                        resume=False)
 
-        def mk_upd(b: pa.Table) -> pa.Table:
-            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
-            i_key = b.schema.get_field_index("o_orderkey")
-            i_tp = b.schema.get_field_index("o_totalprice")
-            i_pr = b.schema.get_field_index("o_orderpriority")
-            t7 = b.filter(pa.array(kk % 7 == 0))
-            t7 = t7.set_column(i_tp, "o_totalprice",
-                               pc.multiply(t7["o_totalprice"], 2.0))
-            t7 = t7.set_column(i_pr, "o_orderpriority",
-                               pa.array(["MERGED"] * t7.num_rows,
-                                        pa.string()))
-            t13 = b.filter(pa.array(kk % 13 == 0))
-            t13 = t13.set_column(
-                i_key, "o_orderkey",
-                pc.add(t13["o_orderkey"], pa.scalar(100_000_000, pa.int64())))
-            t13 = t13.set_column(i_pr, "o_orderpriority",
-                                 pa.array(["NEWROW"] * t13.num_rows,
-                                          pa.string()))
-            return pa.concat_tables([t7, t13])
-
-        upd = orders.map_batches(mk_upd, batch_format="pyarrow")
+        upd = orders.map_batches(_orders_merge_update,
+                                 batch_format="pyarrow")
         lancelike.merge_upsert(upd, root, "o_orderkey", stage="merge1")
         stats = lancelike.vacuum(root, keep_versions=1)
         if stats["removed_manifests"] < 1 or stats["removed_fragments"] < 1:

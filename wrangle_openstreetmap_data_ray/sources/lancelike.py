@@ -623,7 +623,7 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
                    metrics=metrics, fingerprint=None)
 
 
-def vacuum(root: str, keep_versions: int = 1) -> dict:
+def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
     """Garbage-collect superseded store versions (the Lance
     ``cleanup_old_versions`` / Iceberg ``expire_snapshots`` maintenance
     verb): manifests older than the newest ``keep_versions`` are
@@ -632,7 +632,15 @@ def vacuum(root: str, keep_versions: int = 1) -> dict:
     crashed write tasks. Metadata-only work (O(#fragments) dict lookups
     + unlinks, zero data I/O). Deletion order is crash-safe: manifests
     go first, so an interrupted vacuum can leave unreferenced files
-    behind but never a readable version with missing fragments."""
+    behind but never a readable version with missing fragments.
+
+    CONCURRENCY: an IN-FLIGHT writer's fragments are unreferenced until
+    its final manifest commit, so a concurrent vacuum would delete them
+    and let the subsequent commit publish a readable-but-broken version.
+    Run vacuum in a solo maintenance window, or pass ``grace_s`` >
+    the longest possible write: files younger than that are kept (the
+    ``older_than`` guard of Lance's cleanup_old_versions)."""
+    import time
     paths = _manifest_paths(root)
     if not paths:
         raise FileNotFoundError(f"no committed manifest under {root}")
@@ -650,11 +658,12 @@ def vacuum(root: str, keep_versions: int = 1) -> dict:
         os.remove(p)
     fdir = os.path.join(root, _FRAGMENT_DIR)
     removed_fragments, reclaimed = 0, 0
+    cutoff = time.time() - grace_s
     for dirpath, _dirs, files in os.walk(fdir, topdown=False):
         for name in files:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, root)
-            if rel not in kept_refs:
+            if rel not in kept_refs and os.path.getmtime(full) <= cutoff:
                 reclaimed += os.path.getsize(full)
                 os.remove(full)
                 removed_fragments += 1
