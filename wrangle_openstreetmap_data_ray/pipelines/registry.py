@@ -6177,6 +6177,142 @@ def queries():
                                ["stage"], [("n_p", "sum", "n_docs")])
     q["corpus_filter_funnel"] = corpus_filter_funnel
 
+    def way_sinuosity(sf_dir):
+        """Per-way sinuosity (route-directness metric): great-circle path
+        length over endpoint chord, both floored to integer millimeters
+        first so the inputs to the one float division are exact at any
+        parallelism; the e6 ratio uses the identical cast/divide/floor
+        tree in SQL. Zero-chord ways (identical endpoints) drop on both
+        engines. Same bucketed per-way shuffle as the polyline kernels."""
+        from ..util import bucketed_group_apply
+        joined = _way_points(sf_dir)
+
+        def sinu(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            d = geo.haversine_m(lon[:-1][same], lat[:-1][same],
+                                lon[1:][same], lat[1:][same])
+            mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            path = pd.DataFrame({"way_id": wid[1:][same], "mm": mm}) \
+                .groupby("way_id", sort=False)["mm"].sum().reset_index() \
+                .rename(columns={"mm": "path_mm"})
+            first = np.r_[0, np.nonzero(wid[1:] != wid[:-1])[0] + 1] \
+                if len(wid) else np.empty(0, np.int64)
+            last = np.r_[first[1:] - 1, len(wid) - 1] \
+                if len(wid) else np.empty(0, np.int64)
+            cd = geo.haversine_m(lon[first], lat[first],
+                                 lon[last], lat[last])
+            chord = pd.DataFrame({
+                "way_id": wid[first],
+                "chord_mm": np.floor(cd * 1000.0 + 0.5).astype(np.int64)})
+            out = path.merge(chord, on="way_id")
+            out = out[out["chord_mm"] > 0]
+            s = np.floor(out["path_mm"].to_numpy().astype(np.float64)
+                         / out["chord_mm"].to_numpy().astype(np.float64)
+                         * 1000000 + 0.5).astype(np.int64)
+            return pd.DataFrame({
+                "way_id": out["way_id"].to_numpy(),
+                "path_mm": out["path_mm"].to_numpy(),
+                "chord_mm": out["chord_mm"].to_numpy(),
+                "sinuosity_e6": s})
+
+        return bucketed_group_apply(joined, ["way_id"], sinu, n_buckets=64)
+    q["way_sinuosity"] = way_sinuosity
+
+    def churned_users(sf_dir):
+        """Churn split (the retention complement): users whose LAST event
+        is more than 7 days before the corpus high-water mark vs still-
+        active users. Per-user max through the vectorized combiner
+        (user-bounded table), the global max is one tiny aggregate over
+        it, and the split is a broadcast-scalar comparison — integer
+        microseconds end to end."""
+        from ..util import grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id", "ts"])
+        CUT_US = 7 * 86400 * 10**6
+
+        def us(b: pa.Table) -> pa.Table:
+            t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            return pa.table({"user_id": b["user_id"],
+                             "ts_us": pa.array(t, pa.int64())})
+
+        last = grouped_agg_vec(ev.map_batches(us, batch_format="pyarrow"),
+                               ["user_id"], [("ts_us", "max", "last_us")]) \
+            .materialize()
+        gmax = int(last.max("last_us"))
+
+        def split(b: pa.Table) -> pa.Table:
+            lu = b["last_us"].to_numpy()
+            ch = lu < gmax - CUT_US
+            return pa.table({"k": pa.array([0], pa.int64()),
+                             "c_p": pa.array([int(ch.sum())], pa.int64()),
+                             "a_p": pa.array([int((~ch).sum())],
+                                             pa.int64())})
+
+        s = grouped_agg_vec(last.map_batches(split, batch_format="pyarrow"),
+                            ["k"], [("c_p", "sum", "n_churned"),
+                                    ("a_p", "sum", "n_active")]).to_pandas()
+        return s[["n_churned", "n_active"]].astype(np.int64)
+    q["churned_users"] = churned_users
+
+    def graph_clustering_coefficient(sf_dir):
+        """Global clustering coefficient of the kNN graph: 3·triangles /
+        wedges, both counted EXACTLY — triangles by the degree-ordered
+        node-iterator (the production `graph.triangle_count`), wedges as
+        Σ deg·(deg−1)/2 over the deduped undirected edge set (degrees via
+        the vectorized combiner, integer arithmetic throughout). Only the
+        final 1-row ratio touches floats (identical cast/divide/floor-e6
+        tree in SQL); a wedge-free graph drops the row on both sides."""
+        from ray.data.aggregate import Sum
+        from ..stages import graph
+        from ..util import grouped_agg_vec, grouped_count
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        pairs = knn.knn_join(pts, k=KNN_K, res=11, id_col="image_id",
+                             exact=True)
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            x = b["id"].to_numpy(zero_copy_only=False)
+            y = b["neighbor_id"].to_numpy(zero_copy_only=False)
+            t = pa.table({"a": pa.array(np.where(x < y, x, y)),
+                          "b": pa.array(np.where(x < y, y, x))})
+            return t.group_by(["a", "b"]).aggregate([])
+
+        canon = pairs.map_batches(to_edges, batch_format="pyarrow")
+        n_tri = graph.triangle_count(canon)
+        # global dedupe of the undirected edge set, then degree counts
+        edges = grouped_agg_vec(canon, ["a", "b"],
+                                [(None, "count", "_c")])
+
+        def endpoints(b: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.concat_arrays(
+                [b["a"].combine_chunks(), b["b"].combine_chunks()])})
+
+        deg = grouped_count(edges.map_batches(endpoints,
+                                              batch_format="pyarrow"),
+                            "node", out="deg")
+
+        def wedge_part(b: pa.Table) -> pa.Table:
+            d = b["deg"].to_numpy()
+            return pa.table({"w_p": pa.array([int((d * (d - 1) // 2).sum())],
+                                             pa.int64())})
+
+        n_wedges = int(deg.map_batches(wedge_part, batch_format="pyarrow")
+                       .aggregate(Sum("w_p", alias_name="w"))["w"])
+        if n_wedges <= 0:
+            return pd.DataFrame({
+                "n_triangles": pd.Series([], dtype=np.int64),
+                "n_wedges": pd.Series([], dtype=np.int64),
+                "global_cc_e6": pd.Series([], dtype=np.int64)})
+        cc = float(3 * n_tri) / float(n_wedges)
+        return pd.DataFrame({"n_triangles": [int(n_tri)],
+                             "n_wedges": [n_wedges],
+                             "global_cc_e6":
+                                 [int(np.floor(cc * 1000000 + 0.5))]})
+    q["graph_clustering_coefficient"] = graph_clustering_coefficient
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -8613,4 +8749,67 @@ def oracle_sql():
             CAST(SUM(CASE WHEN n >= 30 AND dr IS NOT NULL AND dr >= 0.45
                           AND bf <= 0.04 THEN 1 ELSE 0 END) AS BIGINT)
         FROM r"""
+    o["way_sinuosity"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        hop AS (SELECT a.way_id,
+                       CAST(floor({hav} * 1000.0 + 0.5) AS BIGINT) AS mm
+                FROM pts a JOIN pts b ON a.way_id = b.way_id
+                 AND b.position = a.position + 1),
+        path AS (SELECT way_id, CAST(SUM(mm) AS BIGINT) AS path_mm
+                 FROM hop GROUP BY way_id),
+        ends AS (SELECT way_id,
+                        arg_min(lon, position) AS flon,
+                        arg_min(lat, position) AS flat,
+                        arg_max(lon, position) AS llon,
+                        arg_max(lat, position) AS llat
+                 FROM pts GROUP BY way_id),
+        chord AS (SELECT way_id,
+                         CAST(floor(2*6371008.8*asin(sqrt(LEAST(GREATEST(
+                             sin((radians(llat)-radians(flat))/2)^2
+                             + cos(radians(flat))*cos(radians(llat))
+                             *sin((radians(llon)-radians(flon))/2)^2,
+                             0.0), 1.0))) * 1000.0 + 0.5) AS BIGINT)
+                             AS chord_mm
+                  FROM ends)
+        SELECT p.way_id, p.path_mm, c.chord_mm,
+               CAST(floor(CAST(p.path_mm AS DOUBLE)
+                    / CAST(c.chord_mm AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS sinuosity_e6
+        FROM path p JOIN chord c USING (way_id) WHERE c.chord_mm > 0"""
+    o["churned_users"] = """
+        WITH l AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us
+                   FROM events GROUP BY user_id),
+        m AS (SELECT MAX(last_us) AS gmax FROM l)
+        SELECT CAST(SUM(CASE WHEN l.last_us < m.gmax - 604800000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+               CAST(SUM(CASE WHEN l.last_us >= m.gmax - 604800000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+        FROM l, m"""
+    o["graph_clustering_coefficient"] = f"""
+        WITH knn AS (
+          SELECT id, neighbor_id FROM (
+            SELECT a.image_id AS id, b.image_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.image_id
+                     ORDER BY {hav}, b.image_id) AS rn
+            FROM {knn_p} a, {knn_p} b
+            WHERE a.image_id != b.image_id)
+          WHERE rn <= {KNN_K}),
+        e AS (SELECT DISTINCT LEAST(id, neighbor_id) AS a,
+                     GREATEST(id, neighbor_id) AS b FROM knn),
+        tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM e e1 JOIN e e2 ON e2.a = e1.b
+                          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        deg AS (SELECT node, COUNT(*) AS d FROM (
+                  SELECT a AS node FROM e
+                  UNION ALL SELECT b AS node FROM e) GROUP BY node),
+        w AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+              FROM deg)
+        SELECT t.n_triangles, w.n_wedges,
+               CAST(floor(CAST(3 * t.n_triangles AS DOUBLE)
+                    / CAST(w.n_wedges AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS global_cc_e6
+        FROM tri t, w WHERE w.n_wedges > 0"""
     return o
