@@ -207,3 +207,34 @@ def test_lancelike_vacuum_gc(ray_session, tmp_path):
     stats4 = lancelike.vacuum(root, keep_versions=1)
     assert stats4["removed_fragments"] == 1
     assert not os.path.exists(strand2)
+
+
+def test_lancelike_add_column_backfill(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    root = str(tmp_path / "evo")
+    t = synth.gen_geo_table(0, 1500)
+    man1 = lancelike.write_dataset(rd.from_arrow(t).repartition(6), root,
+                                   stage="base")
+
+    def add_lon_e4(b: pa.Table) -> pa.Table:
+        import numpy as np
+        v = np.floor(b["lon"].to_numpy() * 1e4 + 0.5).astype("int64")
+        return b.append_column("lon_e4", pa.array(v, pa.int64()))
+
+    man2 = lancelike.add_column(root, stage="evo", compute=add_lon_e4,
+                                zonemap_cols=["lon_e4"])
+    assert man2["version"] == man1["version"] + 1
+    assert man2["total_rows"] == 1500
+    assert all("zonemap" in f for f in man2["fragments"])
+    back = lancelike.read_dataset(root)
+    assert "lon_e4" in back.schema().names
+    assert back.count() == 1500
+    # old version keeps the old schema (copy-on-write)
+    old = lancelike.read_dataset(root, version=man1["version"])
+    assert "lon_e4" not in old.schema().names
+    # a row-dropping compute must be rejected
+    with pytest.raises(Exception):
+        lancelike.add_column(root, stage="bad",
+                             compute=lambda b: b.slice(0, 0))

@@ -6313,6 +6313,108 @@ def queries():
                                  [int(np.floor(cc * 1000000 + 0.5))]})
     q["graph_clustering_coefficient"] = graph_clustering_coefficient
 
+    def hourly_anomaly_hours(sf_dir):
+        """Exact-integer anomaly detection: per event type, the hours
+        whose count sits more than 2 population standard deviations from
+        that type's hourly mean. The z² > 4 test is cross-multiplied to
+        pure integers — (cnt·H − T)² > 4·(SS·H − T²) — so there is NO
+        float anywhere and both engines agree exactly even at the
+        threshold. Counts come from the vectorized combiner; the per-type
+        screen runs in a bounded bucket shuffle over the calendar-bounded
+        count table (Python-int products, overflow-free at any scale)."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "ts"])
+        HOUR_US = 3600 * 10**6
+
+        def hr(b: pa.Table) -> pa.Table:
+            t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "hour_idx": pa.array(t // HOUR_US, pa.int64())})
+
+        counts = grouped_agg_vec(ev.map_batches(hr, batch_format="pyarrow"),
+                                 ["event_type", "hour_idx"],
+                                 [(None, "count", "cnt")])
+
+        def screen(g: pd.DataFrame) -> pd.DataFrame:
+            from ..util import typed_empty_series
+            if not len(g):
+                return pd.DataFrame({
+                    "event_type": typed_empty_series(
+                        g["event_type"].to_numpy()),
+                    "hour_idx": np.empty(0, np.int64),
+                    "cnt": np.empty(0, np.int64)})
+            c = g["cnt"].astype(object)   # Python ints: overflow-free
+            gb = g.groupby("event_type", sort=False)
+            h = gb["cnt"].transform("size").astype(object)
+            t = c.groupby(g["event_type"]).transform("sum")
+            ss = (c * c).groupby(g["event_type"]).transform("sum")
+            dev = c * h - t
+            keep = (dev * dev > 4 * (ss * h - t * t)).to_numpy(
+                dtype=bool)
+            out = g[keep]
+            return pd.DataFrame({
+                "event_type": out["event_type"].to_numpy(),
+                "hour_idx": out["hour_idx"].to_numpy().astype(np.int64),
+                "cnt": out["cnt"].to_numpy().astype(np.int64)})
+
+        return bucketed_group_apply(counts, ["event_type"], screen,
+                                    n_buckets=8)
+    q["hourly_anomaly_hours"] = hourly_anomaly_hours
+
+    def lancelike_add_column_check(sf_dir):
+        """Schema evolution through the store (ALTER TABLE ADD COLUMN with
+        backfill): base write of orders → ``add_column`` computes an
+        integer price band per row (exact cents arithmetic) as a NEW
+        column in a NEW committed version → the evolved table reads back
+        and aggregates per band, pinned against the relational twin. The
+        pre-evolution version must still be readable with the OLD schema
+        (copy-on-write), and the rewrite is row-count-verified per
+        fragment."""
+        import shutil
+
+        from ..sources import lancelike
+        from ..util import grouped_agg_vec
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_addcol/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        man1 = lancelike.write_dataset(orders, root, stage="base",
+                                       resume=False)
+
+        def with_band(t: pa.Table) -> pa.Table:
+            cents = np.floor(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+            return t.append_column(
+                "price_band", pa.array(cents // 5_000_000, pa.int64()))
+
+        man2 = lancelike.add_column(root, stage="band", compute=with_band)
+        if man2["version"] != man1["version"] + 1:
+            raise AssertionError("add_column must commit a new version")
+        old = lancelike.read_dataset(root, version=man1["version"])
+        if "price_band" in old.schema().names:
+            raise AssertionError("old version gained the new column")
+        if old.count() != man1["total_rows"]:
+            raise AssertionError("old version changed under evolution")
+
+        evolved = lancelike.read_dataset(
+            root, columns=["price_band", "o_totalprice"])
+
+        def agg(b: pa.Table) -> pa.Table:
+            cents = np.floor(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+            return pa.table({"price_band": b["price_band"],
+                             "cents_p": pa.array(cents, pa.int64()),
+                             "n_p": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        return grouped_agg_vec(
+            evolved.map_batches(agg, batch_format="pyarrow"),
+            ["price_band"],
+            [("n_p", "sum", "n"), ("cents_p", "sum", "cents")])
+    q["lancelike_add_column_check"] = lancelike_add_column_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -8812,4 +8914,24 @@ def oracle_sql():
                     / CAST(w.n_wedges AS DOUBLE) * 1000000 + 0.5)
                     AS BIGINT) AS global_cc_e6
         FROM tri t, w WHERE w.n_wedges > 0"""
+    o["hourly_anomaly_hours"] = """
+        WITH c AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS hour_idx,
+                          COUNT(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS h,
+                     SUM(CAST(cnt AS HUGEINT)) AS t,
+                     SUM(CAST(cnt AS HUGEINT) * cnt) AS ss
+              FROM c GROUP BY event_type)
+        SELECT c.event_type, c.hour_idx, CAST(c.cnt AS BIGINT) AS cnt
+        FROM c JOIN s USING (event_type)
+        WHERE (c.cnt * s.h - s.t) * (c.cnt * s.h - s.t)
+              > 4 * (s.ss * s.h - s.t * s.t)"""
+    o["lancelike_add_column_check"] = """
+        WITH b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents FROM orders)
+        SELECT cents // 5000000 AS price_band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM b GROUP BY 1"""
     return o

@@ -673,3 +673,90 @@ def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
             "removed_fragments": removed_fragments,
             "reclaimed_bytes": reclaimed,
             "kept_versions": kept_versions}
+
+
+def add_column(root: str, stage: str, compute, *,
+               zonemap_cols: list[str] | None = None) -> dict:
+    """Schema evolution: ALTER TABLE ADD COLUMN(s) with backfill.
+    ``compute(batch) -> batch'`` appends the new column(s) to each
+    fragment (it must be deterministic per row and must not drop or
+    reorder rows — row counts are verified per fragment). Every fragment
+    is rewritten by its own Ray task (full-cluster parallelism), the new
+    manifest commits LAST, and the previous version stays readable —
+    copy-on-write exactly like merge/compact. Unlike Lance's adjacent
+    column-group files this rewrites row data (one pass of O(table)
+    I/O); the simplicity buys zone maps over the new column for free
+    (pass ``zonemap_cols``). Partitioned layouts keep their partition
+    assignment (each fragment is rewritten in place of its subdir)."""
+    import ray.data as rd
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        out = []
+        for rel, part in zip(b["path"].to_pylist(),
+                             b["partition"].to_pylist()):
+            t = pq.read_table(os.path.join(root, rel))
+            t2 = compute(t)
+            if t2.num_rows != t.num_rows:
+                raise ValueError(
+                    f"add_column compute changed the row count of {rel} "
+                    f"({t.num_rows} -> {t2.num_rows})")
+            sub = os.path.dirname(rel)
+            odir = os.path.join(root, sub) if sub != _FRAGMENT_DIR \
+                else frag_dir
+            os.makedirs(odir, exist_ok=True)
+            name = f"frag-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(odir, f".{name}.tmp")
+            pq.write_table(t2, tmp, compression="zstd")
+            final = os.path.join(odir, name)
+            os.replace(tmp, final)
+            row = {"path": os.path.join(sub, name) if sub != _FRAGMENT_DIR
+                   else os.path.join(_FRAGMENT_DIR, name),
+                   "rows": t2.num_rows,
+                   "bytes": os.path.getsize(final)}
+            if part:
+                row["partition"] = part
+            if zonemap_cols:
+                zm = {}
+                for c in zonemap_cols:
+                    if c in t2.column_names:
+                        import pyarrow.compute as _pc
+                        mm = _pc.min_max(t2[c]).as_py()
+                        zm[c] = [mm["min"], mm["max"]]
+                if zm:
+                    row["zonemap"] = zm
+            out.append(row)
+        cols = {k: [r.get(k) for r in out]
+                for k in ("path", "rows", "bytes", "partition")}
+        t = pa.table({"path": pa.array(cols["path"], pa.string()),
+                      "rows": pa.array(cols["rows"], pa.int64()),
+                      "bytes": pa.array(cols["bytes"], pa.int64()),
+                      "partition": pa.array(
+                          [p or "" for p in cols["partition"]],
+                          pa.string()),
+                      "zonemap": pa.array(
+                          [json.dumps(r.get("zonemap") or {})
+                           for r in out], pa.string())})
+        return t
+
+    items = [{"path": f["path"], "partition": f.get("partition", "")}
+             for f in man["fragments"]]
+    src = rd.from_items(items, override_num_blocks=max(1, len(items)))
+    frags = []
+    for r in src.map_batches(rewrite, batch_format="pyarrow",
+                             batch_size=None).take_all():
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"])}
+        if r["partition"]:
+            f["partition"] = r["partition"]
+        zm = json.loads(r["zonemap"] or "{}")
+        if zm:
+            f["zonemap"] = zm
+        frags.append(f)
+    metrics = {"rewritten_fragments": len(frags)}
+    return _commit(root, stage, parent=man["stage"], fragments=frags,
+                   metrics=metrics, fingerprint=None)
