@@ -71,6 +71,7 @@ SAMPLE_SEED = 1234
 SPLIT_SEED = 77      # dataset_split_counts train/val/test hash seed
 BUFFER_RES = 14      # cell_buffer_dilate grid resolution (~2.4 km cells)
 BUFFER_R = 2         # cell_buffer_dilate Chebyshev dilation radius (cells)
+SEARCH_TOKENS = ("table", "scan", "merge")   # doc_keyword_and_search query
 SIMPLIFY_MIN_CROSS = 2_000_000_000_000   # way_simplify_onepass: min |cross|
                      # of an interior vertex's neighbor triangle, in e7-int
                      # coordinate units (2e12 ≈ a 0.02°-base × 0.02°-height
@@ -6415,6 +6416,102 @@ def queries():
             [("n_p", "sum", "n"), ("cents_p", "sum", "cents")])
     q["lancelike_add_column_check"] = lancelike_add_column_check
 
+    def top_next_token(sf_dir):
+        """Conditional bigram completion table (the count side of a
+        bigram language model): for each token, its top-3 next tokens by
+        corpus count, ties to the lexicographically smaller successor.
+        Block-local Counter partials merge through the vectorized
+        combiner; the per-token head(3) is the distributed QUALIFY
+        machinery (`grouped_topk` — O(groups×k) per block through the
+        shuffle)."""
+        from collections import Counter
+
+        from ..functions import text
+        from ..util import grouped_agg_vec, grouped_topk
+        ds = fx.driver_table(sf_dir, "documents", columns=["text"])
+
+        def pairs(b: pa.Table) -> pa.Table:
+            cb: Counter = Counter()
+            for t in b["text"].to_pylist():
+                toks = text.WS_RE.findall(t or "")
+                cb.update(zip(toks, toks[1:]))
+            w1, w2 = zip(*cb.keys()) if cb else ((), ())
+            return pa.table({"w1": pa.array(list(w1), pa.string()),
+                             "w2": pa.array(list(w2), pa.string()),
+                             "c_p": pa.array(list(cb.values()), pa.int64())})
+
+        counts = grouped_agg_vec(ds.map_batches(pairs,
+                                                batch_format="pyarrow"),
+                                 ["w1", "w2"], [("c_p", "sum", "c")])
+        return grouped_topk(counts, ["w1"], 3,
+                            [("c", "desc"), ("w2", "asc")], n_buckets=64)
+    q["top_next_token"] = top_next_token
+
+    def doc_keyword_and_search(sf_dir):
+        """Conjunctive keyword retrieval (the boolean-AND search
+        primitive): documents containing ALL query tokens, with the
+        total occurrence count of the query tokens per matching doc.
+        Map-only — the tiny query vocabulary is a constant, membership
+        is a vectorized per-doc set check, zero shuffles at any corpus
+        size."""
+        from ..functions import text
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+        terms = list(SEARCH_TOKENS)
+
+        def match(b: pa.Table) -> pa.Table:
+            ids, hits = [], []
+            for i, t in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+                toks = text.WS_RE.findall(t or "")
+                n = 0
+                ok = True
+                for q in terms:
+                    c = toks.count(q)
+                    if c == 0:
+                        ok = False
+                        break
+                    n += c
+                if ok:
+                    ids.append(i)
+                    hits.append(n)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_occurrences": pa.array(hits, pa.int64())})
+
+        return docs.map_batches(match, batch_format="pyarrow")
+    q["doc_keyword_and_search"] = doc_keyword_and_search
+
+    def cell_amenity_diversity(sf_dir):
+        """Spatial diversity index: distinct amenity kinds per grid cell
+        (the land-use-mix surface a tiling stage would color by) —
+        amenity-tagged nodes resolve coordinates through the hash join,
+        cells quantize map-side, and the exact per-cell COUNT(DISTINCT)
+        runs through the tuple-dedup combiner. Cells with at least two
+        kinds are emitted (the 'mixed-use' screen)."""
+        from ..util import grouped_count_distinct
+        tags = fx.read_fixture(sf_dir, "tags",
+                               columns=["elem_id", "key", "value"]) \
+            .filter(expr="key == 'amenity'") \
+            .rename_columns({"elem_id": "id"})
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat"])
+        j = tags.join(nodes, on=("id",), join_type="inner",
+                      **join_kwargs(fx.table_join_partitions(
+                          sf_dir, "tags", "nodes")))
+
+        def cells(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 TILE_RES)
+            return pa.table({"qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64()),
+                             "value": b["value"]})
+
+        div = grouped_count_distinct(
+            j.map_batches(cells, batch_format="pyarrow"),
+            ["qx", "qy"], "value", out_col="n_kinds", n_buckets=64)
+        return div.filter(expr="n_kinds >= 2")
+    q["cell_amenity_diversity"] = cell_amenity_diversity
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -8934,4 +9031,32 @@ def oracle_sql():
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(cents) AS BIGINT) AS cents
         FROM b GROUP BY 1"""
+    o["top_next_token"] = r"""
+        WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+        bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        r AS (SELECT w1, w2, c, ROW_NUMBER() OVER
+                  (PARTITION BY w1 ORDER BY c DESC, w2) AS rn FROM bc)
+        SELECT w1, w2, CAST(c AS BIGINT) AS c FROM r WHERE rn <= 3"""
+    _terms = ", ".join(f"len(list_filter(t, x -> x = '{q}')) AS c{i}"
+                       for i, q in enumerate(SEARCH_TOKENS))
+    _sum = " + ".join(f"c{i}" for i in range(len(SEARCH_TOKENS)))
+    _all = " AND ".join(f"c{i} > 0" for i in range(len(SEARCH_TOKENS)))
+    o["doc_keyword_and_search"] = rf"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        m AS (SELECT doc_id, {_terms} FROM toks)
+        SELECT doc_id, CAST({_sum} AS BIGINT) AS n_occurrences
+        FROM m WHERE {_all}"""
+    o["cell_amenity_diversity"] = f"""
+        WITH a AS (SELECT t.value, n.lon, n.lat
+                   FROM {tags_p} t JOIN {nodes_p} n ON t.elem_id = n.id
+                   WHERE t.key = 'amenity'),
+        c AS (SELECT {_grid_sql('lon', TILE_RES, -180.0, 360.0)} AS qx,
+                     {_grid_sql('lat', TILE_RES, -90.0, 180.0)} AS qy,
+                     value FROM a)
+        SELECT qx, qy, CAST(COUNT(DISTINCT value) AS BIGINT) AS n_kinds
+        FROM c GROUP BY qx, qy HAVING COUNT(DISTINCT value) >= 2"""
     return o
