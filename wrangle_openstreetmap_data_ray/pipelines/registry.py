@@ -6512,6 +6512,160 @@ def queries():
         return div.filter(expr="n_kinds >= 2")
     q["cell_amenity_diversity"] = cell_amenity_diversity
 
+    def cell_edit_delta(sf_dir):
+        """Temporal change-detection raster: per-cell edit counts in the
+        first vs second half of the corpus time range (the before/after
+        map-algebra difference a monitoring pipeline renders). The
+        cutoff is exact integer-µs midpoint arithmetic; per-block
+        min/max partials feed one tiny aggregate (never a row-walked
+        ray aggregate over data volume); per-cell early/late sums merge
+        through the vectorized combiner."""
+        from ray.data.aggregate import Max, Min
+        from ..util import grouped_agg_vec
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["lon", "lat", "timestamp"])
+
+        def us_part(b: pa.Table) -> pa.Table:
+            t = b["timestamp"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            if not len(t):
+                return pa.table({"mn_p": pa.array([], pa.int64()),
+                                 "mx_p": pa.array([], pa.int64())})
+            return pa.table({"mn_p": pa.array([int(t.min())], pa.int64()),
+                             "mx_p": pa.array([int(t.max())], pa.int64())})
+
+        mm = nodes.map_batches(us_part, batch_format="pyarrow") \
+            .aggregate(Min("mn_p", alias_name="mn"),
+                       Max("mx_p", alias_name="mx"))
+        cutoff = (int(mm["mn"]) + int(mm["mx"])) // 2
+
+        def cells(b: pa.Table) -> pa.Table:
+            t = b["timestamp"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(),
+                                 OD_RES)
+            early = (t <= cutoff).astype(np.int64)
+            return pa.table({"qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64()),
+                             "e_p": pa.array(early, pa.int64()),
+                             "l_p": pa.array(1 - early, pa.int64())})
+
+        agg = grouped_agg_vec(nodes.map_batches(cells,
+                                                batch_format="pyarrow"),
+                              ["qx", "qy"],
+                              [("e_p", "sum", "n_early"),
+                               ("l_p", "sum", "n_late")])
+
+        def delta(b: pa.Table) -> pa.Table:
+            d = b["n_late"].to_numpy() - b["n_early"].to_numpy()
+            return b.append_column("delta", pa.array(d, pa.int64()))
+
+        return agg.map_batches(delta, batch_format="pyarrow")
+    q["cell_edit_delta"] = cell_edit_delta
+
+    def fuzzy_street_pairs(sf_dir):
+        """Edit-distance-1 join over the distinct street-name vocabulary
+        (the fuzzy-dedup screen feeding canonicalization): distinct names
+        reduce DISTRIBUTED (combiner distinct — the vocabulary is the
+        dimension side, capped with a loud raise), then the pair scan
+        runs per length bucket — equal lengths as one vectorized char-
+        matrix mismatch count, adjacent lengths as a two-pointer deletion
+        check — which is exactly levenshtein = 1 (the SQL twin's
+        predicate) without a full DP."""
+        from ..util import grouped_count
+        tags = fx.read_fixture(sf_dir, "tags", columns=["key", "value"]) \
+            .filter(expr="key == 'addr:street'")
+        vals = grouped_count(tags, "value").to_pandas()["value"].tolist()
+        if len(vals) > 200_000:
+            raise ValueError(f"{len(vals)} distinct names exceed the "
+                             f"vocabulary cap; shard the pair scan")
+        names = sorted(vals)
+        by_len: dict[int, list[str]] = {}
+        for nm in names:
+            by_len.setdefault(len(nm), []).append(nm)
+        out_a, out_b = [], []
+        for L, bucket in by_len.items():
+            if L > 0 and len(bucket) > 1:   # substitution: same length
+                arr = np.array(bucket, dtype=f"U{L}")
+                m = arr.view(np.uint32).reshape(len(bucket), L)
+                mism = (m[:, None, :] != m[None, :, :]).sum(axis=2)
+                ii, jj = np.nonzero(np.triu(mism == 1, k=1))
+                for i, j in zip(ii.tolist(), jj.tolist()):
+                    out_a.append(bucket[i])
+                    out_b.append(bucket[j])
+            for b in by_len.get(L + 1, []):  # deletion: len differs by 1
+                for a in bucket:
+                    k = 0
+                    while k < L and a[k] == b[k]:
+                        k += 1
+                    if a[k:] == b[k + 1:]:
+                        x, y = (a, b) if a < b else (b, a)
+                        out_a.append(x)
+                        out_b.append(y)
+        return pd.DataFrame({"name_a": pd.Series(out_a, dtype="string"),
+                             "name_b": pd.Series(out_b, dtype="string")})
+    q["fuzzy_street_pairs"] = fuzzy_street_pairs
+
+    def way_self_intersections(sf_dir):
+        """Geometry validity audit: per way, the count of STRICTLY
+        crossing non-adjacent segment pairs (a self-intersecting
+        polyline is invalid as a boundary). Uses the repo's shared
+        d1·d2<0 ∧ d3·d4<0 float convention (identical expression text
+        in the SQL self-join); the per-way pair matrix is bounded by
+        the way's own vertex count inside the bucketed shuffle."""
+        from ..util import bucketed_group_apply, typed_empty_series
+        joined = _way_points(sf_dir)
+
+        def selfx(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            x = g["lon"].to_numpy()
+            y = g["lat"].to_numpy()
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            sw = wid[1:][same]
+            x1 = x[:-1][same]
+            y1 = y[:-1][same]
+            x2 = x[1:][same]
+            y2 = y[1:][same]
+            sp = pos[:-1][same]
+            out_w, out_n = [], []
+            starts = (np.r_[0, np.nonzero(sw[1:] != sw[:-1])[0] + 1]
+                      if len(sw) else np.empty(0, np.int64))
+            ends = np.r_[starts[1:], len(sw)] if len(sw) \
+                else np.empty(0, np.int64)
+            for s0, s1 in zip(starts.tolist(), ends.tolist()):
+                k = s1 - s0
+                if k < 3:
+                    continue
+                ax1, ay1 = x1[s0:s1], y1[s0:s1]
+                ax2, ay2 = x2[s0:s1], y2[s0:s1]
+                # s = row segment, e = column segment — the crossing
+                # twin's exact float trees, self-joined
+                d1 = ((ax2 - ax1)[:, None] * (ay1[None, :] - ay1[:, None])
+                      - (ay2 - ay1)[:, None] * (ax1[None, :] - ax1[:, None]))
+                d2 = ((ax2 - ax1)[:, None] * (ay2[None, :] - ay1[:, None])
+                      - (ay2 - ay1)[:, None] * (ax2[None, :] - ax1[:, None]))
+                d3 = ((ax2 - ax1)[None, :] * (ay1[:, None] - ay1[None, :])
+                      - (ay2 - ay1)[None, :] * (ax1[:, None] - ax1[None, :]))
+                d4 = ((ax2 - ax1)[None, :] * (ay2[:, None] - ay1[None, :])
+                      - (ay2 - ay1)[None, :] * (ax2[:, None] - ax1[None, :]))
+                cross = (d1 * d2 < 0) & (d3 * d4 < 0)
+                p = sp[s0:s1]
+                nonadj = (p[None, :] - p[:, None]) >= 2
+                n = int((cross & nonadj).sum())
+                if n:
+                    out_w.append(sw[s0])
+                    out_n.append(n)
+            return pd.DataFrame({
+                "way_id": np.array(out_w, np.int64) if out_w
+                else typed_empty_series(sw),
+                "n_self_crossings": np.array(out_n, np.int64)})
+
+        return bucketed_group_apply(joined, ["way_id"], selfx,
+                                    n_buckets=64)
+    q["way_self_intersections"] = way_self_intersections
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -9059,4 +9213,40 @@ def oracle_sql():
                      value FROM a)
         SELECT qx, qy, CAST(COUNT(DISTINCT value) AS BIGINT) AS n_kinds
         FROM c GROUP BY qx, qy HAVING COUNT(DISTINCT value) >= 2"""
+    o["cell_edit_delta"] = f"""
+        WITH s AS (SELECT lon, lat,
+                          CAST(epoch_us(timestamp) AS BIGINT) AS us
+                   FROM {nodes_p}),
+        m AS (SELECT (MIN(us) + MAX(us)) // 2 AS cutoff FROM s),
+        c AS (SELECT {_grid_sql('lon', OD_RES, -180.0, 360.0)} AS qx,
+                     {_grid_sql('lat', OD_RES, -90.0, 180.0)} AS qy,
+                     CASE WHEN us <= m.cutoff THEN 1 ELSE 0 END AS e
+              FROM s CROSS JOIN m)
+        SELECT qx, qy, CAST(SUM(e) AS BIGINT) AS n_early,
+               CAST(SUM(1 - e) AS BIGINT) AS n_late,
+               CAST(SUM(1 - e) - SUM(e) AS BIGINT) AS delta
+        FROM c GROUP BY qx, qy"""
+    o["fuzzy_street_pairs"] = f"""
+        WITH v AS (SELECT DISTINCT value FROM {tags_p}
+                   WHERE key = 'addr:street')
+        SELECT a.value AS name_a, b.value AS name_b
+        FROM v a JOIN v b ON a.value < b.value
+        WHERE levenshtein(a.value, b.value) = 1"""
+    o["way_self_intersections"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position,
+                            nd.lon AS x, nd.lat AS y
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        segs AS (SELECT a.way_id, a.position AS sp, a.x AS x1, a.y AS y1,
+                        b.x AS x2, b.y AS y2
+                 FROM pts a JOIN pts b ON a.way_id = b.way_id
+                  AND b.position = a.position + 1)
+        SELECT s.way_id, CAST(COUNT(*) AS BIGINT) AS n_self_crossings
+        FROM segs s JOIN segs e ON s.way_id = e.way_id
+         AND e.sp >= s.sp + 2
+        WHERE ((s.x2-s.x1)*(e.y1-s.y1) - (s.y2-s.y1)*(e.x1-s.x1))
+            * ((s.x2-s.x1)*(e.y2-s.y1) - (s.y2-s.y1)*(e.x2-s.x1)) < 0
+          AND ((e.x2-e.x1)*(s.y1-e.y1) - (e.y2-e.y1)*(s.x1-e.x1))
+            * ((e.x2-e.x1)*(s.y2-e.y1) - (e.y2-e.y1)*(s.x2-e.x1)) < 0
+        GROUP BY s.way_id"""
     return o
