@@ -72,6 +72,8 @@ SPLIT_SEED = 77      # dataset_split_counts train/val/test hash seed
 BUFFER_RES = 14      # cell_buffer_dilate grid resolution (~2.4 km cells)
 BUFFER_R = 2         # cell_buffer_dilate Chebyshev dilation radius (cells)
 SEARCH_TOKENS = ("table", "scan", "merge")   # doc_keyword_and_search query
+ANCHORS = ((103.70, 1.25), (103.85, 1.30),   # anchor_nearest_points query
+           (103.95, 1.35), (103.80, 1.40))   # points (lon, lat)
 SIMPLIFY_MIN_CROSS = 2_000_000_000_000   # way_simplify_onepass: min |cross|
                      # of an interior vertex's neighbor triangle, in e7-int
                      # coordinate units (2e12 ≈ a 0.02°-base × 0.02°-height
@@ -6666,6 +6668,66 @@ def queries():
                                     n_buckets=64)
     q["way_self_intersections"] = way_self_intersections
 
+    def user_activity_gini(sf_dir):
+        """Contribution-inequality (Gini) over per-user event counts, the
+        participation-skew metric of crowd-sourced corpora: the sorted-
+        rank numerator Σ(2i−n−1)·x₍ᵢ₎ is EXACT integer arithmetic (tie
+        order provably irrelevant — equal x under a linear-in-i weight),
+        counts reduce through the vectorized combiner, and only the
+        final 1-row ratio touches floats (identical cast/divide/floor-e6
+        tree). The sort runs on the user-BOUNDED count table (dimension
+        side), never on events."""
+        from ..util import grouped_count
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        counts = grouped_count(ev, "user_id").to_pandas()
+        x = np.sort(counts["cnt"].to_numpy().astype(np.int64))
+        n = len(x)
+        if n == 0:
+            return pd.DataFrame({
+                "n_users": pd.Series([], dtype=np.int64),
+                "total_events": pd.Series([], dtype=np.int64),
+                "gini_num": pd.Series([], dtype=np.int64),
+                "gini_e6": pd.Series([], dtype=np.int64)})
+        t = int(x.sum())
+        i = np.arange(1, n + 1, dtype=object)
+        num = int(((2 * i - n - 1) * x.astype(object)).sum())
+        g6 = int(np.floor(float(num) / float(n * t) * 1000000 + 0.5))
+        return pd.DataFrame({"n_users": [n], "total_events": [t],
+                             "gini_num": [num], "gini_e6": [g6]})
+    q["user_activity_gini"] = user_activity_gini
+
+    def anchor_nearest_points(sf_dir):
+        """Bichromatic nearest-neighbor top-k: for each of the fixed
+        query anchors, the 5 closest points by great-circle distance —
+        the broadcast-small-query-side NN shape (anchors are constants;
+        per-block (anchor, point) distances floor to integer mm
+        map-side, the per-anchor head(5) is the distributed QUALIFY
+        pre-reduce, so only ≤ anchors×k rows per block cross the
+        shuffle)."""
+        from ..util import grouped_topk
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        aid = np.arange(len(ANCHORS), dtype=np.int64)
+        alon = np.array([a[0] for a in ANCHORS])
+        alat = np.array([a[1] for a in ANCHORS])
+
+        def dists(b: pa.Table) -> pa.Table:
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            d = geo.haversine_m(alon[:, None], alat[:, None],
+                                lon[None, :], lat[None, :])
+            mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            ids = b["image_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "anchor_id": pa.array(np.repeat(aid, len(lon)), pa.int64()),
+                "image_id": pa.array(np.tile(ids, len(aid))),
+                "d_mm": pa.array(mm.ravel(), pa.int64())})
+
+        expl = pts.map_batches(dists, batch_format="pyarrow")
+        return grouped_topk(expl, ["anchor_id"], 5,
+                            [("d_mm", "asc"), ("image_id", "asc")],
+                            n_buckets=8)
+    q["anchor_nearest_points"] = anchor_nearest_points
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -9249,4 +9311,35 @@ def oracle_sql():
           AND ((e.x2-e.x1)*(s.y1-e.y1) - (e.y2-e.y1)*(s.x1-e.x1))
             * ((e.x2-e.x1)*(s.y2-e.y1) - (e.y2-e.y1)*(s.x2-e.x1)) < 0
         GROUP BY s.way_id"""
+    o["user_activity_gini"] = """
+        WITH c AS (SELECT user_id, COUNT(*) AS x FROM events
+                   GROUP BY user_id),
+        r AS (SELECT CAST(x AS HUGEINT) AS x,
+                     CAST(ROW_NUMBER() OVER (ORDER BY x, user_id)
+                          AS HUGEINT) AS i,
+                     CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+                     CAST(SUM(x) OVER () AS HUGEINT) AS t FROM c)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(MAX(t) AS BIGINT) AS total_events,
+               CAST(SUM((2*i - n - 1) * x) AS BIGINT) AS gini_num,
+               CAST(floor(CAST(SUM((2*i - n - 1) * x) AS DOUBLE)
+                    / CAST(MAX(n) * MAX(t) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS gini_e6
+        FROM r"""
+    _avals = ", ".join(f"({i}, {a[0]}, {a[1]})"
+                       for i, a in enumerate(ANCHORS))
+    o["anchor_nearest_points"] = f"""
+        WITH a AS (SELECT * FROM (VALUES {_avals})
+                   AS t(anchor_id, alon, alat)),
+        d AS (SELECT a.anchor_id, g.image_id,
+                     CAST(floor(2*6371008.8*asin(sqrt(LEAST(GREATEST(
+                         sin((radians(g.lat)-radians(a.alat))/2)^2
+                         + cos(radians(a.alat))*cos(radians(g.lat))
+                         *sin((radians(g.lon)-radians(a.alon))/2)^2,
+                         0.0), 1.0))) * 1000.0 + 0.5) AS BIGINT) AS d_mm
+              FROM a CROSS JOIN {knn_p} g),
+        r AS (SELECT anchor_id, image_id, d_mm, ROW_NUMBER() OVER
+                  (PARTITION BY anchor_id ORDER BY d_mm, image_id) AS rn
+              FROM d)
+        SELECT anchor_id, image_id, d_mm FROM r WHERE rn <= 5"""
     return o
