@@ -6283,7 +6283,8 @@ def queries():
                           "b": pa.array(np.where(x < y, y, x))})
             return t.group_by(["a", "b"]).aggregate([])
 
-        canon = pairs.map_batches(to_edges, batch_format="pyarrow")
+        canon = pairs.map_batches(to_edges, batch_format="pyarrow") \
+            .materialize()   # feeds BOTH the triangle count and degrees
         n_tri = graph.triangle_count(canon)
         # global dedupe of the undirected edge set, then degree counts
         edges = grouped_agg_vec(canon, ["a", "b"],
@@ -6578,23 +6579,32 @@ def queries():
         tags = fx.read_fixture(sf_dir, "tags", columns=["key", "value"]) \
             .filter(expr="key == 'addr:street'")
         vals = grouped_count(tags, "value").to_pandas()["value"].tolist()
-        if len(vals) > 200_000:
-            raise ValueError(f"{len(vals)} distinct names exceed the "
-                             f"vocabulary cap; shard the pair scan")
         names = sorted(vals)
         by_len: dict[int, list[str]] = {}
         for nm in names:
             by_len.setdefault(len(nm), []).append(nm)
+        # the pair scan is O(bucket²·L) — cap the per-LENGTH bucket (the
+        # quantity that actually drives cost), not just the vocabulary
+        # (review finding: a 200k global cap never bounded the matrix)
+        big = {L: len(b) for L, b in by_len.items() if len(b) > 20_000}
+        if big:
+            raise ValueError(f"same-length name buckets exceed the pair-"
+                             f"scan cap (20k): {big}; shard the scan")
         out_a, out_b = [], []
         for L, bucket in by_len.items():
             if L > 0 and len(bucket) > 1:   # substitution: same length
                 arr = np.array(bucket, dtype=f"U{L}")
                 m = arr.view(np.uint32).reshape(len(bucket), L)
-                mism = (m[:, None, :] != m[None, :, :]).sum(axis=2)
-                ii, jj = np.nonzero(np.triu(mism == 1, k=1))
-                for i, j in zip(ii.tolist(), jj.tolist()):
-                    out_a.append(bucket[i])
-                    out_b.append(bucket[j])
+                step = max(1, (64 << 20) // max(1, len(bucket) * L))
+                for r0 in range(0, len(bucket), step):
+                    # row-tiled so the (rows, B, L) cube stays ≤ ~64 MB
+                    mism = (m[r0:r0 + step, None, :]
+                            != m[None, :, :]).sum(axis=2)
+                    ii, jj = np.nonzero(mism == 1)
+                    for i, j in zip((ii + r0).tolist(), jj.tolist()):
+                        if i < j:
+                            out_a.append(bucket[i])
+                            out_b.append(bucket[j])
             for b in by_len.get(L + 1, []):  # deletion: len differs by 1
                 for a in bucket:
                     k = 0
@@ -6719,7 +6729,8 @@ def queries():
             ids = b["image_id"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "anchor_id": pa.array(np.repeat(aid, len(lon)), pa.int64()),
-                "image_id": pa.array(np.tile(ids, len(aid))),
+                # explicit type: an empty object array infers Arrow null
+                "image_id": pa.array(np.tile(ids, len(aid)), pa.string()),
                 "d_mm": pa.array(mm.ravel(), pa.int64())})
 
         expl = pts.map_batches(dists, batch_format="pyarrow")

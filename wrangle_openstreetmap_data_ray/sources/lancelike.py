@@ -694,6 +694,16 @@ def add_column(root: str, stage: str, compute, *,
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    if zonemap_cols is None:
+        # compact()'s precedent: a full rewrite must not silently drop
+        # existing zone maps — recompute them for every column already
+        # zone-mapped in the current manifest (review finding)
+        seen: list[str] = []
+        for f in man["fragments"]:
+            for c in f.get("zonemap", {}):
+                if c not in seen:
+                    seen.append(c)
+        zonemap_cols = seen or None
 
     def rewrite(b: pa.Table) -> pa.Table:
         out = []
@@ -721,12 +731,24 @@ def add_column(root: str, stage: str, compute, *,
             if part:
                 row["partition"] = part
             if zonemap_cols:
+                import pyarrow.compute as _pc
+                import pyarrow.types as _pat
                 zm = {}
                 for c in zonemap_cols:
-                    if c in t2.column_names:
-                        import pyarrow.compute as _pc
+                    if c not in t2.column_names:
+                        continue
+                    typ = t2.schema.field(c).type
+                    # same guard as _FragmentWriter: non-numeric bounds
+                    # cannot be ordered against range-read query bounds
+                    if not (_pat.is_integer(typ) or _pat.is_floating(typ)):
+                        raise ValueError(
+                            f"zonemap_cols supports numeric columns only; "
+                            f"{c!r} is {typ} (cast timestamps to epoch "
+                            f"integers first)")
+                    if t2.num_rows:
                         mm = _pc.min_max(t2[c]).as_py()
-                        zm[c] = [mm["min"], mm["max"]]
+                        if mm["min"] is not None:
+                            zm[c] = [mm["min"], mm["max"]]
                 if zm:
                     row["zonemap"] = zm
             out.append(row)
