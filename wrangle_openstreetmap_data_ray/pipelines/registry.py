@@ -6739,6 +6739,86 @@ def queries():
                             n_buckets=8)
     q["anchor_nearest_points"] = anchor_nearest_points
 
+    def user_longest_streak(sf_dir):
+        """Longest consecutive-day activity streak per user (the classic
+        gaps-and-islands MAX run): active (user, day) pairs dedupe in
+        the block combiner, then day − rank inside the per-user bucket
+        labels each island and the longest one wins. Integer days end to
+        end; users with a streak ≥ 2 are emitted (the single-day floor
+        keeps the result non-trivial)."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id", "ts"])
+        DAY_US = 86400 * 10**6
+
+        def days(b: pa.Table) -> pa.Table:
+            t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            tt = pa.table({"user_id": b["user_id"],
+                           "day": pa.array(t // DAY_US, pa.int64())})
+            return tt.group_by(["user_id", "day"]).aggregate([])
+
+        pairs = grouped_agg_vec(ev.map_batches(days, batch_format="pyarrow"),
+                                ["user_id", "day"], [(None, "count", "_c")])
+
+        def streaks(g: pd.DataFrame) -> pd.DataFrame:
+            from ..util import typed_empty_series
+            if not len(g):
+                return pd.DataFrame({
+                    "user_id": typed_empty_series(g["user_id"].to_numpy()),
+                    "longest_streak": np.empty(0, np.int64)})
+            g = g.sort_values(["user_id", "day"], kind="mergesort")
+            isl = g["day"].to_numpy() - g.groupby("user_id", sort=False) \
+                .cumcount().to_numpy()
+            runs = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                                 "isl": isl}) \
+                .groupby(["user_id", "isl"], sort=False).size() \
+                .reset_index(name="run")
+            out = runs.groupby("user_id", sort=False)["run"].max() \
+                .reset_index(name="longest_streak")
+            out = out[out["longest_streak"] >= 2]
+            return pd.DataFrame({
+                "user_id": out["user_id"].to_numpy(),
+                "longest_streak":
+                    out["longest_streak"].to_numpy().astype(np.int64)})
+
+        return bucketed_group_apply(pairs, ["user_id"], streaks,
+                                    n_buckets=64)
+    q["user_longest_streak"] = user_longest_streak
+
+    def geohash_cells(sf_dir):
+        """Base32 geohash encoding (precision 6) of every point — the
+        third spatial index family next to the Morton cell ids and the
+        axial hex bins. Pure integer bit interleaving (15 lon bits over
+        15 lat bits, lon first) and an alphabet gather, vectorized; the
+        SQL twin expands the identical interleave as a 30-term integer
+        sum and the same quantization float trees, so the STRING hashes
+        are value-pinned."""
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        B = 15
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lut = np.array(list(alpha))
+
+        def enc(b: pa.Table) -> pa.Table:
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            n = np.int64(1) << np.int64(B)
+            qlon = np.clip(np.floor((lon + 180.0) / 360.0 * n)
+                           .astype(np.int64), 0, n - 1)
+            qlat = np.clip(np.floor((lat + 90.0) / 180.0 * n)
+                           .astype(np.int64), 0, n - 1)
+            v = np.zeros(len(lon), np.int64)
+            for i in range(B):
+                v |= ((qlon >> i) & 1) << (2 * i + 1)
+                v |= ((qlat >> i) & 1) << (2 * i)
+            chars = [lut[(v >> (25 - 5 * k)) & 31] for k in range(6)]
+            gh = chars[0]
+            for c in chars[1:]:
+                gh = np.char.add(gh, c)
+            return pa.table({"image_id": b["image_id"],
+                             "gh6": pa.array(gh.tolist(), pa.string())})
+
+        return pts.map_batches(enc, batch_format="pyarrow")
+    q["geohash_cells"] = geohash_cells
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -9353,4 +9433,30 @@ def oracle_sql():
                   (PARTITION BY anchor_id ORDER BY d_mm, image_id) AS rn
               FROM d)
         SELECT anchor_id, image_id, d_mm FROM r WHERE rn <= 5"""
+    o["user_longest_streak"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day FROM events),
+        r AS (SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS isl
+              FROM d),
+        runs AS (SELECT user_id, isl, COUNT(*) AS run FROM r GROUP BY 1, 2)
+        SELECT user_id, CAST(MAX(run) AS BIGINT) AS longest_streak
+        FROM runs GROUP BY user_id HAVING MAX(run) >= 2"""
+    _ghq = ("LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 32768.0) "
+            "AS BIGINT), 0), 32767)")
+    _ghr = ("LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 32768.0) "
+            "AS BIGINT), 0), 32767)")
+    _terms = " + ".join(
+        [f"(((qlon >> {i}) & 1) << {2 * i + 1})" for i in range(15)]
+        + [f"(((qlat >> {i}) & 1) << {2 * i})" for i in range(15)])
+    _alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    _chars = " || ".join(
+        f"substr('{_alpha}', CAST(((v >> {25 - 5 * k}) & 31) AS INTEGER)"
+        f" + 1, 1)" for k in range(6))
+    o["geohash_cells"] = f"""
+        WITH q AS (SELECT image_id, {_ghq} AS qlon, {_ghr} AS qlat
+                   FROM {knn_p}),
+        iv AS (SELECT image_id, {_terms} AS v FROM q)
+        SELECT image_id, {_chars} AS gh6 FROM iv"""
     return o
