@@ -238,3 +238,43 @@ def test_lancelike_add_column_backfill(ray_session, tmp_path):
     with pytest.raises(Exception):
         lancelike.add_column(root, stage="bad",
                              compute=lambda b: b.slice(0, 0))
+
+
+def test_lancelike_mor_tombstones(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    root = str(tmp_path / "mor")
+    t = synth.gen_geo_table(0, 1200)
+    man1 = lancelike.write_dataset(rd.from_arrow(t).repartition(4), root,
+                                   stage="base")
+    ids = t["image_id"].to_pylist()
+    # two stacked MoR deletes on the same key column
+    man2 = lancelike.delete_by_keys_mor(pa.array(ids[:100]), root,
+                                        "image_id", stage="m1")
+    man3 = lancelike.delete_by_keys_mor(pa.array(ids[100:150]), root,
+                                        "image_id", stage="m2")
+    assert len(man3["tombstones"]) == 2
+    assert {f["path"] for f in man3["fragments"]} \
+        == {f["path"] for f in man1["fragments"]}
+    # scan applies both; column-pruned read that drops the key still works
+    back = lancelike.read_dataset(root, columns=["lon"])
+    assert back.count() == 1200 - 150
+    assert set(back.schema().names) == {"lon"}
+    got = {r["image_id"] for r in
+           lancelike.read_dataset(root, columns=["image_id"]).take_all()}
+    assert got == set(ids[150:])
+    # CoW verbs refuse; idempotent apply clears and preserves content
+    with pytest.raises(ValueError):
+        lancelike.merge_upsert(rd.from_arrow(t.slice(0, 2)), root,
+                               "image_id", stage="x")
+    man4 = lancelike.apply_tombstones(root, stage="mat")
+    assert not man4.get("tombstones")
+    assert man4["total_rows"] == 1050
+    assert lancelike.apply_tombstones(root, stage="noop")["version"] \
+        == man4["version"]
+    # vacuum GCs the now-unreferenced tombstone files
+    lancelike.vacuum(root, keep_versions=1)
+    import os
+    tdir = os.path.join(root, "_tombstones")
+    assert not os.path.isdir(tdir) or not os.listdir(tdir)

@@ -6819,6 +6819,134 @@ def queries():
         return pts.map_batches(enc, batch_format="pyarrow")
     q["geohash_cells"] = geohash_cells
 
+    def way_orientation_entropy(sf_dir):
+        """Per-way orientation entropy (the street-grid 'griddedness'
+        score of Boeing's bearing-entropy analysis): Shannon entropy of
+        each way's segment-octant distribution, built on the trig-free
+        octant CASE tree. The p·ln p sum runs over the 8 octants in
+        FIXED order on both engines (numpy sums ≤8 columns sequentially;
+        absent octants contribute exact +0.0 identities, matching
+        DuckDB's present-only list_sum ORDER BY octant), so e6 rounding
+        pins the float."""
+        from ..util import bucketed_group_apply, typed_empty_series
+        joined = _way_points(sf_dir)
+
+        def ent(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            sw = wid[1:][same]
+            dx = (lon[1:] - lon[:-1])[same]
+            dy = (lat[1:] - lat[:-1])[same]
+            nz = (dx != 0.0) | (dy != 0.0)
+            sw, dx, dy = sw[nz], dx[nz], dy[nz]
+            if not len(sw):
+                return pd.DataFrame({
+                    "way_id": typed_empty_series(wid),
+                    "n_segments": np.empty(0, np.int64),
+                    "entropy_e6": np.empty(0, np.int64)})
+            conds = [
+                (dy >= 0) & (dx > 0) & (dx >= dy),
+                (dy > 0) & (dx >= 0) & (dy > dx),
+                (dy > 0) & (dx < 0) & (dy >= -dx),
+                (dy >= 0) & (dx < 0) & (-dx > dy),
+                (dy < 0) & (dx < 0) & (-dx >= -dy),
+                (dy < 0) & (dx <= 0) & (-dy > -dx),
+                (dy < 0) & (dx > 0) & (-dy >= dx),
+            ]
+            oc = np.select(conds, np.arange(7, dtype=np.int64),
+                           default=np.int64(7))
+            piv = pd.DataFrame({"way_id": sw, "oc": oc}) \
+                .groupby(["way_id", "oc"], sort=False).size() \
+                .unstack(fill_value=0) \
+                .reindex(columns=range(8), fill_value=0)
+            c = piv.to_numpy(dtype=np.float64)
+            n = c.sum(axis=1)
+            p = c / n[:, None]
+            terms = np.where(c > 0, p * np.log(np.where(c > 0, p, 1.0)),
+                             0.0)
+            h = terms.sum(axis=1)
+            return pd.DataFrame({
+                "way_id": piv.index.to_numpy().astype(np.int64),
+                "n_segments": n.astype(np.int64),
+                "entropy_e6": np.floor(-h * 1e6 + 0.5).astype(np.int64)})
+
+        return bucketed_group_apply(joined, ["way_id"], ent, n_buckets=64)
+    q["way_orientation_entropy"] = way_orientation_entropy
+
+    def lancelike_mor_delete_check(sf_dir):
+        """Merge-on-read DELETE through the store (the second delete
+        strategy next to copy-on-write): tombstone keys commit with ZERO
+        data I/O — pinned by asserting the new version references the
+        IDENTICAL fragment files — while reads apply the anti-join at
+        scan time (including under column pruning that drops the key
+        column). CoW mutators must refuse while tombstones are pending;
+        ``apply_tombstones`` then materializes them and the re-read must
+        equal the merge-on-read answer row-for-row. The twin is the
+        relational complement (same as the CoW delete check)."""
+        import shutil
+
+        from ..sources import lancelike
+        from ..util import grouped_agg_vec
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_mor/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        man1 = lancelike.write_dataset(orders, root, stage="base",
+                                       resume=False)
+
+        def keys(b: pa.Table) -> pa.Table:
+            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey":
+                             pa.array(kk[kk % 11 == 0], pa.int64())})
+
+        man2 = lancelike.delete_by_keys_mor(
+            orders.map_batches(keys, batch_format="pyarrow"),
+            root, "o_orderkey", stage="mor1")
+        f1 = {f["path"] for f in man1["fragments"]}
+        f2 = {f["path"] for f in man2["fragments"]}
+        if f1 != f2:
+            raise AssertionError("MoR delete must not touch data "
+                                 "fragments")
+        try:
+            lancelike.compact(root, stage="nope")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("compact must refuse pending tombstones")
+
+        def agg_of(ds):
+            def cents(b: pa.Table) -> pa.Table:
+                c = np.floor(b["o_totalprice"].to_numpy(
+                    zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+                return pa.table({"o_orderstatus": b["o_orderstatus"],
+                                 "cents_p": pa.array(c, pa.int64()),
+                                 "n_p": pa.array(np.ones(b.num_rows,
+                                                         np.int64))})
+            out = grouped_agg_vec(
+                ds.map_batches(cents, batch_format="pyarrow"),
+                ["o_orderstatus"],
+                [("n_p", "sum", "n"), ("cents_p", "sum", "cents")]) \
+                .to_pandas()
+            return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+        mor = agg_of(lancelike.read_dataset(
+            root, columns=["o_orderstatus", "o_totalprice"]))
+        man3 = lancelike.apply_tombstones(root, stage="mat")
+        if man3.get("tombstones"):
+            raise AssertionError("apply_tombstones left tombstones")
+        cow = agg_of(lancelike.read_dataset(
+            root, columns=["o_orderstatus", "o_totalprice"]))
+        if not mor.equals(cow):
+            raise AssertionError("materialized delete diverged from the "
+                                 "merge-on-read scan")
+        return mor
+    q["lancelike_mor_delete_check"] = lancelike_mor_delete_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -9459,4 +9587,35 @@ def oracle_sql():
                    FROM {knn_p}),
         iv AS (SELECT image_id, {_terms} AS v FROM q)
         SELECT image_id, {_chars} AS gh6 FROM iv"""
+    o["way_orientation_entropy"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        seg AS (SELECT a.way_id, b.lon - a.lon AS dx, b.lat - a.lat AS dy
+                FROM pts a JOIN pts b ON a.way_id = b.way_id
+                 AND b.position = a.position + 1
+                WHERE b.lon - a.lon != 0 OR b.lat - a.lat != 0),
+        oc AS (SELECT way_id, CASE
+                   WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 0
+                   WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1
+                   WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2
+                   WHEN dy >= 0 AND dx < 0 AND -dx > dy THEN 3
+                   WHEN dy < 0 AND dx < 0 AND -dx >= -dy THEN 4
+                   WHEN dy < 0 AND dx <= 0 AND -dy > -dx THEN 5
+                   WHEN dy < 0 AND dx > 0 AND -dy >= dx THEN 6
+                   ELSE 7 END AS octant
+               FROM seg),
+        c AS (SELECT way_id, octant, COUNT(*) AS cnt FROM oc
+              GROUP BY 1, 2),
+        n AS (SELECT way_id, CAST(SUM(cnt) AS BIGINT) AS n FROM c
+              GROUP BY 1),
+        l AS (SELECT c.way_id, n.n,
+                     list(CAST(c.cnt AS DOUBLE) / n.n
+                          ORDER BY c.octant) AS ps
+              FROM c JOIN n USING (way_id) GROUP BY c.way_id, n.n)
+        SELECT way_id, n AS n_segments,
+               CAST(floor(-(list_sum(list_transform(ps, p -> p * ln(p))))
+                          * 1e6 + 0.5) AS BIGINT) AS entropy_e6
+        FROM l"""
+    o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
     return o

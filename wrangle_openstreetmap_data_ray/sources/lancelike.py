@@ -45,6 +45,7 @@ import pyarrow.parquet as pq
 
 _MANIFEST_DIR = "_manifest"
 _FRAGMENT_DIR = "fragments"
+_TOMBSTONE_DIR = "_tombstones"
 
 
 def _manifest_paths(root: str) -> list[str]:
@@ -100,7 +101,8 @@ def _resume_ok(root: str, prev: dict | None, stage: str, parent: str | None,
 
 def _commit(root: str, stage: str, parent: str | None,
             fragments: list[dict], metrics: dict | None,
-            fingerprint: str | None = None) -> dict:
+            fingerprint: str | None = None,
+            tombstones: list[dict] | None = None) -> dict:
     prev = latest_manifest(root)
     version = (prev["version"] + 1) if prev else 1
     man = {
@@ -113,6 +115,8 @@ def _commit(root: str, stage: str, parent: str | None,
         "total_rows": int(sum(f["rows"] for f in fragments)),
         "metrics": metrics or {},
     }
+    if tombstones:
+        man["tombstones"] = tombstones
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".manifest-v{version}.json.tmp")
@@ -120,6 +124,16 @@ def _commit(root: str, stage: str, parent: str | None,
         json.dump(man, f, indent=1)
     os.replace(tmp, os.path.join(mdir, f"manifest-v{version}.json"))
     return man
+
+
+def _require_no_tombstones(man: dict, verb: str) -> None:
+    """CoW mutators must not silently DROP merge-on-read tombstones (a
+    fresh manifest without the tombstone list would resurrect deleted
+    rows). Materialize them first via ``apply_tombstones``."""
+    if man.get("tombstones"):
+        raise ValueError(
+            f"{verb} refused: the latest version carries merge-on-read "
+            f"tombstones; run apply_tombstones() first")
 
 
 class _FragmentWriter:
@@ -344,7 +358,32 @@ def read_dataset(root: str, columns: list[str] | None = None, version: int | Non
     paths = [os.path.join(root, f["path"]) for f in frags]
     if not paths:
         return rd.from_arrow(pa.table({}))
-    return rd.read_parquet(paths, columns=columns)
+    ts = man.get("tombstones") or []
+    if not ts:
+        return rd.read_parquet(paths, columns=columns)
+    # merge-on-read: deleted keys are applied at SCAN time (fragments
+    # untouched on disk) — one distributed anti-join per tombstoned key
+    # column; pruned reads that dropped a key column read it back in and
+    # drop it after the join
+    key_cols = sorted({t["key_col"] for t in ts})
+    read_cols = columns
+    added = []
+    if columns is not None:
+        read_cols = list(columns)
+        for kc in key_cols:
+            if kc not in read_cols:
+                read_cols.append(kc)
+                added.append(kc)
+    ds = rd.read_parquet(paths, columns=read_cols)
+    from ..util import anti_semi_join
+    for kc in key_cols:
+        tpaths = [os.path.join(root, t["path"]) for t in ts
+                  if t["key_col"] == kc]
+        ds = anti_semi_join(ds, rd.read_parquet(tpaths), on=kc,
+                            n_buckets=64)
+    if added:
+        ds = ds.drop_columns(added)
+    return ds
 
 
 def dataset_row_count(root: str) -> int:
@@ -426,6 +465,7 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    _require_no_tombstones(man, 'merge_upsert')
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
 
     ktabs = [t for t in
@@ -476,7 +516,8 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
 
 
 def delete_by_keys(keys, root: str, key_col: str, stage: str,
-                   key_broadcast_cap: int = 2_000_000) -> dict:
+                   key_broadcast_cap: int = 2_000_000,
+                   _materializing: bool = False) -> dict:
     """DELETE by key committing a new version — the missing CRUD verb
     next to merge_upsert, same fragment-granular copy-on-write play:
     the (deduplicated) key set broadcasts once, unhit fragments are
@@ -493,6 +534,8 @@ def delete_by_keys(keys, root: str, key_col: str, stage: str,
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    if not _materializing:
+        _require_no_tombstones(man, "delete_by_keys")
 
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         karr = pa.chunked_array([keys]).combine_chunks() \
@@ -563,6 +606,7 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    _require_no_tombstones(man, 'compact')
     if any("partition" in f for f in man["fragments"]):
         raise ValueError(
             "compact() does not support partitioned layouts — binning "
@@ -653,6 +697,7 @@ def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
         with open(p) as f:
             man = json.load(f)
         kept_refs.update(fr["path"] for fr in man["fragments"])
+        kept_refs.update(t["path"] for t in man.get("tombstones") or [])
         kept_versions.append(int(man["version"]))
     for p in drop:
         os.remove(p)
@@ -669,6 +714,15 @@ def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
                 removed_fragments += 1
         if dirpath != fdir and not os.listdir(dirpath):
             os.rmdir(dirpath)           # empty partition subdir
+    tdir = os.path.join(root, _TOMBSTONE_DIR)
+    if os.path.isdir(tdir):             # GC expired tombstone files too
+        for name in os.listdir(tdir):
+            full = os.path.join(tdir, name)
+            rel = os.path.relpath(full, root)
+            if rel not in kept_refs and os.path.getmtime(full) <= cutoff:
+                reclaimed += os.path.getsize(full)
+                os.remove(full)
+                removed_fragments += 1
     return {"removed_manifests": len(drop),
             "removed_fragments": removed_fragments,
             "reclaimed_bytes": reclaimed,
@@ -693,6 +747,7 @@ def add_column(root: str, stage: str, compute, *,
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    _require_no_tombstones(man, 'add_column')
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
     if zonemap_cols is None:
         # compact()'s precedent: a full rewrite must not silently drop
@@ -782,3 +837,72 @@ def add_column(root: str, stage: str, compute, *,
     metrics = {"rewritten_fragments": len(frags)}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
+
+
+def delete_by_keys_mor(keys, root: str, key_col: str, stage: str,
+                       key_cap: int = 2_000_000) -> dict:
+    """Merge-on-read DELETE (the Iceberg/Delta MoR strategy, vs
+    ``delete_by_keys``'s copy-on-write): the deduplicated key set is
+    written as a TOMBSTONE file and the new manifest references it —
+    ZERO data I/O at delete time; ``read_dataset`` applies the anti-join
+    at scan time. Tombstones from successive MoR deletes stack; CoW
+    mutators refuse until ``apply_tombstones`` materializes them.
+
+    ``keys`` is a Dataset with ``key_col`` or a pyarrow array."""
+    import pyarrow.compute as pc
+    import ray
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        karr = pa.chunked_array([keys]).combine_chunks() \
+            if isinstance(keys, pa.Array) else keys.combine_chunks()
+    else:
+        ktabs = [t for t in
+                 ray.get(keys.select_columns([key_col]).to_arrow_refs())
+                 if t.num_rows and t.num_columns]
+        karr = (pa.concat_tables(ktabs)[key_col].combine_chunks()
+                if ktabs else pa.array([]))
+    karr = pc.unique(karr)
+    if len(karr) > key_cap:
+        raise ValueError("tombstone key set exceeds key_cap — use the "
+                         "copy-on-write delete for bulk drops")
+    tdir = os.path.join(root, _TOMBSTONE_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    name = f"ts-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(tdir, f".{name}.tmp")
+    pq.write_table(pa.table({key_col: karr}), tmp, compression="zstd")
+    final = os.path.join(tdir, name)
+    os.replace(tmp, final)
+    ts = list(man.get("tombstones") or [])
+    ts.append({"path": os.path.join(_TOMBSTONE_DIR, name),
+               "key_col": key_col, "keys": len(karr)})
+    metrics = {"mor_delete_key": key_col, "keys": len(karr),
+               "tombstone_files": len(ts)}
+    return _commit(root, stage, parent=man["stage"],
+                   fragments=man["fragments"], metrics=metrics,
+                   fingerprint=None, tombstones=ts)
+
+
+def apply_tombstones(root: str, stage: str) -> dict:
+    """Materialize pending merge-on-read tombstones through the
+    copy-on-write delete (per tombstoned key column), committing a
+    version with NO tombstones — after this, CoW mutators are unblocked
+    and scans stop paying the read-time anti-join."""
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    ts = man.get("tombstones") or []
+    if not ts:
+        return man
+    key_cols = sorted({t["key_col"] for t in ts})
+    for i, kc in enumerate(key_cols):
+        karr = pa.concat_tables(
+            [pq.read_table(os.path.join(root, t["path"]))
+             for t in ts if t["key_col"] == kc])[kc].combine_chunks()
+        man = delete_by_keys(karr, root, kc,
+                             stage=stage if i == len(key_cols) - 1
+                             else f"{stage}-{kc}",
+                             _materializing=True)
+    return man
