@@ -6947,6 +6947,44 @@ def queries():
         return mor
     q["lancelike_mor_delete_check"] = lancelike_mor_delete_check
 
+    def lancelike_version_diff_check(sf_dir):
+        """CDC snapshot diff through the store (Delta CDF / Iceberg
+        changelog shape): base version → copy-on-write DELETE (%11 keys)
+        → MERGE (the shared update recipe) → ``version_diff(v1, v3)``
+        classifying every key as added / removed / changed in ONE
+        bucketed shuffle over (key, compared columns). The twin derives
+        the same three classes relationally: added = the NEWROW keys,
+        removed = deleted keys the merge did not re-add, changed = every
+        %7 key (replaced with a doubled price, including re-added ones)."""
+        import shutil
+
+        from ..sources import lancelike
+        from ..util import grouped_agg_vec
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_vdiff/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        man1 = lancelike.write_dataset(orders, root, stage="base",
+                                       resume=False)
+
+        def keys(b: pa.Table) -> pa.Table:
+            kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey":
+                             pa.array(kk[kk % 11 == 0], pa.int64())})
+
+        lancelike.delete_by_keys(
+            orders.map_batches(keys, batch_format="pyarrow"),
+            root, "o_orderkey", stage="del")
+        upd = orders.map_batches(_orders_merge_update,
+                                 batch_format="pyarrow")
+        man3 = lancelike.merge_upsert(upd, root, "o_orderkey",
+                                      stage="merge")
+        diff = lancelike.version_diff(root, man1["version"],
+                                      man3["version"], "o_orderkey")
+        return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
+    q["lancelike_version_diff_check"] = lancelike_version_diff_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -9618,4 +9656,11 @@ def oracle_sql():
                           * 1e6 + 0.5) AS BIGINT) AS entropy_e6
         FROM l"""
     o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
+    o["lancelike_version_diff_check"] = """
+        SELECT 'added' AS change, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL SELECT 'changed', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL SELECT 'removed', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 != 0"""
     return o
