@@ -158,6 +158,43 @@ def test_systematic_sample(ray_session):
     assert got == expect
 
 
+def test_lancelike_bloom_point_lookup(ray_session, tmp_path):
+    """Bloom point gets: no false negatives ever, effective pruning for
+    few keys, zero fragments for an absent key outside every bloom."""
+    import pyarrow as pa
+    import ray.data as rd
+    root = str(tmp_path / "bl")
+    n = 4000
+    rng = np.random.default_rng(7)
+    key = rng.permutation(n).astype(np.int64) * 10     # sparse key space
+    t = pa.table({"k": key, "v": np.arange(n, dtype=np.int64)})
+    man = lancelike.write_dataset(rd.from_arrow(t).repartition(16), root,
+                                  stage="bl", bloom_cols=["k"])
+    assert all("bloom" in f and "k" in f["bloom"]
+               for f in man["fragments"] if f["rows"])
+    # every inserted key is found exactly (superset pruning + exact filter)
+    probe = [int(key[13]), int(key[999]), int(key[3777])]
+    out, scanned, total = lancelike.read_dataset_keys(
+        root, "k", probe, columns=["k", "v"])
+    got = sorted((r["k"], r["v"]) for r in out.take_all())
+    want = sorted((int(k), int(np.where(key == k)[0][0])) for k in probe)
+    assert got == want
+    assert 0 < scanned < total           # pruning skipped fragments
+    # absent key (odd — all real keys are multiples of 10): with a 1 KiB
+    # bloom per ~250-key fragment the false-positive rate is ~1e-5, so
+    # requiring <= 1 spurious fragment is deterministic for this seed
+    out0, s0, _ = lancelike.read_dataset_keys(root, "k", [3], ["k", "v"])
+    assert s0 <= 1 and out0.count() == 0
+    # brute-force: every key tests positive in its own fragment's bloom
+    for f in man["fragments"]:
+        if not f["rows"]:
+            continue
+        import pyarrow.parquet as pq
+        frag = pq.read_table(root + "/" + f["path"])
+        ks = frag["k"].to_numpy()
+        assert lancelike._bloom_any_hit(f["bloom"]["k"], ks[:5])
+
+
 def test_lancelike_vacuum_gc(ray_session, tmp_path):
     import os
 

@@ -136,6 +136,43 @@ def _require_no_tombstones(man: dict, verb: str) -> None:
             f"tombstones; run apply_tombstones() first")
 
 
+_BLOOM_BITS = 8192          # 1 KiB bitmap per fragment per bloom column
+_BLOOM_K = 4                # probe positions per key (13 bits each from h)
+_BLOOM_SEED = 0xB100F17
+
+
+def _bloom_positions(vals) -> "list":
+    """k probe positions per value, all derived from ONE splitmix64 hash
+    (13 low bits per probe — 52 of the 64 bits consumed)."""
+    import numpy as np
+    from ..functions.hashing import hash64_ints
+    h = hash64_ints(vals, seed=_BLOOM_SEED)
+    return [((h >> np.uint64(13 * j)) & np.uint64(_BLOOM_BITS - 1))
+            .astype(np.int64) for j in range(_BLOOM_K)]
+
+
+def _bloom_build(vals) -> str:
+    """Hex-encoded _BLOOM_BITS-bit bloom over an integer array (nulls must
+    be dropped by the caller — a NULL key cannot be point-got)."""
+    import numpy as np
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for pos in _bloom_positions(vals):
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1),
+                                       (pos & 7).astype(np.uint8)))
+    return bits.tobytes().hex()
+
+
+def _bloom_any_hit(hexmap: str, keys) -> bool:
+    """True iff ANY key is possibly present (all k probe bits set)."""
+    import numpy as np
+    bits = np.frombuffer(bytes.fromhex(hexmap), dtype=np.uint8)
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys):
+        hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+    return bool(hit.any())
+
+
 class _FragmentWriter:
     """map_batches callable: writes each batch as one fragment, returns a
     one-row metadata table (streams through the pipeline; no driver I/O).
@@ -146,11 +183,19 @@ class _FragmentWriter:
     rejected at write time (JSON round-trips strings/timestamps into
     values the pruner cannot order against query bounds — review finding);
     zone-map a timestamp by materializing an epoch-integer column.
-    All-null fragments record no entry (conservatively kept by reads)."""
+    All-null fragments record no entry (conservatively kept by reads).
 
-    def __init__(self, frag_dir: str, zonemap_cols: list[str] | None = None):
+    ``bloom_cols``: INTEGER key columns that additionally record a
+    per-fragment bloom filter (fixed 1 KiB bitmap, k=4 splitmix64 probes)
+    in the manifest, so POINT lookups prune fragments even when the data
+    is not sorted by the key (where zone maps cannot help). No false
+    negatives: a key present in the fragment always tests positive."""
+
+    def __init__(self, frag_dir: str, zonemap_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None):
         self.frag_dir = frag_dir
         self.zonemap_cols = zonemap_cols or []
+        self.bloom_cols = bloom_cols or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -171,18 +216,31 @@ class _FragmentWriter:
                 mm = pc.min_max(batch[c]).as_py()
                 if mm["min"] is not None:
                     zm[c] = [mm["min"], mm["max"]]
+        bl = {}
+        for c in self.bloom_cols:
+            typ = batch.schema.field(c).type
+            if not pat.is_integer(typ):
+                raise ValueError(
+                    f"bloom_cols supports integer key columns only; {c!r} "
+                    f"is {typ}")
+            if batch.num_rows:
+                vals = batch[c].drop_null().to_numpy()
+                if len(vals):
+                    bl[c] = _bloom_build(vals)
         return pa.table({
             "path": [os.path.join(_FRAGMENT_DIR, name)],
             "rows": pa.array([batch.num_rows], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
             "zonemap": pa.array([json.dumps(zm, default=str)], pa.string()),
+            "bloom": pa.array([json.dumps(bl)], pa.string()),
         })
 
 
 def write_dataset(ds, root: str, stage: str, parent: str | None = None,
                   metrics: dict | None = None, resume: bool = True,
                   fingerprint: str | None = None,
-                  zonemap_cols: list[str] | None = None) -> dict:
+                  zonemap_cols: list[str] | None = None,
+                  bloom_cols: list[str] | None = None) -> dict:
     """Write a ``ray.data.Dataset`` as a new committed version of ``root``.
 
     Returns the committed manifest. If ``resume`` and the latest committed
@@ -197,7 +255,7 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
         return latest_manifest(root)
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
     os.makedirs(frag_dir, exist_ok=True)
-    meta = ds.map_batches(_FragmentWriter(frag_dir, zonemap_cols),
+    meta = ds.map_batches(_FragmentWriter(frag_dir, zonemap_cols, bloom_cols),
                           batch_format="pyarrow",
                           batch_size=None)  # one fragment per input block
     frags = []
@@ -207,6 +265,9 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
         zm = json.loads(r.get("zonemap") or "{}")
         if zm:
             f["zonemap"] = zm
+        bl = json.loads(r.get("bloom") or "{}")
+        if bl:
+            f["bloom"] = bl
         frags.append(f)
     return _commit(root, stage, parent, frags, metrics, fingerprint)
 
@@ -274,6 +335,80 @@ def read_dataset_range(root: str, col: str, lo, hi,
     def exact(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(b[col], lo), pc.less_equal(b[col], hi))
         out = b.filter(m)
+        return out.select(columns) if columns is not None else out
+
+    return ds.map_batches(exact, batch_format="pyarrow"), len(keep), total
+
+
+def _manifest_at(root: str, version: int | None) -> dict:
+    if version is None:
+        man = latest_manifest(root)
+        if man is None:
+            raise FileNotFoundError(f"no committed manifest under {root}")
+        return man
+    with open(os.path.join(root, _MANIFEST_DIR,
+                           f"manifest-v{version}.json")) as f:
+        return json.load(f)
+
+
+def fragments_for_keys(root: str, col: str, keys,
+                       version: int | None = None):
+    """Fragment subset whose BLOOM filter possibly contains any of ``keys``
+    (fragments with no bloom for ``col`` are conservatively kept; a
+    fragment zone map for the same column additionally prunes keys fully
+    outside its [min,max]). Metadata-only. Returns (selected, total)."""
+    import numpy as np
+    man = _manifest_at(root, version)
+    karr = np.asarray(list(keys), dtype=np.int64)
+    frags = man["fragments"]
+    keep = []
+    for f in frags:
+        if not len(karr):
+            break
+        if not f["rows"]:        # empty fragment cannot contain a key
+            continue
+        zm = f.get("zonemap", {}).get(col)
+        kz = karr
+        if zm is not None and zm[0] is not None and zm[1] is not None:
+            kz = karr[(karr >= zm[0]) & (karr <= zm[1])]
+            if not len(kz):
+                continue
+        bl = f.get("bloom", {}).get(col)
+        if bl is None or _bloom_any_hit(bl, kz):
+            keep.append(f)
+    return keep, len(frags)
+
+
+def read_dataset_keys(root: str, col: str, keys,
+                      columns: list[str] | None = None,
+                      version: int | None = None):
+    """Point-lookup read with bloom-filter fragment pruning: only fragments
+    whose bloom possibly contains one of ``keys`` are opened, then the
+    exact ``col IN keys`` filter runs on the survivors (blooms admit false
+    positives, never false negatives — pruning is a superset guarantee).
+    Returns (Dataset, n_fragments_scanned, n_fragments_total)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    keep, total = fragments_for_keys(root, col, keys, version)
+    want = columns if columns is None else list(dict.fromkeys(columns + [col]))
+    paths = [os.path.join(root, f["path"]) for f in keep]
+    if not paths:
+        man = _manifest_at(root, version)
+        all_frags = man.get("fragments") or []
+        if all_frags:
+            schema = pq.read_schema(os.path.join(root, all_frags[0]["path"]))
+            names = columns if columns is not None else schema.names
+            empty = pa.table({n: pa.array([], schema.field(n).type)
+                              for n in names})
+        else:
+            empty = pa.table({})
+        return rd.from_arrow(empty), 0, total
+    ds = rd.read_parquet(paths, columns=want)
+    kset = pa.array(sorted(set(int(k) for k in keys)), pa.int64())
+
+    def exact(b: pa.Table) -> pa.Table:
+        out = b.filter(pc.is_in(pc.cast(b[col], pa.int64()), kset))
         return out.select(columns) if columns is not None else out
 
     return ds.map_batches(exact, batch_format="pyarrow"), len(keep), total
