@@ -47,6 +47,12 @@ SEG_XRES = 12        # way_segment_intersections PBSM grid resolution
 PHASH_NQ = 16        # phash_topk_retrieval query-set size
 PHASH_K = 5          # phash_topk_retrieval neighbors per query
 POLY_XRES = 9        # polygon_overlap_pairs PBSM grid resolution
+POLYFILL_RES = 16    # polygon_polyfill_cells grid (~0.0055 deg cells)
+HAUS_XRES = 12       # way_hausdorff_pairs PBSM grid resolution
+HAUS_T_E7 = 700_000  # Hausdorff threshold in e7 deg units (~7.7 km —
+                     # sized to the fixture's way spacing: the closest
+                     # way pair sits at ~104k e7 units)
+HAUS_D2_MAX = HAUS_T_E7 * HAUS_T_E7
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
@@ -6985,6 +6991,201 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def way_hausdorff_pairs(sf_dir):
+        """Shape-similarity join: pairs of ways whose discrete symmetric
+        Hausdorff distance (over e7-integer vertex coords — exact, no
+        float ties) is within HAUS_T_E7 (~250 m). PBSM shape: each way
+        ships ONE row (vertex arrays + bbox) to the grid cells its
+        t-EXPANDED bbox covers; H ≤ t implies the expanded bboxes
+        intersect, so every qualifying pair shares a cell and the
+        reference-point rule emits it exactly once. In-cell, a strong
+        bbox-alignment prefilter (|Δbbox edge| ≤ t per axis, a necessary
+        condition of H ≤ t) gates the per-pair (na × nb) distance
+        matrix. The twin is the exhaustive n² max-of-min over the same
+        integer coords."""
+        from ..util import bucketed_group_apply
+        res = HAUS_XRES
+        n = np.int64(1) << np.int64(res)
+        t = HAUS_T_E7
+        joined = _way_points(sf_dir)
+
+        def per_way(g: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            exp = t / 1e7
+            for wid, p in g.groupby("way_id"):
+                lon = p["lon"].to_numpy()
+                lat = p["lat"].to_numpy()
+                x = np.floor(lon * 1e7 + 0.5).astype(np.int64)
+                y = np.floor(lat * 1e7 + 0.5).astype(np.int64)
+                qlo = geo.cell_xy(np.array([lon.min() - exp]),
+                                  np.array([lat.min() - exp]), res)
+                qhi = geo.cell_xy(np.array([lon.max() + exp]),
+                                  np.array([lat.max() + exp]), res)
+                rows.append((int(wid), x.tolist(), y.tolist(),
+                             int(qlo[0][0]), int(qhi[0][0]),
+                             int(qlo[1][0]), int(qhi[1][0])))
+            if not rows:
+                return pd.DataFrame({
+                    "way_id": pd.Series([], dtype="int64"),
+                    "xs": pd.Series([], dtype=object),
+                    "ys": pd.Series([], dtype=object),
+                    "qx_min": pd.Series([], dtype="int64"),
+                    "qx_max": pd.Series([], dtype="int64"),
+                    "qy_min": pd.Series([], dtype="int64"),
+                    "qy_max": pd.Series([], dtype="int64")})
+            wid_, xs_, ys_, a, b_, c, d = zip(*rows)
+            return pd.DataFrame({
+                "way_id": np.asarray(wid_, np.int64), "xs": list(xs_),
+                "ys": list(ys_),
+                "qx_min": np.asarray(a, np.int64),
+                "qx_max": np.asarray(b_, np.int64),
+                "qy_min": np.asarray(c, np.int64),
+                "qy_max": np.asarray(d, np.int64)})
+
+        ways = bucketed_group_apply(joined, ["way_id"], per_way,
+                                    n_buckets=64)
+
+        def explode(b: pa.Table) -> pa.Table:
+            qxm = b["qx_min"].to_numpy()
+            qym = b["qy_min"].to_numpy()
+            cx = b["qx_max"].to_numpy() - qxm + 1
+            cy = b["qy_max"].to_numpy() - qym + 1
+            cnt = cx * cy
+            if cnt.size and int(cnt.max()) > 65536:
+                raise RuntimeError(
+                    "way_hausdorff_pairs: a way bbox covers "
+                    f"{int(cnt.max())} cells at res {res}; raise "
+                    f"HAUS_XRES bounds")
+            tot = int(cnt.sum())
+            si = np.repeat(np.arange(len(cnt)), cnt)
+            within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            cqx = qxm[si] + within // cy[si]
+            cqy = qym[si] + within % cy[si]
+            ti = pa.array(si)
+            return pa.table({
+                "cell": pa.array(cqx * n + cqy, pa.int64()),
+                "way_id": b["way_id"].take(ti),
+                "xs": b["xs"].take(ti), "ys": b["ys"].take(ti),
+                "qx_min": b["qx_min"].take(ti),
+                "qy_min": b["qy_min"].take(ti)})
+
+        exploded = ways.map_batches(explode, batch_format="pyarrow")
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            oa, ob, od = [], [], []
+            for cell, gg in g.groupby("cell", sort=False):
+                m = len(gg)
+                if m < 2:
+                    continue
+                if m > 20_000:
+                    raise RuntimeError(
+                        f"way_hausdorff_pairs: hot cell with {m} ways; "
+                        f"raise HAUS_XRES")
+                w = gg["way_id"].to_numpy()
+                qxm = gg["qx_min"].to_numpy()
+                qym = gg["qy_min"].to_numpy()
+                xs = [np.asarray(v, np.int64) for v in gg["xs"]]
+                ys = [np.asarray(v, np.int64) for v in gg["ys"]]
+                bx0 = np.array([v.min() for v in xs], np.int64)
+                bx1 = np.array([v.max() for v in xs], np.int64)
+                by0 = np.array([v.min() for v in ys], np.int64)
+                by1 = np.array([v.max() for v in ys], np.int64)
+                idx = np.arange(m)
+                cand = idx[None, :] > idx[:, None]
+                cand &= (np.maximum(qxm[:, None], qxm[None, :]) * n
+                         + np.maximum(qym[:, None], qym[None, :])
+                         == int(cell))
+                cand &= np.abs(bx0[:, None] - bx0[None, :]) <= t
+                cand &= np.abs(bx1[:, None] - bx1[None, :]) <= t
+                cand &= np.abs(by0[:, None] - by0[None, :]) <= t
+                cand &= np.abs(by1[:, None] - by1[None, :]) <= t
+                for i, j in zip(*np.nonzero(cand)):
+                    dx = xs[i][:, None] - xs[j][None, :]
+                    dy = ys[i][:, None] - ys[j][None, :]
+                    d2 = dx * dx + dy * dy
+                    h = max(int(d2.min(axis=1).max()),
+                            int(d2.min(axis=0).max()))
+                    if h <= HAUS_D2_MAX:
+                        oa.append(min(int(w[i]), int(w[j])))
+                        ob.append(max(int(w[i]), int(w[j])))
+                        od.append(h)
+            return pd.DataFrame({
+                "way_a": pd.Series(oa, dtype="int64"),
+                "way_b": pd.Series(ob, dtype="int64"),
+                "haus_d2": pd.Series(od, dtype="int64")})
+
+        return bucketed_group_apply(exploded, ["cell"], pairs,
+                                    n_buckets=64)
+    q["way_hausdorff_pairs"] = way_hausdorff_pairs
+
+    def polygon_polyfill_cells(sf_dir):
+        """H3-polyfill-style interior cover: every res-POLYFILL grid cell
+        whose CENTER lies inside each polygon (the set H3's polyfill
+        returns, on this engine's integer grid). Work distributes over
+        polygons — each group enumerates its own bbox candidate cells
+        (bounded by the res choice; loud raise past the cap) and runs
+        the vectorized even-odd crossing kernel over (candidates ×
+        edges). Shuffle traffic is the 595-row edge table only; the
+        candidate grid never leaves its task. Twin: the same bbox →
+        generate_series cross-expansion → crossing-parity SQL used by
+        the PIP join, with identical float trees for quantize, center
+        and intersection."""
+        from ..util import bucketed_group_apply
+        edges = fx.read_fixture(sf_dir, "edges")
+        n = float(1 << POLYFILL_RES)
+        nmax = (1 << POLYFILL_RES) - 1
+
+        def fill(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for pid, p in g.groupby("polygon_id"):
+                x1 = p["x1"].to_numpy()
+                y1 = p["y1"].to_numpy()
+                x2 = p["x2"].to_numpy()
+                y2 = p["y2"].to_numpy()
+                qlo = geo.cell_xy(np.array([min(x1.min(), x2.min())]),
+                                  np.array([min(y1.min(), y2.min())]),
+                                  POLYFILL_RES)
+                qhi = geo.cell_xy(np.array([max(x1.max(), x2.max())]),
+                                  np.array([max(y1.max(), y2.max())]),
+                                  POLYFILL_RES)
+                gx = np.arange(qlo[0][0], qhi[0][0] + 1, dtype=np.int64)
+                gy = np.arange(qlo[1][0], qhi[1][0] + 1, dtype=np.int64)
+                if len(gx) * len(gy) > 500_000:
+                    raise ValueError(
+                        f"polyfill bbox of {pid} spans "
+                        f"{len(gx) * len(gy)} cells at res "
+                        f"{POLYFILL_RES}; lower the res or tile the "
+                        f"polygon")
+                QX, QY = np.meshgrid(gx, gy)
+                qx, qy = QX.ravel(), QY.ravel()
+                cx = geo.LON_MIN + (qx + 0.5) / n * (geo.LON_MAX
+                                                     - geo.LON_MIN)
+                cy = geo.LAT_MIN + (qy + 0.5) / n * (geo.LAT_MAX
+                                                     - geo.LAT_MIN)
+                inside = np.zeros(len(cx), dtype=bool)
+                for i in range(len(x1)):
+                    crosses = (y1[i] <= cy) != (y2[i] <= cy)
+                    if not crosses.any():
+                        continue
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = (cy - y1[i]) / (y2[i] - y1[i])
+                        xint = x1[i] + t * (x2[i] - x1[i])
+                    inside ^= crosses & (cx < xint)
+                nin = int(inside.sum())
+                outs.append(pd.DataFrame({
+                    "polygon_id": pd.Series([pid] * nin, dtype="string"),
+                    "qx": qx[inside], "qy": qy[inside]}))
+            if not outs:
+                return pd.DataFrame({
+                    "polygon_id": pd.Series([], dtype="string"),
+                    "qx": pd.Series([], dtype="int64"),
+                    "qy": pd.Series([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_group_apply(edges, ["polygon_id"], fill,
+                                    n_buckets=32)
+    q["polygon_polyfill_cells"] = polygon_polyfill_cells
+
     def lancelike_bloom_point_get(sf_dir):
         """Bloom-filter point lookup through the lancelike store: orders
         are written sorted by CUSTOMER key (so order-key ranges fully
@@ -9693,6 +9894,54 @@ def oracle_sql():
                           * 1e6 + 0.5) AS BIGINT) AS entropy_e6
         FROM l"""
     o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
+    o["way_hausdorff_pairs"] = f"""
+        WITH pts AS (
+          SELECT wn.way_id,
+                 CAST(floor(nd.lon * 1e7 + 0.5) AS BIGINT) AS x,
+                 CAST(floor(nd.lat * 1e7 + 0.5) AS BIGINT) AS y
+          FROM {way_nodes_p} wn JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        dmin AS (
+          SELECT a.way_id AS wa, b.way_id AS wb, a.x, a.y,
+                 MIN((a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y)) AS md
+          FROM pts a JOIN pts b ON a.way_id != b.way_id
+          GROUP BY a.way_id, b.way_id, a.x, a.y),
+        dirmax AS (
+          SELECT wa, wb, MAX(md) AS h FROM dmin GROUP BY wa, wb),
+        sym AS (
+          SELECT LEAST(wa, wb) AS way_a, GREATEST(wa, wb) AS way_b,
+                 MAX(h) AS haus_d2
+          FROM dirmax GROUP BY 1, 2)
+        SELECT way_a, way_b, CAST(haus_d2 AS BIGINT) AS haus_d2
+        FROM sym WHERE haus_d2 <= {HAUS_D2_MAX}"""
+    _pfn = float(1 << POLYFILL_RES)
+    o["polygon_polyfill_cells"] = f"""
+        WITH bb AS (
+          SELECT polygon_id,
+                 MIN(LEAST(x1, x2)) AS mnx, MAX(GREATEST(x1, x2)) AS mxx,
+                 MIN(LEAST(y1, y2)) AS mny, MAX(GREATEST(y1, y2)) AS mxy
+          FROM {edges_p} GROUP BY polygon_id),
+        q AS (
+          SELECT polygon_id,
+                 CAST(floor((mnx + 180.0) / 360.0 * {_pfn}) AS BIGINT) AS qx0,
+                 CAST(floor((mxx + 180.0) / 360.0 * {_pfn}) AS BIGINT) AS qx1,
+                 CAST(floor((mny + 90.0) / 180.0 * {_pfn}) AS BIGINT) AS qy0,
+                 CAST(floor((mxy + 90.0) / 180.0 * {_pfn}) AS BIGINT) AS qy1
+          FROM bb),
+        cx_ AS (SELECT polygon_id, unnest(generate_series(qx0, qx1)) AS qx,
+                       qy0, qy1 FROM q),
+        cand AS (SELECT polygon_id, qx,
+                        unnest(generate_series(qy0, qy1)) AS qy FROM cx_),
+        ctr AS (SELECT polygon_id, qx, qy,
+                       -180.0 + (qx + 0.5) / {_pfn} * 360.0 AS cx,
+                       -90.0 + (qy + 0.5) / {_pfn} * 180.0 AS cy
+                FROM cand)
+        SELECT c.polygon_id, c.qx, c.qy
+        FROM ctr c JOIN {edges_p} e USING (polygon_id)
+        WHERE (e.y1 <= c.cy) != (e.y2 <= c.cy)
+          AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+        GROUP BY c.polygon_id, c.qx, c.qy
+        HAVING COUNT(*) % 2 = 1"""
     o["lancelike_bloom_point_get"] = """
         WITH k AS (SELECT o_orderkey FROM orders
                    WHERE o_orderkey % 7 = 3
