@@ -6991,6 +6991,162 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def doc_lm_scores(sf_dir):
+        """Bigram-language-model document scoring (the perplexity-filter
+        primitive of an LLM data pipeline): train add-one-smoothed
+        bigram counts over the corpus in one combiner pass, broadcast
+        the model once (capped with a loud raise — past the cap the
+        scoring becomes a bigram join), then score every document as
+        the INTEGER sum of per-bigram floor-e6 log-probs — each term is
+        floored to a fixed-point int BEFORE summation, so the total is
+        exact under any batch/partition order (the float-free anomaly-
+        screen pattern). Twin: identical ln float tree per bigram in
+        SQL, integer-summed the same way."""
+        from collections import Counter
+
+        import ray
+
+        from ..functions import text
+        from ..util import _bcast_get, grouped_agg_vec
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+
+        def pairs(b: pa.Table) -> pa.Table:
+            cb: Counter = Counter()
+            for t in b["text"].to_pylist():
+                toks = text.WS_RE.findall(t or "")
+                cb.update(zip(toks, toks[1:]))
+            w1, w2 = zip(*cb.keys()) if cb else ((), ())
+            return pa.table({"w1": pa.array(list(w1), pa.string()),
+                             "w2": pa.array(list(w2), pa.string()),
+                             "c_p": pa.array(list(cb.values()),
+                                             pa.int64())})
+
+        counts = grouped_agg_vec(
+            ds.map_batches(pairs, batch_format="pyarrow"),
+            ["w1", "w2"], [("c_p", "sum", "cb")]).to_pandas()
+        if len(counts) > 5_000_000:
+            raise RuntimeError(
+                f"doc_lm_scores: {len(counts)} distinct bigrams exceeds "
+                f"the broadcast cap; score via a bigram join instead")
+
+        def tok_part(b: pa.Table) -> pa.Table:
+            vocab = set()
+            for t in b["text"].to_pylist():
+                vocab.update(text.WS_RE.findall(t or ""))
+            return pa.table({"tok": pa.array(sorted(vocab), pa.string())})
+
+        n_vocab = int(grouped_agg_vec(
+            ds.map_batches(tok_part, batch_format="pyarrow"),
+            ["tok"], [(None, "count", "n")]).count())
+
+        bdict = {(a, b_): int(c) for a, b_, c in
+                 zip(counts["w1"], counts["w2"], counts["cb"])}
+        hdict = counts.groupby("w1")["cb"].sum().to_dict()
+        ref = ray.put((bdict, hdict, n_vocab))
+
+        def score(b: pa.Table) -> pa.Table:
+            bd, hd, V = _bcast_get(ref)
+            ids, bgs, offs = [], [], [0]
+            for did, t in zip(b["doc_id"].to_pylist(),
+                              b["text"].to_pylist()):
+                toks = text.WS_RE.findall(t or "")
+                if len(toks) < 2:
+                    continue
+                ids.append(did)
+                bgs.extend(zip(toks, toks[1:]))
+                offs.append(len(bgs))
+            if not ids:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_bigrams": pa.array([], pa.int64()),
+                                 "logprob_e6": pa.array([], pa.int64())})
+            cb = np.fromiter((bd[k] for k in bgs), np.int64, len(bgs))
+            ch = np.fromiter((hd[k[0]] for k in bgs), np.int64, len(bgs))
+            lp = np.floor(np.log((cb + 1.0) / (ch + V)) * 1e6) \
+                .astype(np.int64)
+            off = np.asarray(offs)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(np.diff(off), pa.int64()),
+                "logprob_e6": pa.array(np.add.reduceat(lp, off[:-1]),
+                                       pa.int64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+    q["doc_lm_scores"] = doc_lm_scores
+
+    def doc_bm25_topk(sf_dir):
+        """BM25 ranked retrieval for the fixed SEARCH_TOKENS query
+        (k1=1.2, b=0.75): one combiner pass collects the corpus stats
+        (N, total tokens, per-term document frequencies — a 1-row
+        partial per block), then a map-only scoring pass emits matching
+        docs and the distributed top-k machinery returns the 20 best.
+        The three per-term scores are summed in FIXED query order on
+        both sides and the result is floored to e6 fixed point, making
+        the ranking hash-stable; ties break to the smaller doc_id."""
+        from ..functions import text
+        from ..util import distributed_topk
+        import ray.data as rd
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+        toks_q = SEARCH_TOKENS
+        k1, bb = 1.2, 0.75
+
+        def stats(b: pa.Table) -> pa.Table:
+            n = dl = 0
+            dfs = [0] * len(toks_q)
+            for t in b["text"].to_pylist():
+                tk = text.WS_RE.findall(t or "")
+                n += 1
+                dl += len(tk)
+                s = set(tk)
+                for qi, qt in enumerate(toks_q):
+                    if qt in s:
+                        dfs[qi] += 1
+            cols = {"n_p": pa.array([n], pa.int64()),
+                    "tot_p": pa.array([dl], pa.int64())}
+            for qi in range(len(toks_q)):
+                cols[f"df{qi}_p"] = pa.array([dfs[qi]], pa.int64())
+            return pa.table(cols)
+
+        from ray.data.aggregate import Sum
+        aggs = [Sum("n_p", alias_name="n"), Sum("tot_p", alias_name="tot")]
+        aggs += [Sum(f"df{qi}_p", alias_name=f"df{qi}")
+                 for qi in range(len(toks_q))]
+        st = ds.map_batches(stats, batch_format="pyarrow").aggregate(*aggs)
+        N, tot = int(st["n"]), int(st["tot"])
+        dfs = [int(st[f"df{qi}"]) for qi in range(len(toks_q))]
+        avgl = tot / N
+        idfs = [np.log((N - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
+
+        def score(b: pa.Table) -> pa.Table:
+            ids, tfl, dll = [], [], []
+            for did, t in zip(b["doc_id"].to_pylist(),
+                              b["text"].to_pylist()):
+                tk = text.WS_RE.findall(t or "")
+                tf = [tk.count(qt) for qt in toks_q]
+                if any(tf):
+                    ids.append(did)
+                    tfl.append(tf)
+                    dll.append(len(tk))
+            if not ids:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "bm25_e6": pa.array([], pa.int64())})
+            tf = np.asarray(tfl, np.float64)
+            dl = np.asarray(dll, np.float64)
+            total = np.zeros(len(ids))
+            for qi in range(len(toks_q)):    # fixed query order
+                total = total + idfs[qi] * (tf[:, qi] * (k1 + 1.0)) \
+                    / (tf[:, qi] + k1 * (1.0 - bb + bb * dl / avgl))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "bm25_e6": pa.array(np.floor(total * 1e6)
+                                    .astype(np.int64), pa.int64())})
+
+        scored = ds.map_batches(score, batch_format="pyarrow")
+        return distributed_topk(scored, 20, [("bm25_e6", "descending"),
+                                             ("doc_id", "ascending")])
+    q["doc_bm25_topk"] = doc_bm25_topk
+
     def way_hausdorff_pairs(sf_dir):
         """Shape-similarity join: pairs of ways whose discrete symmetric
         Hausdorff distance (over e7-integer vertex coords — exact, no
@@ -9894,6 +10050,53 @@ def oracle_sql():
                           * 1e6 + 0.5) AS BIGINT) AS entropy_e6
         FROM l"""
     o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
+    o["doc_lm_scores"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+        bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+               FROM bg GROUP BY 1, 2),
+        hc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ch
+               FROM bc GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT tok) AS nv
+              FROM (SELECT unnest(t) AS tok FROM toks)),
+        sc AS (SELECT g.doc_id,
+                      CAST(floor(ln((bc.cb + 1.0) / (hc.ch + v.nv))
+                                 * 1e6) AS BIGINT) AS lp
+               FROM bg g JOIN bc USING (w1, w2) JOIN hc USING (w1)
+               CROSS JOIN v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp) AS BIGINT) AS logprob_e6
+        FROM sc GROUP BY doc_id"""
+    _bmq = []
+    for _qi, _qt in enumerate(SEARCH_TOKENS):
+        _bmq.append(
+            f"ln((st.n - df.df{_qi} + 0.5) / (df.df{_qi} + 0.5) + 1.0)"
+            f" * (m.tf{_qi} * (1.2 + 1.0))"
+            f" / (m.tf{_qi} + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / st.avgl))")
+    _bm_tfs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{qt}')) AS BIGINT) AS tf{qi}"
+        for qi, qt in enumerate(SEARCH_TOKENS))
+    _bm_dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{qi} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{qi}" for qi in range(len(SEARCH_TOKENS)))
+    _bm_any = " OR ".join(f"m.tf{qi} > 0"
+                          for qi in range(len(SEARCH_TOKENS)))
+    o["doc_bm25_topk"] = rf"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {_bm_tfs}
+              FROM toks),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgl
+               FROM m),
+        df AS (SELECT {_bm_dfs} FROM m)
+        SELECT m.doc_id,
+               CAST(floor(({' + '.join(_bmq)}) * 1e6) AS BIGINT)
+                   AS bm25_e6
+        FROM m, st, df WHERE {_bm_any}
+        ORDER BY bm25_e6 DESC, m.doc_id LIMIT 20"""
     o["way_hausdorff_pairs"] = f"""
         WITH pts AS (
           SELECT wn.way_id,
