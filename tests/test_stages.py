@@ -1820,3 +1820,45 @@ def test_snap_to_segments_ties_and_exactness(ray_session):
         bad = pa.table({"way_id": pa.array([1], pa.int64()),
                         "x1": [0.0], "y1": [0.0], "x2": [0.0], "y2": [0.0]})
         pip_join.snap_to_segments(rd.from_arrow(pts), bad)
+
+
+def test_cms_and_kmv_sketch_properties(ray_session):
+    """CMS never under-estimates (min over rows >= exact count); KMV's
+    distinct estimate lands within the ~1/sqrt(k) band; both sketches
+    are parallelism-invariant by construction (pure merges)."""
+    import numpy as np
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import sketch
+
+    rng = np.random.default_rng(11)
+    # zipf-ish key distribution: 2000 distinct keys, skewed counts
+    keys = rng.zipf(1.5, 40_000) % 2000
+    t = pa.table({"k": pa.array(keys.astype(np.int64), pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+
+    cms = sketch.cms_counts(ds, "k", depth=4, width=1024).to_pandas()
+    from wrangle_openstreetmap_data_ray.functions.hashing import hash64_ints
+    grid = cms.set_index(["row_j", "bucket"])["cnt"]
+    vals, exact = np.unique(keys, return_counts=True)
+    for key, cnt in list(zip(vals, exact))[:50]:
+        ests = []
+        for j in range(4):
+            h = hash64_ints(np.array([key], np.uint64), seed=j)[0]
+            ests.append(int(grid.loc[(j, int(h & np.uint64(1023)))]))
+        est = min(ests)
+        assert est >= cnt                       # CMS never under-counts
+        assert est <= cnt + len(keys) // 1024 * 4   # sanity upper bound
+
+    kmv = sketch.kmv_sketch(ds, "k", k=256)
+    assert len(kmv) == 256
+    assert kmv["h63"].is_monotonic_increasing
+    est = sketch.kmv_estimate(kmv, k=256)
+    n_true = len(vals)
+    assert abs(est - n_true) / n_true < 0.2     # ~3 sigma at k=256
+
+    # under-full sketch: fewer distincts than k -> estimate is exact
+    small = rd.from_arrow(pa.table({"k": pa.array(
+        np.arange(100, dtype=np.int64), pa.int64())}))
+    kmv_s = sketch.kmv_sketch(small, "k", k=256)
+    assert sketch.kmv_estimate(kmv_s, k=256) == 100

@@ -6991,6 +6991,29 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def cms_user_counts_check(sf_dir):
+        """Count-min sketch of per-user event counts, VALUE-PINNED: the
+        full nonzero counter table (4 hash rows × 1024 buckets, splitmix
+        bucket assignment) must match the twin, which reimplements the
+        identical hash in HUGEINT SQL (the sm64 macro XORed with the row
+        index). The exchange is bounded by the sketch size — block
+        partials are ≤ 4096 rows regardless of data volume."""
+        from ..stages import sketch
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        return sketch.cms_counts(ev, "user_id", depth=4, width=1024)
+    q["cms_user_counts_check"] = cms_user_counts_check
+
+    def kmv_distinct_check(sf_dir):
+        """K-minimum-values distinct sketch over user ids, VALUE-PINNED:
+        the 256 smallest distinct 63-bit splitmix hashes (rank, h63)
+        must equal the twin's ORDER BY hash LIMIT k — pinning both the
+        hash function and the distributed distinct-merge. The ±1/sqrt(k)
+        estimate itself is covered by pytest."""
+        from ..stages import sketch
+        ev = fx.driver_table(sf_dir, "events", columns=["user_id"])
+        return sketch.kmv_sketch(ev, "user_id", k=256)
+    q["kmv_distinct_check"] = kmv_distinct_check
+
     def doc_lm_scores(sf_dir):
         """Bigram-language-model document scoring (the perplexity-filter
         primitive of an LLM data pipeline): train add-one-smoothed
@@ -10050,6 +10073,23 @@ def oracle_sql():
                           * 1e6 + 0.5) AS BIGINT) AS entropy_e6
         FROM l"""
     o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
+    o["cms_user_counts_check"] = _SM64_MACROS + """
+        WITH j AS (SELECT unnest(generate_series(0, 3)) AS row_j),
+        h AS (SELECT j.row_j,
+                     CAST(sm64(xor(CAST(e.user_id AS UBIGINT),
+                                   CAST(j.row_j AS UBIGINT))) & 1023
+                          AS BIGINT) AS bucket
+              FROM events e CROSS JOIN j)
+        SELECT CAST(row_j AS BIGINT) AS row_j, bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM h GROUP BY 1, 2"""
+    o["kmv_distinct_check"] = _SM64_MACROS + """
+        WITH d AS (SELECT DISTINCT
+                       CAST(sm64(CAST(user_id AS UBIGINT)) >> 1
+                            AS BIGINT) AS h63
+                   FROM events),
+        r AS (SELECT h63, ROW_NUMBER() OVER (ORDER BY h63) AS rnk FROM d)
+        SELECT CAST(rnk AS BIGINT) AS rank, h63 FROM r WHERE rnk <= 256"""
     o["doc_lm_scores"] = r"""
         WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
                       FROM documents),

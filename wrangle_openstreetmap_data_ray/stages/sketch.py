@@ -364,3 +364,78 @@ def histogram_quantiles_by_group(ds, group_col: str, col: str,
     return pd.DataFrame({group_col: out_g,
                          "q": np.asarray(out_q, np.float64),
                          "edge6": np.asarray(out_e, np.int64)})
+
+
+def cms_counts(ds, col: str, depth: int = 4, width: int = 1024):
+    """Count-min sketch of an integer key column (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows × ``width`` buckets, row j's bucket being
+    ``splitmix64(value XOR j) & (width-1)``. Each block folds its keys
+    into at most depth×width nonzero counter partials (np.bincount — one
+    pass, no per-row Python); the vectorized combiner sums them, so the
+    exchange is bounded by the sketch size, never the data volume.
+    Deterministic and SQL-expressible (the sm64 HUGEINT macro), so the
+    full counter table is value-pinnable. Returns a Dataset of
+    (row_j, bucket, cnt) for the NONZERO cells.
+    """
+    from ..functions.hashing import hash64_ints
+    from ..util import grouped_agg_vec
+
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b[col].drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        js, bks, cs = [], [], []
+        for j in range(depth):
+            h = hash64_ints(v, seed=j)
+            bkt = (h & np.uint64(width - 1)).astype(np.int64)
+            bc = np.bincount(bkt, minlength=width)
+            nz = np.nonzero(bc)[0]
+            js.append(np.full(len(nz), j, np.int64))
+            bks.append(nz.astype(np.int64))
+            cs.append(bc[nz].astype(np.int64))
+        return pa.table({
+            "row_j": pa.array(np.concatenate(js) if js
+                              else np.empty(0, np.int64), pa.int64()),
+            "bucket": pa.array(np.concatenate(bks) if bks
+                               else np.empty(0, np.int64), pa.int64()),
+            "c_p": pa.array(np.concatenate(cs) if cs
+                            else np.empty(0, np.int64), pa.int64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow")
+    return grouped_agg_vec(parts, ["row_j", "bucket"],
+                           [("c_p", "sum", "cnt")])
+
+
+def kmv_sketch(ds, col: str, k: int = 256) -> pd.DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) over an
+    integer key column: the k smallest DISTINCT 63-bit hashes
+    (``splitmix64(value) >> 1`` — kept in signed-int64 range so both
+    engine and SQL twin carry the same values). Each block ships only
+    its own k smallest distinct hashes (bounded k rows/block); the
+    driver merge is over ≤ k×n_blocks rows. The distinct-count estimate
+    is ``(k-1) * 2^63 / h_k`` — exact integer arithmetic, asserted in
+    pytest; the sketch CONTENT (rank, h63) is what the oracle pins.
+    """
+    from ..functions.hashing import hash64_ints
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b[col].drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (hash64_ints(v) >> np.uint64(1)).astype(np.int64)
+        h = np.unique(h)[:k]                  # sorted distinct, k smallest
+        return pa.table({"h63": pa.array(h, pa.int64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    hs = np.unique(parts["h63"].to_numpy())[:k]
+    return pd.DataFrame({"rank": np.arange(1, len(hs) + 1, dtype=np.int64),
+                         "h63": hs})
+
+
+def kmv_estimate(kmv: pd.DataFrame, k: int = 256) -> int:
+    """Distinct-count estimate from a kmv_sketch result (exact int math)."""
+    if len(kmv) < k:
+        return len(kmv)                       # saw fewer than k distinct
+    hk = int(kmv["h63"].iloc[k - 1])
+    return (k - 1) * (1 << 63) // hk
