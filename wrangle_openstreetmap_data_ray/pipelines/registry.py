@@ -53,6 +53,7 @@ HAUS_T_E7 = 700_000  # Hausdorff threshold in e7 deg units (~7.7 km —
                      # sized to the fixture's way spacing: the closest
                      # way pair sits at ~104k e7 units)
 HAUS_D2_MAX = HAUS_T_E7 * HAUS_T_E7
+EWMA_W = 8           # user_value_ewma window (dyadic alpha=1/2 weights)
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
@@ -6991,6 +6992,84 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def user_value_ewma(sf_dir):
+        """Per-user exponentially-weighted moving average with alpha=1/2
+        over the last 8 events — DYADIC weights (128,64,…,1) make the
+        windowed sum EXACT integer arithmetic on e6-scaled values (the
+        float-free screen pattern: no running float state, so the
+        result is identical under any partitioning). The per-user runs
+        sort inside one bounded-bucket shuffle and the window is one
+        np.convolve; the twin spells the same 8 weighted LAG terms."""
+        from ..util import bucketed_group_apply
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+        wts = (np.int64(1) << np.arange(EWMA_W - 1, -1, -1,
+                                        dtype=np.int64))
+
+        def ew(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for uid, p in g.groupby("user_id"):
+                p = p.sort_values(["ts", "event_id"], kind="mergesort")
+                v6 = np.floor(p["value"].to_numpy() * 1e6 + 0.5) \
+                    .astype(np.int64)
+                num = np.convolve(v6, wts)[:len(v6)]
+                outs.append(pd.DataFrame({
+                    "user_id": p["user_id"].to_numpy(),
+                    "event_id": p["event_id"].to_numpy(),
+                    "ewma256_e6": num}))
+            if not outs:
+                return pd.DataFrame({
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ewma256_e6": pd.Series([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_group_apply(ev, ["user_id"], ew, n_buckets=64)
+    q["user_value_ewma"] = user_value_ewma
+
+    def doc_ngram_novelty(sf_dir):
+        """Corpus novelty scoring: per document, how many of its
+        DISTINCT word trigrams it is the first to introduce (owner =
+        smallest doc_id holding the trigram) — the incremental-crawl
+        dedup signal. Per-doc distinct shingle hashes fan into the
+        vectorized min-combiner (two bounded shuffles over distinct
+        shingles; document text never leaves its block); the twin
+        groups the raw trigram strings — parity holds because the
+        64-bit shingle hash is collision-free at observable scales
+        (same contract as doc_dup_ngram_counts)."""
+        from ..functions import text
+        from ..functions.hashing import hash64_str_array
+        from ..util import grouped_agg_vec
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+
+        def sh(b: pa.Table) -> pa.Table:
+            ids, hs = [], []
+            for did, t in zip(b["doc_id"].to_pylist(),
+                              b["text"].to_pylist()):
+                toks = text.WS_RE.findall(t or "")
+                if len(toks) < 3:
+                    continue
+                grams = [" ".join(toks[i:i + 3])
+                         for i in range(len(toks) - 2)]
+                hh = np.unique(hash64_str_array(grams).astype(np.int64))
+                ids.append(np.full(len(hh), did, np.int64))
+                hs.append(hh)
+            if not ids:
+                return pa.table({"h": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64())})
+            return pa.table({
+                "h": pa.array(np.concatenate(hs), pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64())})
+
+        own = grouped_agg_vec(ds.map_batches(sh, batch_format="pyarrow"),
+                              ["h"], [("doc_id", "min", "owner")])
+        nov = grouped_agg_vec(own, ["owner"],
+                              [(None, "count", "n_novel")])
+        return nov.rename_columns({"owner": "doc_id"})
+    q["doc_ngram_novelty"] = doc_ngram_novelty
+
     def cms_user_counts_check(sf_dir):
         """Count-min sketch of per-user event counts, VALUE-PINNED: the
         full nonzero counter table (4 hash rows × 1024 buckets, splitmix
@@ -10073,6 +10152,23 @@ def oracle_sql():
                           * 1e6 + 0.5) AS BIGINT) AS entropy_e6
         FROM l"""
     o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
+    o["user_value_ewma"] = """
+        WITH s AS (SELECT user_id, event_id, ts,
+                          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST(v6 * 128 + COALESCE(LAG(v6, 1) OVER win, 0) * 64 + COALESCE(LAG(v6, 2) OVER win, 0) * 32 + COALESCE(LAG(v6, 3) OVER win, 0) * 16 + COALESCE(LAG(v6, 4) OVER win, 0) * 8 + COALESCE(LAG(v6, 5) OVER win, 0) * 4 + COALESCE(LAG(v6, 6) OVER win, 0) * 2 + COALESCE(LAG(v6, 7) OVER win, 0) * 1 AS BIGINT) AS ewma256_e6
+        FROM s WINDOW win AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)"""
+    o["doc_ngram_novelty"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        tg AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+        own AS (SELECT g, MIN(doc_id) AS doc_id FROM tg GROUP BY g)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM own GROUP BY doc_id"""
     o["cms_user_counts_check"] = _SM64_MACROS + """
         WITH j AS (SELECT unnest(generate_series(0, 3)) AS row_j),
         h AS (SELECT j.row_j,
