@@ -187,3 +187,25 @@ def test_polygon_overlay_predicates():
     assert geo.edges_cross_float(outer, shifted)
     assert not geo.edges_cross_float(outer, far)
     assert not geo.point_in_edges_float(outer, far[0][0], far[1][0])
+
+
+def test_hilbert_d_bijective_unit_steps():
+    """Order-8 Hilbert transform is a bijection onto [0, 4^8) and every
+    consecutive pair of curve positions is an ADJACENT cell (the
+    locality property Morton lacks)."""
+    import numpy as np
+
+    from wrangle_openstreetmap_data_ray.functions.geo import hilbert_d
+
+    n = 256
+    X, Y = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d(X.ravel(), Y.ravel(), 8)
+    assert len(np.unique(d)) == n * n
+    assert d.min() == 0 and d.max() == n * n - 1
+    order = np.argsort(d)
+    xs, ys = X.ravel()[order], Y.ravel()[order]
+    step = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    assert step.max() == 1
+    # order-2 reference shape
+    qx = np.array([0, 0, 1, 1]); qy = np.array([0, 1, 1, 0])
+    assert hilbert_d(qx, qy, 2).tolist() == [0, 3, 2, 1]

@@ -468,3 +468,28 @@ def point_in_edges_float(edges, px: float, py: float) -> bool:
     with np.errstate(divide="ignore", invalid="ignore"):
         xc = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
     return int((m & (px < xc)).sum()) % 2 == 1
+
+
+def hilbert_d(qx: np.ndarray, qy: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert-curve distance of grid cells (the locality-preserving
+    alternative to the Morton interleave — adjacent curve positions are
+    always adjacent cells, so range reads over the key cut fewer seams).
+    Standard xy→d transform (Hilbert 1891; the bit-twiddling form per
+    Warren, Hacker's Delight §16) vectorized over ``order`` rounds;
+    mirrorable in SQL as ``order`` unrolled CASE/XOR steps."""
+    x = np.asarray(qx, dtype=np.int64).copy()
+    y = np.asarray(qy, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/reflect the quadrant so the curve stays contiguous
+        refl = ry == 0
+        fl = refl & (rx == 1)
+        nx = np.where(refl, np.where(fl, s - 1 - y, y), x)
+        ny = np.where(refl, np.where(fl, s - 1 - x, x), y)
+        x, y = nx, ny
+        s >>= np.int64(1)
+    return d

@@ -54,6 +54,9 @@ HAUS_T_E7 = 700_000  # Hausdorff threshold in e7 deg units (~7.7 km —
                      # way pair sits at ~104k e7 units)
 HAUS_D2_MAX = HAUS_T_E7 * HAUS_T_E7
 EWMA_W = 8           # user_value_ewma window (dyadic alpha=1/2 weights)
+HILBERT_ORDER = 16   # hilbert_cells curve order (32-bit keys)
+HILBERT_SCAN_RANGE = (3133316087, 3133319646)   # cluster-scan query
+                     # range: the middle half of the extract's keys
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
@@ -6992,6 +6995,97 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def hilbert_cells(sf_dir):
+        """Hilbert-curve cell encoding of the point table (the locality-
+        preserving alternative to the Morton index: consecutive curve
+        positions are always ADJACENT cells, so clustered range reads
+        cut fewer spatial seams). Map-only; the twin unrolls the same 8
+        rotate/reflect rounds as integer CASE/XOR steps."""
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+
+        def enc(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(),
+                                 b["lat"].to_numpy(), HILBERT_ORDER)
+            hd = geo.hilbert_d(qx, qy, HILBERT_ORDER)
+            return pa.table({"image_id": b["image_id"],
+                             "hd": pa.array(hd, pa.int64())})
+
+        return pts.map_batches(enc, batch_format="pyarrow")
+    q["hilbert_cells"] = hilbert_cells
+
+    def lancelike_hilbert_cluster_scan(sf_dir):
+        """OPTIMIZE/CLUSTER-BY rewrite through the store: geo points are
+        first written in NATURAL order (hilbert-key zone maps overlap →
+        a range read must open nearly every fragment), then a cluster
+        rewrite sorts by the hilbert key and commits a new version —
+        after which the same range read prunes to a strict subset from
+        metadata alone. Asserts pruning strictly improved; returns the
+        clustered range read (twin: the unrolled hilbert SQL with
+        BETWEEN over the fixture)."""
+        import shutil
+
+        from ..sources import lancelike
+        ds = fx.read_fixture(sf_dir, "geo",
+                             columns=["image_id", "lon", "lat"])
+
+        def enc(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(),
+                                 b["lat"].to_numpy(), HILBERT_ORDER)
+            hd = geo.hilbert_d(qx, qy, HILBERT_ORDER)
+            return pa.table({"image_id": b["image_id"],
+                             "hd": pa.array(hd, pa.int64())})
+
+        withh = ds.map_batches(enc, batch_format="pyarrow")
+        root = f"/tmp/graft_out/hilbert_zm_{fx.sf_tag(sf_dir)}"
+        shutil.rmtree(root, ignore_errors=True)
+        lancelike.write_dataset(withh.repartition(16), root, stage="base",
+                                resume=False, zonemap_cols=["hd"])
+        lo, hi = HILBERT_SCAN_RANGE
+        _, s1, t1 = lancelike.read_dataset_range(
+            root, "hd", lo, hi, columns=["image_id", "hd"])
+        lancelike.write_dataset(
+            lancelike.read_dataset(root).sort("hd"), root,
+            stage="cluster", parent="base", resume=False,
+            zonemap_cols=["hd"])
+        out, s2, t2 = lancelike.read_dataset_range(
+            root, "hd", lo, hi, columns=["image_id", "hd"])
+        if not (0 < s2 < t2 and s2 / t2 < s1 / t1):
+            raise AssertionError(
+                f"cluster rewrite did not improve pruning: "
+                f"{s1}/{t1} -> {s2}/{t2}")
+        return out
+    q["lancelike_hilbert_cluster_scan"] = lancelike_hilbert_cluster_scan
+
+    def user_out_of_order_events(sf_dir):
+        """Streaming out-of-orderness screen (the watermark-lateness
+        signal): per user, events whose timestamp regresses below the
+        running max of earlier-INGESTED events (ingest order =
+        event_id). Per-user runs sort inside one bounded-bucket
+        shuffle; the prefix max is one np.maximum.accumulate. Twin: the
+        same MAX window with ROWS UNBOUNDED PRECEDING AND 1 PRECEDING."""
+        from ..util import bucketed_group_apply
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "user_id", "ts"])
+
+        def ooo(g: pd.DataFrame) -> pd.DataFrame:
+            uids, nev, noo = [], [], []
+            for uid, p in g.groupby("user_id"):
+                p = p.sort_values("event_id", kind="mergesort")
+                us = p["ts"].to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                run = np.maximum.accumulate(us)
+                late = us[1:] < run[:-1]
+                uids.append(int(uid))
+                nev.append(len(us))
+                noo.append(int(late.sum()))
+            return pd.DataFrame({
+                "user_id": pd.Series(uids, dtype="int64"),
+                "n_events": pd.Series(nev, dtype="int64"),
+                "n_out_of_order": pd.Series(noo, dtype="int64")})
+
+        return bucketed_group_apply(ev, ["user_id"], ooo, n_buckets=64)
+    q["user_out_of_order_events"] = user_out_of_order_events
+
     def user_value_ewma(sf_dir):
         """Per-user exponentially-weighted moving average with alpha=1/2
         over the last 8 events — DYADIC weights (128,64,…,1) make the
@@ -10152,6 +10246,46 @@ def oracle_sql():
                           * 1e6 + 0.5) AS BIGINT) AS entropy_e6
         FROM l"""
     o["lancelike_mor_delete_check"] = o["lancelike_delete_check"]
+    def _hilbert_sql(src: str, idc: str) -> str:
+        """Unrolled Hilbert xy->d twin over a point source (8 rounds of
+        the same rotate/reflect integer steps as geo.hilbert_d)."""
+        hx = _grid_sql("lon", HILBERT_ORDER, -180.0, 360.0)
+        hy = _grid_sql("lat", HILBERT_ORDER, -90.0, 180.0)
+        parts = [f"h0 AS (SELECT {idc}, {hx} AS x, {hy} AS y, 0 AS d "
+                 f"FROM {src})"]
+        for k in range(HILBERT_ORDER):
+            st = 1 << (HILBERT_ORDER - 1 - k)
+            parts.append(f"""h{k + 1} AS MATERIALIZED (
+          SELECT {idc}, d + {st * st}::BIGINT * xor(3 * rx, ry) AS d,
+                 CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+                      THEN {st} - 1 - y ELSE y END ELSE x END AS x,
+                 CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+                      THEN {st} - 1 - x ELSE x END ELSE y END AS y
+          FROM (SELECT {idc}, d, x, y,
+                       CASE WHEN (x & {st}) > 0 THEN 1 ELSE 0 END AS rx,
+                       CASE WHEN (y & {st}) > 0 THEN 1 ELSE 0 END AS ry
+                FROM h{k}))""")
+        return "WITH " + ",\n".join(parts)
+
+    o["hilbert_cells"] = _hilbert_sql(knn_p, "image_id") + f"""
+        SELECT image_id, CAST(d AS BIGINT) AS hd
+        FROM h{HILBERT_ORDER}"""
+    o["lancelike_hilbert_cluster_scan"] = _hilbert_sql(geo_p, "image_id") \
+        + f"""
+        SELECT image_id, CAST(d AS BIGINT) AS hd FROM h{HILBERT_ORDER}
+        WHERE d BETWEEN {HILBERT_SCAN_RANGE[0]} AND {HILBERT_SCAN_RANGE[1]}"""
+    o["user_out_of_order_events"] = """
+        WITH s AS (SELECT user_id, event_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        m AS (SELECT user_id, us,
+                     MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS pm
+              FROM s)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN us < pm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_out_of_order
+        FROM m GROUP BY user_id"""
     o["user_value_ewma"] = """
         WITH s AS (SELECT user_id, event_id, ts,
                           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
