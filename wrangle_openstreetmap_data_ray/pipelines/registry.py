@@ -6995,6 +6995,80 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def reverse_geocode_points(sf_dir):
+        """Reverse geocoding: every point resolves to ONE polygon — the
+        smallest-id containing polygon when inside, else the polygon
+        with the nearest boundary (ties to the smaller id). ONE
+        broadcast map stage, zero shuffles: per batch the cell-
+        prefiltered PIP index resolves containment (min id via
+        np.minimum.at over candidate hits) and only the MISSES pay the
+        per-polygon nearest-boundary scan (running strict-< best in
+        ascending id order == the twin's ORDER BY d2, polygon_id)."""
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from ..stages import pip_join
+        from ..util import _bcast_get
+        pts = fx.read_fixture(sf_dir, "geo",
+                              columns=["image_id", "lon", "lat"])
+        polys = pq.read_table(fx.fixture_path(sf_dir, "polygons"))
+        idx = pip_join.PolygonIndex(polys)
+        ex1, ey1, ex2, ey2, pid = geo.ring_edges(polys)
+        pnum = np.array([int(p[4:]) for p in pid], np.int64)
+        order = np.argsort(pnum, kind="stable")
+        ex1, ey1, ex2, ey2 = (ex1[order], ey1[order], ex2[order],
+                              ey2[order])
+        dx, dy = ex2 - ex1, ey2 - ey1
+        len2 = dx * dx + dy * dy
+        ref = ray.put((idx, ex1, ey1, dx, dy, len2, pnum[order]))
+
+        def resolve(b: pa.Table) -> pa.Table:
+            bidx, bx1, by1, bdx, bdy, bl2, bpn = _bcast_get(ref)
+            px = b["lon"].to_numpy()
+            py = b["lat"].to_numpy()
+            n = len(px)
+            big = np.int64(1) << np.int64(40)
+            bestpid = np.full(n, big, np.int64)    # min containing id
+            cells = geo.cell_encode(px, py, bidx.res)
+            for pi, ptsl in bidx.candidates(cells).items():
+                rx, ry = bidx.rings[pi]
+                ins = geo.point_in_polygon(px[ptsl], py[ptsl], rx, ry)
+                hit = ptsl[ins]
+                if len(hit):
+                    np.minimum.at(bestpid, hit,
+                                  np.int64(int(bidx.ids[pi][4:])))
+            inside = bestpid < big
+            miss = np.nonzero(~inside)[0]
+            if len(miss):
+                mx, my = px[miss], py[miss]
+                best = np.full(len(miss), np.inf)
+                bestp = np.zeros(len(miss), np.int64)
+                for pv in np.unique(bpn):          # ascending polygon id
+                    m = bpn == pv
+                    x1, y1, ddx, ddy, l2 = (bx1[m], by1[m], bdx[m],
+                                            bdy[m], bl2[m])
+                    t = ((mx[:, None] - x1[None, :]) * ddx[None, :]
+                         + (my[:, None] - y1[None, :]) * ddy[None, :]) \
+                        / l2[None, :]
+                    t = np.minimum(1.0, np.maximum(0.0, t))
+                    qx = mx[:, None] - (x1[None, :] + t * ddx[None, :])
+                    qy = my[:, None] - (y1[None, :] + t * ddy[None, :])
+                    d2 = (qx * qx + qy * qy).min(axis=1)
+                    upd = d2 < best                # strict: ties keep
+                    best[upd] = d2[upd]            # the smaller id
+                    bestp[upd] = pv
+                bestpid[miss] = bestp
+            meth = np.where(inside, "inside", "nearest")
+            return pa.table({
+                "id": b["image_id"],
+                "polygon_id": pa.array(
+                    [f"poly{v:04d}" for v in bestpid], pa.string()),
+                "method": pa.array(meth.tolist(), pa.string())})
+
+        return pts.map_batches(resolve, batch_format="pyarrow")
+    q["reverse_geocode_points"] = reverse_geocode_points
+
     def hilbert_cells(sf_dir):
         """Hilbert-curve cell encoding of the point table (the locality-
         preserving alternative to the Morton index: consecutive curve
@@ -10267,6 +10341,39 @@ def oracle_sql():
                 FROM h{k}))""")
         return "WITH " + ",\n".join(parts)
 
+    o["reverse_geocode_points"] = f"""
+        WITH ins AS (
+          SELECT g.image_id, e.polygon_id
+          FROM {geo_p} g JOIN {edges_p} e
+            ON ((e.y1 <= g.lat) != (e.y2 <= g.lat)
+                AND g.lon < e.x1
+                    + (g.lat - e.y1)/(e.y2 - e.y1)*(e.x2 - e.x1))
+          GROUP BY g.image_id, e.polygon_id
+          HAVING COUNT(*) % 2 = 1),
+        insmin AS (SELECT image_id AS id, MIN(polygon_id) AS polygon_id
+                   FROM ins GROUP BY 1),
+        e AS (SELECT polygon_id, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+                     (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) AS len2
+              FROM {edges_p}),
+        t AS (SELECT g.image_id, g.lon AS px, g.lat AS py, e.polygon_id,
+                     e.x1, e.y1, e.dx, e.dy,
+                     LEAST(1.0, GREATEST(0.0,
+                         ((g.lon - e.x1) * e.dx + (g.lat - e.y1) * e.dy)
+                         / e.len2)) AS tt
+              FROM {geo_p} g CROSS JOIN e),
+        pd AS (SELECT image_id, polygon_id,
+                      MIN((px - (x1 + tt*dx)) * (px - (x1 + tt*dx))
+                        + (py - (y1 + tt*dy)) * (py - (y1 + tt*dy)))
+                          AS d2
+               FROM t GROUP BY 1, 2),
+        pick AS (SELECT image_id AS id, polygon_id,
+                        ROW_NUMBER() OVER (PARTITION BY image_id
+                                           ORDER BY d2, polygon_id) AS rn
+                 FROM pd)
+        SELECT id, polygon_id, 'inside' AS method FROM insmin
+        UNION ALL
+        SELECT p.id, p.polygon_id, 'nearest' AS method FROM pick p
+        WHERE p.rn = 1 AND p.id NOT IN (SELECT id FROM insmin)"""
     o["hilbert_cells"] = _hilbert_sql(knn_p, "image_id") + f"""
         SELECT image_id, CAST(d AS BIGINT) AS hd
         FROM h{HILBERT_ORDER}"""
