@@ -57,6 +57,7 @@ EWMA_W = 8           # user_value_ewma window (dyadic alpha=1/2 weights)
 HILBERT_ORDER = 16   # hilbert_cells curve order (32-bit keys)
 HILBERT_SCAN_RANGE = (3133316087, 3133319646)   # cluster-scan query
                      # range: the middle half of the extract's keys
+SEGMENTIZE_D = 0.005 # way_segmentize_points spacing (deg, ~550 m)
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
@@ -6995,6 +6996,82 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def way_segmentize_points(sf_dir):
+        """ST_Segmentize-style polyline densification: every segment
+        emits interpolated vertices every SEGMENTIZE_D degrees along its
+        own length (k = 0 anchors each segment start; zero-length
+        segments are skipped on both sides). Per-way runs sort inside
+        one bounded-bucket shuffle; interpolation is pure vectorized
+        float math with the identical (k·D)/len tree in the twin's
+        generate_series expansion, e7-rounded after."""
+        from ..util import bucketed_group_apply
+        joined = _way_points(sf_dir)
+        D = SEGMENTIZE_D
+
+        def dens(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["way_id", "position"], kind="mergesort")
+            wid = g["way_id"].to_numpy()
+            pos = g["position"].to_numpy()
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            same = (wid[1:] == wid[:-1]) & (pos[1:] == pos[:-1] + 1)
+            x1, y1 = lon[:-1][same], lat[:-1][same]
+            x2, y2 = lon[1:][same], lat[1:][same]
+            w = wid[1:][same]
+            sp = pos[:-1][same]
+            ln = np.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+            keep = ln > 0
+            x1, y1, x2, y2, w, sp, ln = (x1[keep], y1[keep], x2[keep],
+                                         y2[keep], w[keep], sp[keep],
+                                         ln[keep])
+            nk = np.floor(ln / D).astype(np.int64) + 1
+            si = np.repeat(np.arange(len(nk)), nk)
+            k = (np.arange(int(nk.sum()))
+                 - np.repeat(np.cumsum(nk) - nk, nk))
+            t = (k * D) / ln[si]
+            x = x1[si] + t * (x2[si] - x1[si])
+            y = y1[si] + t * (y2[si] - y1[si])
+            return pd.DataFrame({
+                "way_id": pd.Series(w[si], dtype="int64"),
+                "sp": pd.Series(sp[si], dtype="int64"),
+                "k": pd.Series(k, dtype="int64"),
+                "x7": np.floor(x * 1e7 + 0.5).astype(np.int64),
+                "y7": np.floor(y * 1e7 + 0.5).astype(np.int64)})
+
+        return bucketed_group_apply(joined, ["way_id"], dens,
+                                    n_buckets=64)
+    q["way_segmentize_points"] = way_segmentize_points
+
+    def way_direction_reversals(sf_dir):
+        """Per-way sharp-turn screen (curvature audit): count of interior
+        vertices where the heading changes by more than 90° — i.e. the
+        dot product of consecutive segment vectors is negative, in EXACT
+        e7-integer arithmetic (no float angle ties). Twin: the same dot
+        product via LAG over the resolved way points."""
+        from ..util import bucketed_group_apply
+        joined = _way_points(sf_dir)
+
+        def rev(g: pd.DataFrame) -> pd.DataFrame:
+            outs_w, outs_n = [], []
+            for wid, p in g.groupby("way_id"):
+                p = p.sort_values("position", kind="mergesort")
+                x = np.floor(p["lon"].to_numpy() * 1e7 + 0.5) \
+                    .astype(np.int64)
+                y = np.floor(p["lat"].to_numpy() * 1e7 + 0.5) \
+                    .astype(np.int64)
+                if len(x) < 3:
+                    continue
+                dx, dy = np.diff(x), np.diff(y)
+                dot = dx[:-1] * dx[1:] + dy[:-1] * dy[1:]
+                outs_w.append(int(wid))
+                outs_n.append(int((dot < 0).sum()))
+            return pd.DataFrame({
+                "way_id": pd.Series(outs_w, dtype="int64"),
+                "n_reversals": pd.Series(outs_n, dtype="int64")})
+
+        return bucketed_group_apply(joined, ["way_id"], rev, n_buckets=64)
+    q["way_direction_reversals"] = way_direction_reversals
+
     def reverse_geocode_points(sf_dir):
         """Reverse geocoding: every point resolves to ONE polygon — the
         smallest-id containing polygon when inside, else the polygon
@@ -10341,6 +10418,45 @@ def oracle_sql():
                 FROM h{k}))""")
         return "WITH " + ",\n".join(parts)
 
+    o["way_segmentize_points"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        seg AS (SELECT a.way_id, a.position AS sp,
+                       a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2,
+                       sqrt((b.lon - a.lon) * (b.lon - a.lon)
+                            + (b.lat - a.lat) * (b.lat - a.lat)) AS ln
+                FROM pts a JOIN pts b ON a.way_id = b.way_id
+                 AND b.position = a.position + 1),
+        ks AS (SELECT way_id, sp, x1, y1, x2, y2, ln,
+                      unnest(generate_series(0,
+                          CAST(floor(ln / {SEGMENTIZE_D}) AS BIGINT))) AS k
+               FROM seg WHERE ln > 0)
+        SELECT way_id, sp, k,
+               CAST(floor((x1 + ((k * {SEGMENTIZE_D}) / ln) * (x2 - x1))
+                          * 1e7 + 0.5) AS BIGINT) AS x7,
+               CAST(floor((y1 + ((k * {SEGMENTIZE_D}) / ln) * (y2 - y1))
+                          * 1e7 + 0.5) AS BIGINT) AS y7
+        FROM ks"""
+    o["way_direction_reversals"] = f"""
+        WITH pts AS (SELECT wn.way_id, wn.position,
+                            CAST(floor(nd.lon * 1e7 + 0.5) AS BIGINT) AS x,
+                            CAST(floor(nd.lat * 1e7 + 0.5) AS BIGINT) AS y
+                     FROM {way_nodes_p} wn
+                     JOIN {nodes_p} nd ON wn.node_id = nd.id),
+        d AS (SELECT way_id, position, x - LAG(x) OVER w AS dx,
+                     y - LAG(y) OVER w AS dy,
+                     LEAD(x) OVER w - x AS nx, LEAD(y) OVER w - y AS ny
+              FROM pts WINDOW w AS (PARTITION BY way_id
+                                    ORDER BY position)),
+        c AS (SELECT way_id,
+                     CAST(SUM(CASE WHEN dx * nx + dy * ny < 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_reversals
+              FROM d WHERE dx IS NOT NULL AND nx IS NOT NULL
+              GROUP BY way_id),
+        nv AS (SELECT way_id, COUNT(*) AS n FROM pts GROUP BY way_id)
+        SELECT c.way_id, c.n_reversals FROM c
+        JOIN nv ON nv.way_id = c.way_id WHERE nv.n >= 3"""
     o["reverse_geocode_points"] = f"""
         WITH ins AS (
           SELECT g.image_id, e.polygon_id
