@@ -58,6 +58,7 @@ HILBERT_ORDER = 16   # hilbert_cells curve order (32-bit keys)
 HILBERT_SCAN_RANGE = (3133316087, 3133319646)   # cluster-scan query
                      # range: the middle half of the extract's keys
 SEGMENTIZE_D = 0.005 # way_segmentize_points spacing (deg, ~550 m)
+KRING_K = 3          # cell_kring_counts max Chebyshev ring
 SPATIAL_SCAN_LON = 103.85   # lancelike_spatial_scan query-cell anchor
 SPATIAL_SCAN_LAT = 1.30
 OD_RES = 13          # od_cell_flows grid (~4.9 km cells over the extract)
@@ -6996,6 +6997,96 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def cell_kring_counts(sf_dir):
+        """H3 gridDisk-style ring profile: for each anchor, the point
+        count in every Chebyshev ring 0..KRING_K around the anchor's
+        grid cell (the concentric-ring density profile a density map
+        colors by). Map-only partials into the vectorized combiner —
+        the anchors are constants, the ring index is max(|Δqx|, |Δqy|)
+        in exact ints."""
+        from ..util import grouped_agg_vec
+        pts = fx.read_fixture(sf_dir, "knn_pts",
+                              columns=["lon", "lat"])
+        alon = np.array([a[0] for a in ANCHORS])
+        alat = np.array([a[1] for a in ANCHORS])
+        aqx, aqy = geo.cell_xy(alon, alat, TILE_RES)
+
+        def rings(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(),
+                                 b["lat"].to_numpy(), TILE_RES)
+            ai, ri = [], []
+            for i in range(len(ANCHORS)):
+                r = np.maximum(np.abs(qx - aqx[i]), np.abs(qy - aqy[i]))
+                keep = r <= KRING_K
+                ai.append(np.full(int(keep.sum()), i, np.int64))
+                ri.append(r[keep])
+            return pa.table({
+                "anchor_id": pa.array(np.concatenate(ai), pa.int64()),
+                "ring": pa.array(np.concatenate(ri), pa.int64())})
+
+        return grouped_agg_vec(
+            pts.map_batches(rings, batch_format="pyarrow"),
+            ["anchor_id", "ring"], [(None, "count", "n_points")])
+    q["cell_kring_counts"] = cell_kring_counts
+
+    def events_sliding_distinct_users(sf_dir):
+        """Hopping-window COUNT DISTINCT (the streaming 'unique actives
+        per 1h window, every 15 min' metric): each event replicates
+        map-side into its 4 covering windows, then the exact tuple-dedup
+        combiner resolves distinct users per window — no self-join, one
+        bounded shuffle."""
+        from ..util import grouped_count_distinct
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["ts", "user_id"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            q15 = pc.cast(b["ts"], pa.int64()).to_numpy() // 900_000_000
+            uid = b["user_id"].to_numpy()
+            n = len(q15)
+            win = (np.repeat(q15, 4)
+                   - np.tile(np.arange(4, dtype=np.int64), n))
+            return pa.table({"win": pa.array(win, pa.int64()),
+                             "user_id": pa.array(np.repeat(uid, 4),
+                                                 pa.int64())})
+
+        return grouped_count_distinct(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            ["win"], "user_id", out_col="n_users", n_buckets=64)
+    q["events_sliding_distinct_users"] = events_sliding_distinct_users
+
+    def lancelike_column_stats_check(sf_dir):
+        """ANALYZE through the store: exact per-column statistics (rows,
+        nulls, distinct, min/max — the CBO stats surface) computed over
+        the committed version and committed back as a new manifest
+        version's metrics with fragments carried by reference (zero
+        data writes). The returned stats table is value-pinned against
+        plain SQL aggregates; the commit is asserted to carry them."""
+        from ..sources import lancelike
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_custkey"])
+        root = f"/tmp/graft_out/stats_demo_{fx.sf_tag(sf_dir)}"
+        lancelike.write_dataset(
+            orders, root, stage="stats_demo", parent=fx.sf_tag(sf_dir),
+            fingerprint=lancelike.input_fingerprint(orders))
+        cols = ["o_orderkey", "o_custkey"]
+        man = lancelike.analyze(root, cols)
+        st = man["metrics"]["column_stats"]
+        if set(st) != set(cols):
+            raise AssertionError("analyze commit missing column stats")
+        return pd.DataFrame({
+            "col_name": pd.Series(cols, dtype="string"),
+            "n_rows": pd.Series([st[c]["n_rows"] for c in cols],
+                                dtype="int64"),
+            "n_null": pd.Series([st[c]["n_null"] for c in cols],
+                                dtype="int64"),
+            "n_distinct": pd.Series([st[c]["n_distinct"] for c in cols],
+                                    dtype="int64"),
+            "min_v": pd.Series([st[c]["min"] for c in cols],
+                               dtype="int64"),
+            "max_v": pd.Series([st[c]["max"] for c in cols],
+                               dtype="int64")})
+    q["lancelike_column_stats_check"] = lancelike_column_stats_check
+
     def way_segmentize_points(sf_dir):
         """ST_Segmentize-style polyline densification: every segment
         emits interpolated vertices every SEGMENTIZE_D degrees along its
@@ -10418,6 +10509,42 @@ def oracle_sql():
                 FROM h{k}))""")
         return "WITH " + ",\n".join(parts)
 
+    _avals2 = ", ".join(f"({i}, {a[0]}, {a[1]})"
+                        for i, a in enumerate(ANCHORS))
+    _kx = _grid_sql("p.lon", TILE_RES, -180.0, 360.0)
+    _ky = _grid_sql("p.lat", TILE_RES, -90.0, 180.0)
+    _kax = _grid_sql("a.alon", TILE_RES, -180.0, 360.0)
+    _kay = _grid_sql("a.alat", TILE_RES, -90.0, 180.0)
+    o["cell_kring_counts"] = f"""
+        WITH a AS (SELECT * FROM (VALUES {_avals2})
+                   AS t(anchor_id, alon, alat)),
+        r AS (SELECT a.anchor_id,
+                     GREATEST(ABS({_kx} - {_kax}),
+                              ABS({_ky} - {_kay})) AS ring
+              FROM {knn_p} p CROSS JOIN a)
+        SELECT CAST(anchor_id AS BIGINT) AS anchor_id, ring,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM r WHERE ring <= {KRING_K} GROUP BY 1, 2"""
+    o["events_sliding_distinct_users"] = """
+        WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 900000000 AS q15,
+                          user_id FROM events),
+        w AS (SELECT q15 - unnest(generate_series(0, 3)) AS win, user_id
+              FROM e)
+        SELECT win, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM w GROUP BY win"""
+    o["lancelike_column_stats_check"] = """
+        SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_v,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_v FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS BIGINT),
+               CAST(MAX(o_custkey) AS BIGINT) FROM orders
+"""
     o["way_segmentize_points"] = f"""
         WITH pts AS (SELECT wn.way_id, wn.position, nd.lon, nd.lat
                      FROM {way_nodes_p} wn

@@ -1104,3 +1104,56 @@ def version_diff(root: str, v_old: int, v_new: int, key_col: str,
             "change": pd.Series(out_c, dtype="string")})
 
     return bucketed_group_apply(u, [key_col], classify, n_buckets)
+
+
+def analyze(root: str, columns: list[str], stage: str = "analyze") -> dict:
+    """ANALYZE: compute exact per-column table statistics (row count,
+    null count, distinct count, min/max) over the latest committed
+    version and COMMIT them as a new manifest version's metrics — the
+    cost-based-optimizer stats verb. Null/min/max fold through 1-row
+    block partials; ndv is exact via a per-block distinct pre-reduce
+    into one bounded shuffle (≤ ndv × blocks rows move). Fragments are
+    carried by reference — ANALYZE does zero data writes. Returns the
+    committed manifest (stats under metrics['column_stats'])."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..util import grouped_agg_vec
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    stats = {}
+    for c in columns:
+        ds = read_dataset(root, columns=[c])
+
+        def part(b: pa.Table, c=c) -> pa.Table:
+            col = b[c]
+            nn = col.null_count
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+            has = len(v) > 0
+            return pa.table({
+                "n_p": pa.array([b.num_rows], pa.int64()),
+                "nn_p": pa.array([nn], pa.int64()),
+                "mn_p": pa.array([v.min() if has else None], pa.int64()),
+                "mx_p": pa.array([v.max() if has else None], pa.int64())})
+
+        agg = ds.map_batches(part, batch_format="pyarrow").aggregate(
+            Sum("n_p", alias_name="n"), Sum("nn_p", alias_name="nn"),
+            Min("mn_p", alias_name="mn"), Max("mx_p", alias_name="mx"))
+
+        def uniq(b: pa.Table, c=c) -> pa.Table:
+            v = np.unique(b[c].drop_null().to_numpy(zero_copy_only=False))
+            return pa.table({"v": pa.array(v, pa.int64())})
+
+        ndv = int(grouped_agg_vec(
+            ds.map_batches(uniq, batch_format="pyarrow"),
+            ["v"], [(None, "count", "x")]).count())
+        stats[c] = {"n_rows": int(agg["n"]), "n_null": int(agg["nn"]),
+                    "n_distinct": ndv, "min": int(agg["mn"]),
+                    "max": int(agg["mx"])}
+    metrics = dict(man.get("metrics") or {})
+    metrics["column_stats"] = stats
+    return _commit(root, stage, man["stage"], man["fragments"], metrics,
+                   man.get("fingerprint"),
+                   tombstones=man.get("tombstones"))
