@@ -1862,3 +1862,41 @@ def test_cms_and_kmv_sketch_properties(ray_session):
         np.arange(100, dtype=np.int64), pa.int64())}))
     kmv_s = sketch.kmv_sketch(small, "k", k=256)
     assert sketch.kmv_estimate(kmv_s, k=256) == 100
+
+
+def test_ivfpq_topk_recall(ray_session):
+    """IVF-PQ (residual-encoded, probed-list scan) recall vs exact L2
+    brute force on clustered data; parallelism-invariant results."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages.simsearch import ivfpq_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((30, 32))
+                           for c in centers])
+    # interleave clusters so the k-smallest-id k-means seeds span them
+    # (id-ordered seeds from ONE cluster leave empty clusters -> raise)
+    vecs = vecs[rng.permutation(len(vecs))]
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs.astype(np.float64)),
+                                        pa.list_(pa.float64()))})
+    queries = vecs[:4]
+    outs = []
+    for nparts in (1, 8):
+        ds = rd.from_arrow(t).repartition(nparts)
+        got = ivfpq_topk(ds, queries, k_top=10, n_centroids=8, nprobe=4,
+                         m=8, kc=8).to_pandas()
+        outs.append(got.sort_values(["query_id", "d2e6", "vec_id"])
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])           # parallelism-invariant
+    d2 = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(axis=2)
+    recalls = []
+    for qi in range(len(queries)):
+        exact = set(ids[np.argsort(d2[qi], kind="stable")[:10]].tolist())
+        approx = set(outs[0][outs[0]["query_id"] == qi]["vec_id"]
+                     .tolist())
+        assert len(approx) == 10
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.6, recalls

@@ -2217,6 +2217,23 @@ def queries():
         return simsearch.pq_adc_topk(ds, C, queries, k_top=10)
     q["embedding_pq_topk"] = embedding_pq_topk
 
+    def embedding_ivfpq_topk(sf_dir):
+        """IVF-PQ composed ANN (the faiss-style scale path): coarse
+        lists from the zero-shuffle distributed k-means, PQ codebooks
+        trained on RESIDUALS, per-query LUT scan of only the probed
+        lists. Approximate by construction → rows-only; recall vs brute
+        force pinned by pytest (test_ivfpq_topk_recall)."""
+        from ..stages import simsearch
+        from ..util import distributed_topk
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+        seeds = distributed_topk(ds, 3, [("vec_id", "ascending")])
+        queries = np.stack([np.asarray(v, np.float64)
+                            for v in seeds["embedding"]])
+        return simsearch.ivfpq_topk(ds, queries, k_top=10,
+                                    n_centroids=8, nprobe=4, m=4, kc=16)
+    q["embedding_ivfpq_topk"] = embedding_ivfpq_topk
+
     def focal_cell_smooth(sf_dir):
         """Raster FOCAL aggregation (3×3 moving-window sum over the
         per-cell point-count surface — GIS focal statistics): per-block

@@ -545,3 +545,105 @@ def pq_adc_topk(ds, C: np.ndarray, queries: np.ndarray, k_top: int = 10,
     parts = ds.map_batches(fn, batch_format="pyarrow")
     return grouped_topk(parts, ["query_id"], k_top,
                         [("d2e6", "asc"), ("vec_id", "asc")])
+
+
+def ivfpq_topk(ds, queries: np.ndarray, k_top: int = 10,
+               n_centroids: int = 8, nprobe: int = 2, m: int = 4,
+               kc: int = 16, vec_col: str = "embedding",
+               id_col: str = "vec_id", n_iters: int = 2):
+    """IVF-PQ approximate top-k (the Jégou et al. 2011 billion-scale
+    composition): coarse L2 centroids partition the corpus into inverted
+    lists; PQ codebooks train on the RESIDUALS (x − centroid), so codes
+    spend their bits on within-list variation; each query probes only
+    its ``nprobe`` nearest lists with a per-(query, list) LUT built from
+    the query residual. Everything is map-only over the corpus — coarse
+    training is the zero-shuffle mergeable-partial k-means, PQ training
+    reuses ``pq_train`` on the residual column, and the scan emits
+    block-local top-k partials in the SAME (d2e6, vec_id) total order
+    the final ``grouped_topk`` uses. Approximate by construction —
+    recall vs brute force is the pytest contract."""
+    import ray
+
+    from ..util import _bcast_get, grouped_topk
+    cent, _counts = kmeans_fit(ds, vec_col, id_col, n_centroids,
+                               n_iters=n_iters)
+    cref = ray.put(cent)
+
+    def resid(b: pa.Table) -> pa.Table:
+        cc = _bcast_get(cref)
+        if b.num_rows == 0:
+            return pa.table({id_col: b[id_col],
+                             "ivf_list": pa.array([], pa.int64()),
+                             "residual": pa.array([],
+                                                  pa.list_(pa.float64()))})
+        x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        d2 = ((x[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        li = np.argmin(d2, axis=1)
+        r = x - cc[li]
+        return pa.table({id_col: b[id_col],
+                         "ivf_list": pa.array(li, pa.int64()),
+                         "residual": pa.array(list(r),
+                                              pa.list_(pa.float64()))})
+
+    rds = ds.map_batches(resid, batch_format="pyarrow")
+    C = pq_train(rds, "residual", id_col, m=m, k=kc, n_iters=n_iters)
+    mm, kcc, dsub = C.shape
+    q = np.asarray(queries, dtype=np.float64)
+    qd2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]   # (Q, P)
+    qr = q[:, None, :] - cent[probes]                             # (Q, P, d)
+    qrs = qr.reshape(len(q), nprobe, mm, dsub)
+    lut = ((qrs[:, :, :, None, :] - C[None, None, :, :, :]) ** 2) \
+        .sum(axis=4)                                              # (Q,P,m,k)
+    ref = ray.put((cent, C, probes, lut))
+
+    def scan(b: pa.Table) -> pa.Table:
+        cc, cen, prb, L = _bcast_get(ref)
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": b[id_col],
+                             "d2e6": pa.array([], pa.int64())})
+        x = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        d2c = ((x[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        li = np.argmin(d2c, axis=1)
+        r = (x - cc[li]).reshape(n, mm, dsub)
+        codes = np.empty((n, mm), np.int64)
+        for s in range(mm):
+            dd = ((r[:, s, None, :] - cen[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(dd, axis=1)
+        ids_np = np.asarray(b[id_col].to_pylist())
+        qi_out, vi_out, de_out = [], [], []
+        for qidx in range(len(prb)):
+            for p in range(prb.shape[1]):
+                rows = np.nonzero(li == prb[qidx, p])[0]
+                if not len(rows):
+                    continue
+                d = np.zeros(len(rows))
+                for s in range(mm):
+                    d += L[qidx, p, s][codes[rows, s]]
+                de = np.floor(d * 1e6 + 0.5).astype(np.int64)
+                row = pd.DataFrame({"d": de, "v": ids_np[rows],
+                                    "i": rows})
+                sel = row.sort_values(["d", "v"], kind="mergesort") \
+                    .head(min(k_top, len(rows)))
+                qi_out.append(np.full(len(sel), qidx, np.int64))
+                vi_out.append(sel["i"].to_numpy())
+                de_out.append(sel["d"].to_numpy())
+        if not qi_out:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": b[id_col].slice(0, 0),
+                             "d2e6": pa.array([], pa.int64())})
+        qi = np.concatenate(qi_out)
+        vi = np.concatenate(vi_out).astype(np.int64)
+        de = np.concatenate(de_out)
+        return pa.table({"query_id": pa.array(qi, pa.int64()),
+                         "vec_id": b[id_col].take(pa.array(vi)),
+                         "d2e6": pa.array(de, pa.int64())})
+
+    parts = ds.map_batches(scan, batch_format="pyarrow")
+    return grouped_topk(parts, ["query_id"], k_top,
+                        [("d2e6", "asc"), ("vec_id", "asc")],
+                        n_buckets=64)
