@@ -315,3 +315,34 @@ def test_lancelike_mor_tombstones(ray_session, tmp_path):
     import os
     tdir = os.path.join(root, "_tombstones")
     assert not os.path.isdir(tdir) or not os.listdir(tdir)
+
+
+def test_lancelike_tags_pin_versions_through_vacuum(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+    root = str(tmp_path / "tags")
+    t = synth.gen_geo_table(0, 500)
+    man1 = lancelike.write_dataset(rd.from_arrow(t).repartition(4), root,
+                                   stage="v1")
+    ref = lancelike.create_tag(root, "prod")
+    assert ref["version"] == man1["version"]
+    with pytest.raises(FileExistsError):
+        lancelike.create_tag(root, "prod")
+    man2 = lancelike.write_dataset(rd.from_arrow(t.slice(0, 100)), root,
+                                   stage="v2", resume=False)
+    man3 = lancelike.write_dataset(rd.from_arrow(t.slice(0, 50)), root,
+                                   stage="v3", resume=False)
+    stats = lancelike.vacuum(root, keep_versions=1)
+    # tagged v1 + newest v3 retained; untagged v2 expired
+    assert sorted(stats["kept_versions"]) == [man1["version"],
+                                              man3["version"]]
+    v = lancelike.resolve_tag(root, "prod")
+    back = lancelike.read_dataset(root, columns=["image_id"], version=v)
+    assert back.count() == 500
+    # force-move the tag, then delete it; vacuum can then expire v1
+    lancelike.create_tag(root, "prod", man3["version"], force=True)
+    lancelike.delete_tag(root, "prod")
+    stats2 = lancelike.vacuum(root, keep_versions=1)
+    assert stats2["kept_versions"] == [man3["version"]]
+    with pytest.raises(FileNotFoundError):
+        lancelike.resolve_tag(root, "prod")

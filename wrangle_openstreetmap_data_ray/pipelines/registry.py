@@ -7014,6 +7014,103 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def lancelike_tag_vacuum_check(sf_dir):
+        """Named refs through the store (Iceberg/Lance tags): the base
+        version is tagged 'prod', two more versions commit on top, then
+        ``vacuum(keep_versions=1)`` runs — the TAGGED version must
+        survive GC (its manifest and fragments are retained) while the
+        untagged intermediate is expired. The returned result is the
+        tag-pinned read, which must still equal the ORIGINAL relational
+        state after the mutations and the GC; asserts the intermediate
+        manifest really died and the latest state really differs."""
+        import shutil
+
+        from ..sources import lancelike
+        from ..util import grouped_agg_vec
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_tagref/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        man1 = lancelike.write_dataset(orders, root, stage="base",
+                                       resume=False)
+        lancelike.create_tag(root, "prod", man1["version"])
+        upd = orders.map_batches(_orders_merge_update,
+                                 batch_format="pyarrow")
+        man2 = lancelike.merge_upsert(upd, root, "o_orderkey",
+                                      stage="merge1")
+        man3 = lancelike.merge_upsert(upd, root, "o_orderkey",
+                                      stage="merge2")
+        stats = lancelike.vacuum(root, keep_versions=1)
+        if man1["version"] not in stats["kept_versions"]:
+            raise AssertionError("vacuum expired the tagged version")
+        if man2["version"] in stats["kept_versions"]:
+            raise AssertionError("vacuum kept the untagged intermediate")
+        pinned = lancelike.resolve_tag(root, "prod")
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+            return pa.table({"o_orderstatus": b["o_orderstatus"],
+                             "cents_p": pa.array(c, pa.int64()),
+                             "n_p": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        cols = ["o_orderstatus", "o_totalprice"]
+        tagged = grouped_agg_vec(
+            lancelike.read_dataset(root, columns=cols, version=pinned)
+            .map_batches(cents, batch_format="pyarrow"),
+            ["o_orderstatus"], [("n_p", "sum", "n"),
+                                ("cents_p", "sum", "cents")]).to_pandas()
+        latest = grouped_agg_vec(
+            lancelike.read_dataset(root, columns=cols,
+                                   version=man3["version"])
+            .map_batches(cents, batch_format="pyarrow"),
+            ["o_orderstatus"], [("n_p", "sum", "n"),
+                                ("cents_p", "sum", "cents")]).to_pandas()
+        if int(tagged["n"].sum()) == int(latest["n"].sum()):
+            raise AssertionError("latest should differ from the tag "
+                                 "(merge added NEWROW keys)")
+        return tagged
+    q["lancelike_tag_vacuum_check"] = lancelike_tag_vacuum_check
+
+    def caption_keyword_cells(sf_dir):
+        """Cross-modal spatial retrieval: images whose CAPTION contains
+        the token 'food' (same \\S+ token convention as the text ops)
+        join to their geotags and aggregate per grid cell — the
+        text-filter × spatial-heatmap query a caption-indexed image
+        corpus serves. Caption filtering is map-side (bytes never read
+        — column pruning at the scan); the join ships only matching
+        ids."""
+        from ..functions import text
+        from ..util import grouped_agg_vec
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "caption"])
+
+        def match(b: pa.Table) -> pa.Table:
+            keep = [i for i, c in enumerate(b["caption"].to_pylist())
+                    if "food" in text.WS_RE.findall(c or "")]
+            return b.take(pa.array(keep, pa.int64())) \
+                .select(["image_id"])
+
+        hit = imgs.map_batches(match, batch_format="pyarrow")
+        geo_t = fx.read_fixture(sf_dir, "geo",
+                                columns=["image_id", "lon", "lat"])
+        j = hit.join(geo_t, on=("image_id",), join_type="inner",
+                     **join_kwargs(fx.table_join_partitions(
+                         sf_dir, "images", "geo")))
+
+        def cells(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(),
+                                 b["lat"].to_numpy(), TILE_RES)
+            return pa.table({"qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64())})
+
+        return grouped_agg_vec(
+            j.map_batches(cells, batch_format="pyarrow"),
+            ["qx", "qy"], [(None, "count", "n_images")])
+    q["caption_keyword_cells"] = caption_keyword_cells
+
     def cell_kring_counts(sf_dir):
         """H3 gridDisk-style ring profile: for each anchor, the point
         count in every Chebyshev ring 0..KRING_K around the anchor's
@@ -10526,6 +10623,22 @@ def oracle_sql():
                 FROM h{k}))""")
         return "WITH " + ",\n".join(parts)
 
+    o["lancelike_tag_vacuum_check"] = """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderstatus"""
+    _ckx = _grid_sql("g.lon", TILE_RES, -180.0, 360.0)
+    _cky = _grid_sql("g.lat", TILE_RES, -90.0, 180.0)
+    o["caption_keyword_cells"] = rf"""
+        WITH hit AS (SELECT image_id FROM {images_p}
+                     WHERE len(list_filter(
+                         regexp_extract_all(caption, '\S+'),
+                         x -> x = 'food')) > 0)
+        SELECT {_ckx} AS qx, {_cky} AS qy,
+               CAST(COUNT(*) AS BIGINT) AS n_images
+        FROM hit JOIN {geo_p} g USING (image_id)
+        GROUP BY 1, 2"""
     _avals2 = ", ".join(f"({i}, {a[0]}, {a[1]})"
                         for i, a in enumerate(ANCHORS))
     _kx = _grid_sql("p.lon", TILE_RES, -180.0, 360.0)

@@ -825,7 +825,14 @@ def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
         raise FileNotFoundError(f"no committed manifest under {root}")
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    drop, keep = paths[:-keep_versions], paths[-keep_versions:]
+    tagged = set(list_tags(root).values())
+    drop, keep = [], []
+    for i, p in enumerate(paths):
+        v = int(os.path.basename(p)[len("manifest-v"):-len(".json")])
+        if i >= len(paths) - keep_versions or v in tagged:
+            keep.append(p)          # newest N + every TAGGED version
+        else:
+            drop.append(p)
     kept_refs: set[str] = set()
     kept_versions: list[int] = []
     for p in keep:
@@ -1104,6 +1111,66 @@ def version_diff(root: str, v_old: int, v_new: int, key_col: str,
             "change": pd.Series(out_c, dtype="string")})
 
     return bucketed_group_apply(u, [key_col], classify, n_buckets)
+
+
+_REFS_DIR = "_refs"
+
+
+def create_tag(root: str, name: str, version: int | None = None,
+               force: bool = False) -> dict:
+    """Named immutable ref to a committed version (the Iceberg tag /
+    Lance tag verb): ``_refs/<name>.json`` pins a version number so it
+    survives ``vacuum`` (tagged versions are never expired) and can be
+    read back by name forever. Atomic create; refuses to move an
+    existing tag unless ``force``."""
+    import re
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    if version is None:
+        man = latest_manifest(root)
+        if man is None:
+            raise FileNotFoundError(f"no committed manifest under {root}")
+        version = int(man["version"])
+    else:
+        # must reference a committed version
+        _manifest_at(root, version)
+    rdir = os.path.join(root, _REFS_DIR)
+    os.makedirs(rdir, exist_ok=True)
+    path = os.path.join(rdir, f"{name}.json")
+    if os.path.exists(path) and not force:
+        raise FileExistsError(f"tag {name!r} exists (use force to move)")
+    tmp = os.path.join(rdir, f".{name}.json.tmp")
+    ref = {"name": name, "version": version,
+           "created_at": datetime.now(timezone.utc).isoformat()}
+    with open(tmp, "w") as f:
+        json.dump(ref, f)
+    os.replace(tmp, path)
+    return ref
+
+
+def list_tags(root: str) -> dict:
+    """{tag name: pinned version} for every ref under ``_refs/``."""
+    rdir = os.path.join(root, _REFS_DIR)
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for f in os.listdir(rdir):
+        if f.endswith(".json") and not f.startswith("."):
+            with open(os.path.join(rdir, f)) as fh:
+                ref = json.load(fh)
+            out[ref["name"]] = int(ref["version"])
+    return out
+
+
+def resolve_tag(root: str, name: str) -> int:
+    tags = list_tags(root)
+    if name not in tags:
+        raise FileNotFoundError(f"no tag {name!r} under {root}")
+    return tags[name]
+
+
+def delete_tag(root: str, name: str) -> None:
+    os.remove(os.path.join(root, _REFS_DIR, f"{name}.json"))
 
 
 def analyze(root: str, columns: list[str], stage: str = "analyze") -> dict:
