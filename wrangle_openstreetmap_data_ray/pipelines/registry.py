@@ -7014,6 +7014,97 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def polygon_symdiff_cells(sf_dir):
+        """Overlay METRIC: for every overlapping polygon pair, the
+        intersection and symmetric-difference areas in res-POLYFILL
+        interior cells (|A∩B| and |A|+|B|−2|A∩B| — exact integers on
+        the shared polyfill cover). One self-join shuffle keyed on the
+        cell; per-polygon totals ride the same combiner."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        cells = polygon_polyfill_cells(sf_dir)
+        sizes = grouped_agg_vec(cells, ["polygon_id"],
+                                [(None, "count", "sz")]).to_pandas()
+        szmap = dict(zip(sizes["polygon_id"], sizes["sz"]))
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            oa, ob, oc = [], [], []
+            for _cell, gg in g.groupby(["qx", "qy"], sort=False):
+                ps = sorted(gg["polygon_id"].tolist())
+                for i in range(len(ps)):
+                    for jj in range(i + 1, len(ps)):
+                        oa.append(ps[i])
+                        ob.append(ps[jj])
+                        oc.append(1)
+            return pd.DataFrame({
+                "poly_a": pd.Series(oa, dtype="string"),
+                "poly_b": pd.Series(ob, dtype="string"),
+                "i_p": pd.Series(oc, dtype="int64")})
+
+        inter = grouped_agg_vec(
+            bucketed_group_apply(cells, ["qx", "qy"], pairs,
+                                 n_buckets=64),
+            ["poly_a", "poly_b"], [("i_p", "sum", "n_common")])
+
+        def finish(b: pd.DataFrame) -> pd.DataFrame:
+            sa = b["poly_a"].map(szmap).astype("int64")
+            sb = b["poly_b"].map(szmap).astype("int64")
+            return pd.DataFrame({
+                "poly_a": b["poly_a"].astype("string"),
+                "poly_b": b["poly_b"].astype("string"),
+                "n_common": b["n_common"].astype("int64"),
+                "n_symdiff": (sa + sb - 2 * b["n_common"])
+                .astype("int64")})
+
+        return inter.map_batches(finish, batch_format="pandas")
+    q["polygon_symdiff_cells"] = polygon_symdiff_cells
+
+    def user_home_cells(sf_dir):
+        """Home-location detection (trajectory analytics): each user's
+        MODAL res-OD grid cell over their node edits — grouped mode via
+        the distributed QUALIFY head, count ties to the smaller cell.
+        Twin: ROW_NUMBER over per-(user, cell) counts."""
+        from ..util import grouped_agg_vec, grouped_topk
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["uid", "lon", "lat"])
+
+        def cellify(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(),
+                                 b["lat"].to_numpy(), OD_RES)
+            return pa.table({"uid": b["uid"],
+                             "qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64())})
+
+        counts = grouped_agg_vec(
+            nodes.map_batches(cellify, batch_format="pyarrow"),
+            ["uid", "qx", "qy"], [(None, "count", "cnt")])
+        return grouped_topk(counts, ["uid"], 1,
+                            [("cnt", "desc"), ("qx", "asc"),
+                             ("qy", "asc")], n_buckets=64)
+    q["user_home_cells"] = user_home_cells
+
+    def phash_bit_stats(sf_dir):
+        """Perceptual-hash bit-position statistics (the index-health
+        diagnostic: a near-constant bit carries no discriminative
+        power): for each of the 64 phash bit positions, how many images
+        have it set. Fixed 64-row block partials into the combiner; the
+        twin shifts the same int64 hash."""
+        from ..util import grouped_agg_vec
+        imgs = fx.read_fixture(sf_dir, "images", columns=["phash"])
+
+        def bits(b: pa.Table) -> pa.Table:
+            h = b["phash"].to_numpy().astype(np.uint64)
+            pos = np.arange(64, dtype=np.uint64)
+            setc = ((h[:, None] >> pos[None, :])
+                    & np.uint64(1)).sum(axis=0).astype(np.int64)
+            return pa.table({"bit": pa.array(pos.astype(np.int64),
+                                             pa.int64()),
+                             "s_p": pa.array(setc, pa.int64())})
+
+        return grouped_agg_vec(
+            imgs.map_batches(bits, batch_format="pyarrow"),
+            ["bit"], [("s_p", "sum", "n_set")])
+    q["phash_bit_stats"] = phash_bit_stats
+
     def lancelike_tag_vacuum_check(sf_dir):
         """Named refs through the store (Iceberg/Lance tags): the base
         version is tagged 'prod', two more versions commit on top, then
@@ -10623,6 +10714,22 @@ def oracle_sql():
                 FROM h{k}))""")
         return "WITH " + ",\n".join(parts)
 
+    _uhx = _grid_sql("lon", OD_RES, -180.0, 360.0)
+    _uhy = _grid_sql("lat", OD_RES, -90.0, 180.0)
+    o["user_home_cells"] = f"""
+        WITH c AS (SELECT uid, {_uhx} AS qx, {_uhy} AS qy,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM {nodes_p} GROUP BY 1, 2, 3),
+        r AS (SELECT uid, qx, qy, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY uid
+                                        ORDER BY cnt DESC, qx, qy) AS rn
+              FROM c)
+        SELECT uid, qx, qy, cnt FROM r WHERE rn = 1"""
+    o["phash_bit_stats"] = f"""
+        WITH b AS (SELECT unnest(generate_series(0, 63)) AS bit)
+        SELECT b.bit, CAST(SUM((i.phash >> b.bit) & 1) AS BIGINT)
+                   AS n_set
+        FROM {images_p} i CROSS JOIN b GROUP BY b.bit"""
     o["lancelike_tag_vacuum_check"] = """
         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
@@ -10895,6 +11002,20 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["polygon_symdiff_cells"] = f"""
+        WITH pf AS ({o["polygon_polyfill_cells"]}),
+        sz AS (SELECT polygon_id, COUNT(*) AS sz FROM pf GROUP BY 1),
+        ix AS (SELECT a.polygon_id AS poly_a, b.polygon_id AS poly_b,
+                      CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM pf a JOIN pf b
+                 ON a.qx = b.qx AND a.qy = b.qy
+                AND a.polygon_id < b.polygon_id
+               GROUP BY 1, 2)
+        SELECT ix.poly_a, ix.poly_b, ix.n_common,
+               CAST(sa.sz + sb.sz - 2 * ix.n_common AS BIGINT)
+                   AS n_symdiff
+        FROM ix JOIN sz sa ON sa.polygon_id = ix.poly_a
+                JOIN sz sb ON sb.polygon_id = ix.poly_b"""
     o["lancelike_bloom_point_get"] = """
         WITH k AS (SELECT o_orderkey FROM orders
                    WHERE o_orderkey % 7 = 3
