@@ -7014,6 +7014,94 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def orders_cube_agg(sf_dir):
+        """OLAP CUBE over (priority, status): all four grouping sets —
+        (p,s), (p), (s), () — with rolled dimensions as the sentinel
+        'ALL' (avoiding NULL group keys). Computed the scale-correct
+        way: ONE pass builds the finest (p,s) partials through the
+        vectorized combiner, then the three rollups derive from those
+        bounded distinct-key partials in plain pandas — the data volume
+        is touched once. Twin: GROUP BY CUBE with COALESCE sentinels."""
+        from ..util import grouped_agg_vec
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderpriority",
+                                          "o_orderstatus",
+                                          "o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"p": b["o_orderpriority"],
+                             "s": b["o_orderstatus"],
+                             "c_p": pa.array(c, pa.int64()),
+                             "n_p": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        fine = grouped_agg_vec(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            ["p", "s"], [("n_p", "sum", "n"),
+                         ("c_p", "sum", "cents")]).to_pandas()
+        outs = [fine.rename(columns={"p": "priority", "s": "status"})]
+        g1 = fine.groupby("p", as_index=False)[["n", "cents"]].sum()
+        g1 = g1.rename(columns={"p": "priority"})
+        g1["status"] = "ALL"
+        outs.append(g1)
+        g2 = fine.groupby("s", as_index=False)[["n", "cents"]].sum()
+        g2 = g2.rename(columns={"s": "status"})
+        g2["priority"] = "ALL"
+        outs.append(g2)
+        outs.append(pd.DataFrame({
+            "priority": ["ALL"], "status": ["ALL"],
+            "n": [int(fine["n"].sum())],
+            "cents": [int(fine["cents"].sum())]}))
+        out = pd.concat(outs, ignore_index=True)
+        out["priority"] = out["priority"].astype("string")
+        out["status"] = out["status"].astype("string")
+        return out[["priority", "status", "n", "cents"]]
+    q["orders_cube_agg"] = orders_cube_agg
+
+    def event_value_winsorized_mean(sf_dir):
+        """Robust-statistics cleaning op: per event type, the WINSORIZED
+        sum/count of values — every value clamps to the [P05, P95]
+        edges of the value-pinned histogram quantile sketch, so the
+        heavy tail cannot dominate the mean. The edges come from the
+        same deterministic sketch the quantile query pins; the clamp
+        and sum run on e6 integers (exact under any partitioning)."""
+        from ..stages import sketch
+        from ..util import _bcast_get, grouped_agg_vec
+        import ray
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+        edges = sketch.histogram_quantiles_by_group(
+            ds, "event_type", "value", lo=0.0, hi=512.0, bins=256,
+            qs=(0.05, 0.95))
+        edf = edges.to_pandas() if not isinstance(edges, pd.DataFrame) \
+            else edges
+        lo6 = {r["event_type"]: int(r["edge6"])
+               for _, r in edf[edf["q"] == 0.05].iterrows()}
+        hi6 = {r["event_type"]: int(r["edge6"])
+               for _, r in edf[edf["q"] == 0.95].iterrows()}
+        ref = ray.put((lo6, hi6))
+
+        def clamp(b: pa.Table) -> pa.Table:
+            lo, hi = _bcast_get(ref)
+            et = b["event_type"].to_pylist()
+            v6 = np.floor(b["value"].to_numpy() * 1e6 + 0.5) \
+                .astype(np.int64)
+            lo_a = np.fromiter((lo[t] for t in et), np.int64, len(et))
+            hi_a = np.fromiter((hi[t] for t in et), np.int64, len(et))
+            cv = np.minimum(np.maximum(v6, lo_a), hi_a)
+            return pa.table({"event_type": b["event_type"],
+                             "cv_p": pa.array(cv, pa.int64()),
+                             "n_p": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        return grouped_agg_vec(
+            ds.map_batches(clamp, batch_format="pyarrow"),
+            ["event_type"], [("n_p", "sum", "n"),
+                             ("cv_p", "sum", "winsor_sum_e6")])
+    q["event_value_winsorized_mean"] = event_value_winsorized_mean
+
     def polygon_symdiff_cells(sf_dir):
         """Overlay METRIC: for every overlapping polygon pair, the
         intersection and symmetric-difference areas in res-POLYFILL
@@ -11002,6 +11090,40 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["orders_cube_agg"] = """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)"""
+    o["event_value_winsorized_mean"] = """
+        WITH b AS (SELECT event_type,
+                     CAST(LEAST(255, GREATEST(0,
+                         floor((value - 0.0) / 512.0 * 256)))
+                       AS BIGINT) AS bin
+                   FROM events WHERE event_type IS NOT NULL),
+        h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        c AS (SELECT event_type, bin,
+                     SUM(c) OVER (PARTITION BY event_type
+                                  ORDER BY bin) AS cum,
+                     SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM h),
+        e AS (SELECT event_type,
+                     CAST(floor((0.0 + MIN(bin) FILTER (
+                              WHERE cum >= ceil(0.05 * n))
+                          * (512.0 / 256)) * 1e6 + 0.5) AS BIGINT) AS lo6,
+                     CAST(floor((0.0 + MIN(bin) FILTER (
+                              WHERE cum >= ceil(0.95 * n))
+                          * (512.0 / 256)) * 1e6 + 0.5) AS BIGINT) AS hi6
+              FROM c GROUP BY 1)
+        SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(LEAST(GREATEST(
+                   CAST(floor(v.value * 1e6 + 0.5) AS BIGINT),
+                   e.lo6), e.hi6)) AS BIGINT) AS winsor_sum_e6
+        FROM events v JOIN e USING (event_type)
+        GROUP BY v.event_type"""
     o["polygon_symdiff_cells"] = f"""
         WITH pf AS ({o["polygon_polyfill_cells"]}),
         sz AS (SELECT polygon_id, COUNT(*) AS sz FROM pf GROUP BY 1),
