@@ -346,3 +346,42 @@ def test_lancelike_tags_pin_versions_through_vacuum(ray_session, tmp_path):
     assert stats2["kept_versions"] == [man3["version"]]
     with pytest.raises(FileNotFoundError):
         lancelike.resolve_tag(root, "prod")
+
+
+def test_point_get_respects_mor_tombstones_and_mutations_keep_blooms(
+        ray_session, tmp_path):
+    """Review regressions: (1) read_dataset_keys must NOT resurrect
+    merge-on-read-deleted rows; (2) merge/compact/delete rewrites keep
+    bloom metadata so point-get pruning survives maintenance."""
+    import pyarrow as pa
+    import ray.data as rd
+    root = str(tmp_path / "morbl")
+    key = np.arange(2000, dtype=np.int64) * 10
+    t = pa.table({"k": key, "v": np.arange(2000, dtype=np.int64)})
+    lancelike.write_dataset(rd.from_arrow(t).repartition(8), root,
+                            stage="b", bloom_cols=["k"])
+    # MoR delete key 130, then point-get it: must be gone
+    lancelike.delete_by_keys_mor(pa.array([130], pa.int64()), root, "k",
+                                 stage="d")
+    out, _s, _t = lancelike.read_dataset_keys(root, "k", [130, 500],
+                                              ["k", "v"])
+    got = sorted(r["k"] for r in out.take_all())
+    assert got == [500]                      # 130 stays deleted
+    lancelike.apply_tombstones(root, stage="mat")
+    # CoW delete + merge + compact: blooms survive on every fragment
+    lancelike.delete_by_keys(pa.array([500], pa.int64()), root, "k",
+                             stage="cd")
+    upd = rd.from_arrow(pa.table({"k": pa.array([40], pa.int64()),
+                                  "v": pa.array([999], pa.int64())}))
+    lancelike.merge_upsert(upd, root, "k", stage="m")
+    lancelike.compact(root, stage="c", target_bytes=1 << 20)
+    man = lancelike.latest_manifest(root)
+    assert all("bloom" in f and "k" in f["bloom"]
+               for f in man["fragments"] if f["rows"])
+    out2, s2, t2 = lancelike.read_dataset_keys(root, "k", [40], ["k", "v"])
+    rows = out2.take_all()
+    assert [(r["k"], r["v"]) for r in rows] == [(40, 999)]
+    assert 0 < s2 <= t2
+    # dot-named tags are rejected (vacuum would not see them)
+    with pytest.raises(ValueError):
+        lancelike.create_tag(root, ".prod")

@@ -7109,7 +7109,9 @@ def queries():
         the shared polyfill cover). One self-join shuffle keyed on the
         cell; per-polygon totals ride the same combiner."""
         from ..util import bucketed_group_apply, grouped_agg_vec
-        cells = polygon_polyfill_cells(sf_dir)
+        # consumed twice (sizes + pair join): materialize once or Ray
+        # re-executes the whole polyfill lineage (review finding)
+        cells = polygon_polyfill_cells(sf_dir).materialize()
         sizes = grouped_agg_vec(cells, ["polygon_id"],
                                 [(None, "count", "sz")]).to_pandas()
         szmap = dict(zip(sizes["polygon_id"], sizes["sz"]))
@@ -7534,8 +7536,9 @@ def queries():
         """Hilbert-curve cell encoding of the point table (the locality-
         preserving alternative to the Morton index: consecutive curve
         positions are always ADJACENT cells, so clustered range reads
-        cut fewer spatial seams). Map-only; the twin unrolls the same 8
-        rotate/reflect rounds as integer CASE/XOR steps."""
+        cut fewer spatial seams). Map-only; the twin unrolls the same
+        HILBERT_ORDER (16) rotate/reflect rounds as integer CASE/XOR
+        steps over MATERIALIZED CTEs."""
         pts = fx.read_fixture(sf_dir, "knn_pts")
 
         def enc(b: pa.Table) -> pa.Table:
@@ -7881,7 +7884,8 @@ def queries():
     def way_hausdorff_pairs(sf_dir):
         """Shape-similarity join: pairs of ways whose discrete symmetric
         Hausdorff distance (over e7-integer vertex coords — exact, no
-        float ties) is within HAUS_T_E7 (~250 m). PBSM shape: each way
+        float ties) is within HAUS_T_E7 (~7.7 km — sized to the
+        fixture's way spacing). PBSM shape: each way
         ships ONE row (vertex arrays + bbox) to the grid cells its
         t-EXPANDED bbox covers; H ≤ t implies the expanded bboxes
         intersect, so every qualifying pair shares a cell and the

@@ -173,6 +173,55 @@ def _bloom_any_hit(hexmap: str, keys) -> bool:
     return bool(hit.any())
 
 
+def _fragment_meta(batch: pa.Table, zonemap_cols, bloom_cols):
+    """(zonemap dict, bloom dict) for one fragment's rows — THE one
+    definition of fragment pruning metadata, shared by _FragmentWriter
+    and every mutator that rewrites fragments (compact, merge probe,
+    add_column), so maintenance never silently drops pruning power."""
+    import pyarrow.compute as pc
+    import pyarrow.types as pat
+    zm, bl = {}, {}
+    for c in zonemap_cols or []:
+        if c not in batch.column_names:
+            continue
+        typ = batch.schema.field(c).type
+        if not (pat.is_integer(typ) or pat.is_floating(typ)):
+            raise ValueError(
+                f"zonemap_cols supports numeric columns only; {c!r} "
+                f"is {typ} (cast timestamps to epoch integers first)")
+        if batch.num_rows:
+            mm = pc.min_max(batch[c]).as_py()
+            if mm["min"] is not None:
+                zm[c] = [mm["min"], mm["max"]]
+    for c in bloom_cols or []:
+        if c not in batch.column_names:
+            continue
+        typ = batch.schema.field(c).type
+        if not pat.is_integer(typ):
+            raise ValueError(
+                f"bloom_cols supports integer key columns only; {c!r} "
+                f"is {typ}")
+        if batch.num_rows:
+            vals = batch[c].drop_null().to_numpy()
+            if len(vals):
+                bl[c] = _bloom_build(vals)
+    return zm, bl
+
+
+def _manifest_pruning_cols(man: dict) -> tuple:
+    """(zonemap cols, bloom cols) already present in a manifest — the
+    defaults every full/partial rewrite preserves."""
+    zs, bs = [], []
+    for f in man["fragments"]:
+        for c in f.get("zonemap", {}):
+            if c not in zs:
+                zs.append(c)
+        for c in f.get("bloom", {}):
+            if c not in bs:
+                bs.append(c)
+    return (zs or None), (bs or None)
+
+
 class _FragmentWriter:
     """map_batches callable: writes each batch as one fragment, returns a
     one-row metadata table (streams through the pipeline; no driver I/O).
@@ -198,35 +247,17 @@ class _FragmentWriter:
         self.bloom_cols = bloom_cols or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        import pyarrow.types as pat
         name = f"frag-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.frag_dir, f".{name}.tmp")
         pq.write_table(batch, tmp, compression="zstd")
         final = os.path.join(self.frag_dir, name)
         os.replace(tmp, final)
-        zm = {}
-        for c in self.zonemap_cols:
-            typ = batch.schema.field(c).type
-            if not (pat.is_integer(typ) or pat.is_floating(typ)):
-                raise ValueError(
-                    f"zonemap_cols supports numeric columns only; {c!r} "
-                    f"is {typ} (cast timestamps to epoch integers first)")
-            if batch.num_rows:
-                mm = pc.min_max(batch[c]).as_py()
-                if mm["min"] is not None:
-                    zm[c] = [mm["min"], mm["max"]]
-        bl = {}
-        for c in self.bloom_cols:
-            typ = batch.schema.field(c).type
-            if not pat.is_integer(typ):
-                raise ValueError(
-                    f"bloom_cols supports integer key columns only; {c!r} "
-                    f"is {typ}")
-            if batch.num_rows:
-                vals = batch[c].drop_null().to_numpy()
-                if len(vals):
-                    bl[c] = _bloom_build(vals)
+        # strict-column check: a write-path col missing from the batch is
+        # a caller error (rewrite paths pass cols filtered to the schema)
+        for c in list(self.zonemap_cols) + list(self.bloom_cols):
+            if c not in batch.column_names:
+                raise KeyError(f"metadata column {c!r} not in batch")
+        zm, bl = _fragment_meta(batch, self.zonemap_cols, self.bloom_cols)
         return pa.table({
             "path": [os.path.join(_FRAGMENT_DIR, name)],
             "rows": pa.array([batch.num_rows], pa.int64()),
@@ -308,29 +339,13 @@ def read_dataset_range(root: str, col: str, lo, hi,
     import pyarrow.compute as pc
     import ray.data as rd
 
+    man = _manifest_at(root, version)
     keep, total = fragments_for_range(root, col, lo, hi, version)
     want = columns if columns is None else list(dict.fromkeys(columns + [col]))
     paths = [os.path.join(root, f["path"]) for f in keep]
     if not paths:
-        # schema-preserving empty result (a zero-COLUMN dataset breaks
-        # downstream select/schema consumers — NOTES_r1 pitfall): derive
-        # the schema from any committed fragment's parquet footer
-        if version is None:
-            man = latest_manifest(root)
-        else:
-            with open(os.path.join(root, _MANIFEST_DIR,
-                                   f"manifest-v{version}.json")) as fh:
-                man = json.load(fh)
-        all_frags = (man or {}).get("fragments") or []
-        if all_frags:
-            schema = pq.read_schema(os.path.join(root, all_frags[0]["path"]))
-            names = columns if columns is not None else schema.names
-            empty = pa.table({n: pa.array([], schema.field(n).type)
-                              for n in names})
-        else:
-            empty = pa.table({})
-        return rd.from_arrow(empty), 0, total
-    ds = rd.read_parquet(paths, columns=want)
+        return _empty_dataset_like(root, man, columns), 0, total
+    ds = _read_fragments(root, man, paths, want)
 
     def exact(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(b[col], lo), pc.less_equal(b[col], hi))
@@ -338,6 +353,23 @@ def read_dataset_range(root: str, col: str, lo, hi,
         return out.select(columns) if columns is not None else out
 
     return ds.map_batches(exact, batch_format="pyarrow"), len(keep), total
+
+
+def _empty_dataset_like(root: str, man: dict,
+                        columns: list[str] | None):
+    """Schema-preserving EMPTY Dataset for a pruned-to-nothing read (a
+    zero-COLUMN dataset breaks downstream select/schema consumers —
+    NOTES_r1): schema comes from any committed fragment's footer."""
+    import ray.data as rd
+    all_frags = (man or {}).get("fragments") or []
+    if all_frags:
+        schema = pq.read_schema(os.path.join(root, all_frags[0]["path"]))
+        names = columns if columns is not None else schema.names
+        empty = pa.table({n: pa.array([], schema.field(n).type)
+                          for n in names})
+    else:
+        empty = pa.table({})
+    return rd.from_arrow(empty)
 
 
 def _manifest_at(root: str, version: int | None) -> dict:
@@ -390,21 +422,13 @@ def read_dataset_keys(root: str, col: str, keys,
     import pyarrow.compute as pc
     import ray.data as rd
 
+    man = _manifest_at(root, version)
     keep, total = fragments_for_keys(root, col, keys, version)
     want = columns if columns is None else list(dict.fromkeys(columns + [col]))
     paths = [os.path.join(root, f["path"]) for f in keep]
     if not paths:
-        man = _manifest_at(root, version)
-        all_frags = man.get("fragments") or []
-        if all_frags:
-            schema = pq.read_schema(os.path.join(root, all_frags[0]["path"]))
-            names = columns if columns is not None else schema.names
-            empty = pa.table({n: pa.array([], schema.field(n).type)
-                              for n in names})
-        else:
-            empty = pa.table({})
-        return rd.from_arrow(empty), 0, total
-    ds = rd.read_parquet(paths, columns=want)
+        return _empty_dataset_like(root, man, columns), 0, total
+    ds = _read_fragments(root, man, paths, want)
     kset = pa.array(sorted(set(int(k) for k in keys)), pa.int64())
 
     def exact(b: pa.Table) -> pa.Table:
@@ -473,33 +497,18 @@ def write_dataset_partitioned(ds, root: str, stage: str, partition_col: str,
     return _commit(root, stage, parent, frags, m, fingerprint)
 
 
-def read_dataset(root: str, columns: list[str] | None = None, version: int | None = None,
-                 partitions: list[str] | None = None):
-    """Read the latest (or a pinned) committed version as a Dataset, with
-    column pruning pushed into the parquet read."""
+def _read_fragments(root: str, man: dict, paths: list[str],
+                    columns: list[str] | None):
+    """Parquet read of selected fragments WITH merge-on-read tombstone
+    anti-joins applied — the one scan path every reader (full, range,
+    point-get) goes through, so no read verb can resurrect MoR-deleted
+    rows. Pruned reads that dropped a tombstoned key column read it
+    back in and drop it after the join."""
     import ray.data as rd
 
-    if version is None:
-        man = latest_manifest(root)
-    else:
-        with open(os.path.join(root, _MANIFEST_DIR, f"manifest-v{version}.json")) as f:
-            man = json.load(f)
-    if man is None:
-        raise FileNotFoundError(f"no committed manifest under {root}")
-    frags = man["fragments"]
-    if partitions is not None:   # partition pruning from manifest metadata
-        want = set(partitions)
-        frags = [f for f in frags if f.get("partition") in want]
-    paths = [os.path.join(root, f["path"]) for f in frags]
-    if not paths:
-        return rd.from_arrow(pa.table({}))
     ts = man.get("tombstones") or []
     if not ts:
         return rd.read_parquet(paths, columns=columns)
-    # merge-on-read: deleted keys are applied at SCAN time (fragments
-    # untouched on disk) — one distributed anti-join per tombstoned key
-    # column; pruned reads that dropped a key column read it back in and
-    # drop it after the join
     key_cols = sorted({t["key_col"] for t in ts})
     read_cols = columns
     added = []
@@ -521,13 +530,32 @@ def read_dataset(root: str, columns: list[str] | None = None, version: int | Non
     return ds
 
 
+def read_dataset(root: str, columns: list[str] | None = None, version: int | None = None,
+                 partitions: list[str] | None = None):
+    """Read the latest (or a pinned) committed version as a Dataset, with
+    column pruning pushed into the parquet read and merge-on-read
+    tombstones applied at scan time."""
+    import ray.data as rd
+
+    man = _manifest_at(root, version)
+    frags = man["fragments"]
+    if partitions is not None:   # partition pruning from manifest metadata
+        want = set(partitions)
+        frags = [f for f in frags if f.get("partition") in want]
+    paths = [os.path.join(root, f["path"]) for f in frags]
+    if not paths:
+        return rd.from_arrow(pa.table({}))
+    return _read_fragments(root, man, paths, columns)
+
+
 def dataset_row_count(root: str) -> int:
     """Row count from manifest metadata alone — no data read."""
     man = latest_manifest(root)
     return 0 if man is None else man["total_rows"]
 
 
-def _drop_hits_probe(root: str, key_col: str, kref):
+def _drop_hits_probe(root: str, key_col: str, kref,
+                     zonemap_cols=None, bloom_cols=None):
     """Per-fragment probe shared by merge_upsert / delete_by_keys: a
     fragment with NO key hit is carried over by manifest reference
     (zero I/O — the common case for localized updates); a hit fragment
@@ -540,7 +568,7 @@ def _drop_hits_probe(root: str, key_col: str, kref):
     def probe(b: pa.Table) -> pa.Table:
         from ..util import _bcast_get
         ks = _bcast_get(kref)
-        paths, rows, sizes = [], [], []
+        paths, rows, sizes, zms, bls = [], [], [], [], []
         for path, nrows, nbytes in zip(b["path"].to_pylist(),
                                        b["rows"].to_pylist(),
                                        b["bytes"].to_pylist()):
@@ -551,6 +579,8 @@ def _drop_hits_probe(root: str, key_col: str, kref):
                 paths.append(path)
                 rows.append(nrows)
                 sizes.append(nbytes)
+                zms.append("")                # caller keeps old metadata
+                bls.append("")
                 continue
             kept = t.filter(pc.invert(hit))
             if not kept.num_rows:             # fully replaced/deleted
@@ -560,14 +590,19 @@ def _drop_hits_probe(root: str, key_col: str, kref):
             pq.write_table(kept, tmp, compression="zstd")
             final = os.path.join(frag_dir, name)
             os.replace(tmp, final)
+            # rewritten rows: fresh pruning metadata (same definition as
+            # the writer) so maintenance never drops pruning power
+            zm, bl = _fragment_meta(kept, zonemap_cols, bloom_cols)
             paths.append(os.path.join(_FRAGMENT_DIR, name))
             rows.append(kept.num_rows)
             sizes.append(os.path.getsize(final))
+            zms.append(json.dumps(zm, default=str))
+            bls.append(json.dumps(bl))
         return pa.table({"path": pa.array(paths, pa.string()),
                          "rows": pa.array(rows, pa.int64()),
                          "bytes": pa.array(sizes, pa.int64()),
-                         "zonemap": pa.array(["{}"] * len(paths),
-                                             pa.string())})
+                         "zonemap": pa.array(zms, pa.string()),
+                         "bloom": pa.array(bls, pa.string())})
 
     return probe
 
@@ -623,23 +658,35 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
         "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
                           pa.int64())})
 
-    probe = _drop_hits_probe(root, key_col, kref)
+    zm_cols, bl_cols = _manifest_pruning_cols(man)
+    # the updates batch may carry extra/fewer columns; only compute
+    # metadata for columns actually present (rewrites filter likewise)
+    upd_cols = set(updates.schema().names)
+    probe = _drop_hits_probe(root, key_col, kref, zm_cols, bl_cols)
 
     surv = rd.from_arrow(frag_meta).map_batches(
         probe, batch_format="pyarrow", batch_size=4)
-    new = updates.map_batches(_FragmentWriter(frag_dir),
-                              batch_format="pyarrow", batch_size=None)
-    # zone maps survive for fragments carried by reference (their bytes
-    # are untouched); rewritten/new fragments get none unless the caller
-    # re-writes with zonemap_cols
+    new = updates.map_batches(
+        _FragmentWriter(frag_dir,
+                        [c for c in zm_cols or [] if c in upd_cols],
+                        [c for c in bl_cols or [] if c in upd_cols]),
+        batch_format="pyarrow", batch_size=None)
+    # carried fragments keep their metadata (bytes untouched);
+    # rewritten/new fragments carry the freshly computed maps
     old_zm = {f["path"]: f.get("zonemap") for f in man["fragments"]}
+    old_bl = {f["path"]: f.get("bloom") for f in man["fragments"]}
     frags = []
     for r in surv.union(new).take_all():
         f = {"path": r["path"], "rows": int(r["rows"]),
              "bytes": int(r["bytes"])}
-        zm = old_zm.get(r["path"])
+        zm = (json.loads(r["zonemap"]) if r.get("zonemap")
+              else old_zm.get(r["path"]))
         if zm:
             f["zonemap"] = zm
+        bl = (json.loads(r["bloom"]) if r.get("bloom")
+              else old_bl.get(r["path"]))
+        if bl:
+            f["bloom"] = bl
         frags.append(f)
     old_paths = {f["path"] for f in man["fragments"]}
     carried = sum(1 for f in frags if f["path"] in old_paths)
@@ -693,18 +740,25 @@ def delete_by_keys(keys, root: str, key_col: str, stage: str,
                          pa.int64()),
         "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
                           pa.int64())})
+    zm_cols, bl_cols = _manifest_pruning_cols(man)
     surv = rd.from_arrow(frag_meta).map_batches(
-        _drop_hits_probe(root, key_col, kref),
+        _drop_hits_probe(root, key_col, kref, zm_cols, bl_cols),
         batch_format="pyarrow", batch_size=4)
 
     old_zm = {f["path"]: f.get("zonemap") for f in man["fragments"]}
+    old_bl = {f["path"]: f.get("bloom") for f in man["fragments"]}
     frags = []
     for r in surv.take_all():
         f = {"path": r["path"], "rows": int(r["rows"]),
              "bytes": int(r["bytes"])}
-        zm = old_zm.get(r["path"])
+        zm = json.loads(r.get("zonemap") or "{}") \
+            if r.get("zonemap") else old_zm.get(r["path"])
         if zm:
             f["zonemap"] = zm
+        bl = json.loads(r.get("bloom") or "{}") \
+            if r.get("bloom") else old_bl.get(r["path"])
+        if bl:
+            f["bloom"] = bl
         frags.append(f)
     old_paths = {f["path"] for f in man["fragments"]}
     carried = sum(1 for f in frags if f["path"] in old_paths)
@@ -718,7 +772,8 @@ def delete_by_keys(keys, root: str, key_col: str, stage: str,
 
 
 def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
-            zonemap_cols: list[str] | None = None) -> dict:
+            zonemap_cols: list[str] | None = None,
+            bloom_cols: list[str] | None = None) -> dict:
     """Fragment COMPACTION (the Lance/Iceberg maintenance op): fragments
     smaller than ``target_bytes`` are greedily binned to the target size
     and each bin is rewritten as ONE fragment in parallel; fragments
@@ -747,13 +802,11 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
             "compact() does not support partitioned layouts — binning "
             "across partition subdirs would break partition-pruned reads")
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    zm_def, bl_def = _manifest_pruning_cols(man)
     if zonemap_cols is None:
-        seen: list[str] = []
-        for f in man["fragments"]:
-            for c in f.get("zonemap", {}):
-                if c not in seen:
-                    seen.append(c)
-        zonemap_cols = seen or None
+        zonemap_cols = zm_def
+    if bloom_cols is None:
+        bloom_cols = bl_def
 
     small = [f for f in man["fragments"] if f["bytes"] < target_bytes]
     big = [f for f in man["fragments"] if f["bytes"] >= target_bytes]
@@ -772,7 +825,7 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
     bins = [b for b in bins if len(b) > 1]
     if not bins:
         return man                      # nothing to gain
-    writer = _FragmentWriter(frag_dir, zonemap_cols)
+    writer = _FragmentWriter(frag_dir, zonemap_cols, bloom_cols)
 
     def rewrite(b: pa.Table) -> pa.Table:
         out = []
@@ -787,13 +840,16 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
         override_num_blocks=len(bins))   # one Ray task per bin
     meta = bins_ds.map_batches(rewrite, batch_format="pyarrow",
                                batch_size=None)
-    frags = [dict(f) for f in carried]  # carried: keep zonemap and all
+    frags = [dict(f) for f in carried]  # carried: keep zonemap/bloom
     for r in meta.take_all():
         f = {"path": r["path"], "rows": int(r["rows"]),
              "bytes": int(r["bytes"])}
         zm = json.loads(r.get("zonemap") or "{}")
         if zm:
             f["zonemap"] = zm
+        bl = json.loads(r.get("bloom") or "{}")
+        if bl:
+            f["bloom"] = bl
         frags.append(f)
     metrics = {"compacted_bins": len(bins),
                "small_fragments_in": len(small),
@@ -891,16 +947,13 @@ def add_column(root: str, stage: str, compute, *,
         raise FileNotFoundError(f"no committed manifest under {root}")
     _require_no_tombstones(man, 'add_column')
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    zm_def, bl_def = _manifest_pruning_cols(man)
     if zonemap_cols is None:
         # compact()'s precedent: a full rewrite must not silently drop
-        # existing zone maps — recompute them for every column already
-        # zone-mapped in the current manifest (review finding)
-        seen: list[str] = []
-        for f in man["fragments"]:
-            for c in f.get("zonemap", {}):
-                if c not in seen:
-                    seen.append(c)
-        zonemap_cols = seen or None
+        # existing pruning metadata — recompute every column already
+        # zone-mapped (and bloomed) in the current manifest
+        zonemap_cols = zm_def
+    bloom_cols = bl_def
 
     def rewrite(b: pa.Table) -> pa.Table:
         out = []
@@ -927,27 +980,11 @@ def add_column(root: str, stage: str, compute, *,
                    "bytes": os.path.getsize(final)}
             if part:
                 row["partition"] = part
-            if zonemap_cols:
-                import pyarrow.compute as _pc
-                import pyarrow.types as _pat
-                zm = {}
-                for c in zonemap_cols:
-                    if c not in t2.column_names:
-                        continue
-                    typ = t2.schema.field(c).type
-                    # same guard as _FragmentWriter: non-numeric bounds
-                    # cannot be ordered against range-read query bounds
-                    if not (_pat.is_integer(typ) or _pat.is_floating(typ)):
-                        raise ValueError(
-                            f"zonemap_cols supports numeric columns only; "
-                            f"{c!r} is {typ} (cast timestamps to epoch "
-                            f"integers first)")
-                    if t2.num_rows:
-                        mm = _pc.min_max(t2[c]).as_py()
-                        if mm["min"] is not None:
-                            zm[c] = [mm["min"], mm["max"]]
-                if zm:
-                    row["zonemap"] = zm
+            zm, bl = _fragment_meta(t2, zonemap_cols, bloom_cols)
+            if zm:
+                row["zonemap"] = zm
+            if bl:
+                row["bloom"] = bl
             out.append(row)
         cols = {k: [r.get(k) for r in out]
                 for k in ("path", "rows", "bytes", "partition")}
@@ -959,6 +996,9 @@ def add_column(root: str, stage: str, compute, *,
                           pa.string()),
                       "zonemap": pa.array(
                           [json.dumps(r.get("zonemap") or {})
+                           for r in out], pa.string()),
+                      "bloom": pa.array(
+                          [json.dumps(r.get("bloom") or {})
                            for r in out], pa.string())})
         return t
 
@@ -975,6 +1015,9 @@ def add_column(root: str, stage: str, compute, *,
         zm = json.loads(r["zonemap"] or "{}")
         if zm:
             f["zonemap"] = zm
+        bl = json.loads(r["bloom"] or "{}")
+        if bl:
+            f["bloom"] = bl
         frags.append(f)
     metrics = {"rewritten_fragments": len(frags)}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
@@ -1124,7 +1167,9 @@ def create_tag(root: str, name: str, version: int | None = None,
     read back by name forever. Atomic create; refuses to move an
     existing tag unless ``force``."""
     import re
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+        # leading dots are reserved for tmp files, which list_tags and
+        # vacuum skip — a dot-named tag would silently fail to pin
         raise ValueError(f"invalid tag name {name!r}")
     if version is None:
         man = latest_manifest(root)
@@ -1187,9 +1232,24 @@ def analyze(root: str, columns: list[str], stage: str = "analyze") -> dict:
 
     from ..util import grouped_agg_vec
 
+    import pyarrow.types as pat
+
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    frags = man.get("fragments") or []
+    if frags:   # validate up front with a clear error (integer-only —
+        # min/max/ndv are folded through int64 partials)
+        schema = pq.read_schema(os.path.join(root, frags[0]["path"]))
+        for c in columns:
+            if c not in schema.names:
+                raise KeyError(f"analyze: column {c!r} not in store "
+                               f"schema {schema.names}")
+            if not pat.is_integer(schema.field(c).type):
+                raise ValueError(
+                    f"analyze supports integer columns only; {c!r} is "
+                    f"{schema.field(c).type} (scale floats to fixed-"
+                    f"point or epoch integers first)")
     stats = {}
     for c in columns:
         ds = read_dataset(root, columns=[c])
@@ -1217,8 +1277,9 @@ def analyze(root: str, columns: list[str], stage: str = "analyze") -> dict:
             ds.map_batches(uniq, batch_format="pyarrow"),
             ["v"], [(None, "count", "x")]).count())
         stats[c] = {"n_rows": int(agg["n"]), "n_null": int(agg["nn"]),
-                    "n_distinct": ndv, "min": int(agg["mn"]),
-                    "max": int(agg["mx"])}
+                    "n_distinct": ndv,
+                    "min": None if agg["mn"] is None else int(agg["mn"]),
+                    "max": None if agg["mx"] is None else int(agg["mx"])}
     metrics = dict(man.get("metrics") or {})
     metrics["column_stats"] = stats
     return _commit(root, stage, man["stage"], man["fragments"], metrics,
