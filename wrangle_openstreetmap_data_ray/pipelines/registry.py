@@ -7014,6 +7014,99 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def orders_price_ntile(sf_dir):
+        """Distributed global ROW_NUMBER + NTILE(4) over the full price
+        order (§2.6 completion — the window shapes that need a TOTAL
+        global rank, not a per-group one): util.global_row_number
+        range-partitions via one sort, ships one typed metadata row per
+        block, and assigns ranks map-only from broadcast prefix
+        offsets. NTILE uses the standard bigger-tiles-first split,
+        mirrored exactly."""
+        from ..util import global_row_number
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderkey", "o_totalprice"])
+        rn = global_row_number(orders, [("o_totalprice", "desc"),
+                                        ("o_orderkey", "asc")],
+                               out_col="rn")
+        n = orders.count()
+        k = 4
+        qsz, rem = divmod(n, k)
+        boundary = (qsz + 1) * rem
+
+        def tile(b: pa.Table) -> pa.Table:
+            r = b["rn"].to_numpy()
+            t = np.where(r <= boundary, (r - 1) // (qsz + 1),
+                         rem + (r - 1 - boundary) // max(qsz, 1)) + 1
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "rn": b["rn"],
+                             "tile": pa.array(t.astype(np.int64),
+                                              pa.int64())})
+
+        return rn.map_batches(tile, batch_format="pyarrow")
+    q["orders_price_ntile"] = orders_price_ntile
+
+    def stream_upsert_latest(sf_dir):
+        """CDC stream compaction (the 'upsert view' a changelog
+        materializes to): the LATEST event per user under the total
+        (ts, event_id) order — per-block pre-reduce keeps one candidate
+        per (user, block), one bounded shuffle resolves the winner."""
+        from ..util import grouped_topk
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_id", "ts",
+                                      "event_type"])
+        latest = grouped_topk(ev, ["user_id"], 1,
+                              [("ts", "desc"), ("event_id", "desc")],
+                              n_buckets=64)
+
+        def out(b: pd.DataFrame) -> pd.DataFrame:
+            return b[["user_id", "event_id", "event_type"]]
+
+        return latest.map_batches(out, batch_format="pandas")
+    q["stream_upsert_latest"] = stream_upsert_latest
+
+    def nearest_knnpt_per_geo(sf_dir):
+        """Bichromatic nearest-neighbor JOIN, broadcast regime: every
+        geo point finds its nearest knn_pts point by great-circle
+        distance (integer mm; ties to the smaller image_id — the B side
+        is sorted by id once, so argmin's first-minimum IS the
+        tiebreak). The B side is dimension-sized and ships once; the A
+        side streams map-only — zero shuffles (the big⋈big regime is
+        knn.radius_join / knn_join)."""
+        import ray
+
+        from ..util import _bcast_get
+        pts = fx.read_fixture(sf_dir, "geo",
+                              columns=["image_id", "lon", "lat"])
+        import pyarrow.parquet as pq
+        bt = pq.read_table(fx.fixture_path(sf_dir, "knn_pts"),
+                           columns=["image_id", "lon", "lat"])
+        order = pc.sort_indices(bt["image_id"])
+        bt = bt.take(order)
+        ref = ray.put((np.asarray(bt["image_id"].to_pylist()),
+                       bt["lon"].to_numpy(), bt["lat"].to_numpy()))
+
+        def nn(b: pa.Table) -> pa.Table:
+            bid, blon, blat = _bcast_get(ref)
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            best_i = np.empty(len(lon), np.int64)
+            best_d = np.empty(len(lon), np.int64)
+            for c0 in range(0, len(lon), 1024):
+                sl = slice(c0, c0 + 1024)
+                d = geo.haversine_m(lon[sl][:, None], lat[sl][:, None],
+                                    blon[None, :], blat[None, :])
+                mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+                ii = np.argmin(mm, axis=1)
+                best_i[sl] = ii
+                best_d[sl] = mm[np.arange(len(ii)), ii]
+            return pa.table({
+                "id": b["image_id"],
+                "neighbor_id": pa.array(bid[best_i], pa.string()),
+                "d_mm": pa.array(best_d, pa.int64())})
+
+        return pts.map_batches(nn, batch_format="pyarrow")
+    q["nearest_knnpt_per_geo"] = nearest_knnpt_per_geo
+
     def orders_cube_agg(sf_dir):
         """OLAP CUBE over (priority, status): all four grouping sets —
         (p,s), (p), (s), () — with rolled dimensions as the sentinel
@@ -11094,6 +11187,34 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["orders_price_ntile"] = """
+        SELECT o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(NTILE(4) OVER w AS BIGINT) AS tile
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)"""
+    o["stream_upsert_latest"] = """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events) WHERE rn = 1"""
+    _bnn_hav = ("2*6371008.8*asin(sqrt(LEAST(GREATEST("
+                "sin((radians(b.lat)-radians(g.lat))/2)^2"
+                " + cos(radians(g.lat))*cos(radians(b.lat))"
+                "*sin((radians(b.lon)-radians(g.lon))/2)^2, 0.0), 1.0)))")
+    o["nearest_knnpt_per_geo"] = f"""
+        SELECT id, neighbor_id, d_mm FROM (
+            SELECT g.image_id AS id, b.image_id AS neighbor_id,
+                   CAST(floor({_bnn_hav} * 1000.0 + 0.5) AS BIGINT)
+                       AS d_mm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g.image_id
+                       ORDER BY CAST(floor({_bnn_hav} * 1000.0 + 0.5)
+                                     AS BIGINT), b.image_id) AS rn
+            FROM {geo_p} g CROSS JOIN {knn_p} b)
+        WHERE rn = 1"""
     o["orders_cube_agg"] = """
         SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
                COALESCE(o_orderstatus, 'ALL') AS status,

@@ -611,3 +611,56 @@ def bucketed_sum(ds, keys: list[str], sum_cols: dict, n_buckets: int = 512):
                .sum().reset_index()
         return agg.rename(columns=sum_cols)
     return bucketed_group_apply(ds, keys, fn, n_buckets)
+
+
+def global_row_number(ds, sort_keys: list[tuple[str, str]],
+                      out_col: str = "rn"):
+    """Distributed ROW_NUMBER() OVER (ORDER BY ...) — 1-based global
+    rank under a TOTAL order (include a unique tiebreak column or block
+    boundaries make ranks ambiguous). Two passes, no driver data pull:
+    a global sort range-partitions the rows; each sorted block ships
+    ONE typed metadata row (its first key tuple + row count); the
+    driver orders those O(blocks) partials under the same key order,
+    prefix-sums the offsets, and broadcasts a first-key → offset map
+    that the final map-only pass adds to each block's local 0..n-1
+    index. Exactness relies on the total order: every block's first
+    key tuple is globally unique, so the lookup is unambiguous.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    cols = [c for c, _ in sort_keys]
+    asc = [d in ("asc", "ascending") for _, d in sort_keys]
+    ordered = ds.sort(cols, descending=[not a for a in asc]) \
+        .materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        out = {c: b[c].slice(0, min(1, b.num_rows)) for c in cols}
+        out["_n"] = pa.array([b.num_rows] if b.num_rows else [],
+                             pa.int64())
+        return pa.table(out)
+
+    meta = ordered.map_batches(block_meta, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    meta = meta.sort_values(cols, ascending=asc, kind="mergesort")                .reset_index(drop=True)
+    offs = meta["_n"].cumsum().shift(fill_value=0).astype("int64")
+    omap = {tuple(r): int(o) for r, o in
+            zip(meta[cols].itertuples(index=False, name=None), offs)}
+    ref = ray.put(omap)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        om = _bcast_get(ref)
+        first = tuple(b[c][0].as_py() for c in cols)
+        base = om[first]
+        import numpy as np
+        return b.append_column(
+            out_col, pa.array(base + 1 + np.arange(b.num_rows,
+                                                   dtype=np.int64),
+                              pa.int64()))
+
+    return ordered.map_batches(assign, batch_format="pyarrow",
+                               batch_size=None)
