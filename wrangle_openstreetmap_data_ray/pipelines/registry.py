@@ -7014,6 +7014,89 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def way_chain_components(sf_dir):
+        """GIS line merge (ST_LineMerge semantics over the way graph):
+        ways stitch into chains through shared ENDPOINT nodes of
+        endpoint-degree exactly 2 (a node where only those two ways
+        terminate — junction nodes never merge). Endpoints resolve via
+        per-way min/max positions in one bounded bucket pass; the
+        2-degree nodes emit way-way edges; connected components label
+        each chain by its smallest way id. Twin: the same edge
+        derivation + a recursive min-label closure."""
+        from ..stages import dedup as dd
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        wn = fx.read_fixture(sf_dir, "way_nodes",
+                             columns=["way_id", "node_id", "position"])
+
+        def ends(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for wid, p in g.groupby("way_id"):
+                p = p.sort_values("position", kind="mergesort")
+                outs.append((int(wid), int(p["node_id"].iloc[0])))
+                outs.append((int(wid), int(p["node_id"].iloc[-1])))
+            if not outs:
+                return pd.DataFrame({
+                    "way_id": pd.Series([], dtype="int64"),
+                    "node_id": pd.Series([], dtype="int64")})
+            w, n = zip(*outs)
+            return pd.DataFrame({
+                "way_id": pd.Series(w, dtype="int64"),
+                "node_id": pd.Series(n, dtype="int64")})
+
+        ep = bucketed_group_apply(wn, ["way_id"], ends, n_buckets=64)
+
+        def links(g: pd.DataFrame) -> pd.DataFrame:
+            oa, ob = [], []
+            for nid, gg in g.groupby("node_id", sort=False):
+                ws = sorted(set(gg["way_id"].tolist()))
+                # endpoint-degree-2 rule: exactly two endpoint rows at
+                # this node, from two DISTINCT ways
+                if len(gg) == 2 and len(ws) == 2:
+                    oa.append(ws[0])
+                    ob.append(ws[1])
+            return pd.DataFrame({
+                "id_a": pd.Series(oa, dtype="int64"),
+                "id_b": pd.Series(ob, dtype="int64")})
+
+        edges = bucketed_group_apply(ep, ["node_id"], links,
+                                     n_buckets=64)
+        labels = dd.connected_components_pairs(edges)
+        return grouped_agg_vec(labels, ["label"],
+                               [(None, "count", "n_ways")]) \
+            .rename_columns({"label": "chain_id"})
+    q["way_chain_components"] = way_chain_components
+
+    def top_session_paths(sf_dir):
+        """Sequence mining lite: the 10 most common per-(user, day)
+        event-type PATHS (types joined in exact (ts, event_id) order) —
+        the funnel-path table a product-analytics pipeline mines.
+        Paths build inside one bounded bucket shuffle per user; the
+        global head is the distributed top-k."""
+        from ..util import bucketed_group_apply, distributed_topk, \
+            grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_id", "ts",
+                                      "event_type"])
+
+        def paths(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            us = g["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            g = g.assign(_day=us // 86_400_000_000)
+            g = g.sort_values(["user_id", "_day", "ts", "event_id"],
+                              kind="mergesort")
+            for (_u, _d), p in g.groupby(["user_id", "_day"],
+                                         sort=False):
+                outs.append(">".join(p["event_type"].tolist()))
+            return pd.DataFrame({"path": pd.Series(outs,
+                                                   dtype="string")})
+
+        pp = bucketed_group_apply(ev, ["user_id"], paths, n_buckets=64)
+        counts = grouped_agg_vec(pp, ["path"], [(None, "count", "n")])
+        return distributed_topk(counts, 10, [("n", "descending"),
+                                             ("path", "ascending")])
+    q["top_session_paths"] = top_session_paths
+
     def orders_price_ntile(sf_dir):
         """Distributed global ROW_NUMBER + NTILE(4) over the full price
         order (§2.6 completion — the window shapes that need a TOTAL
@@ -11187,6 +11270,42 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["way_chain_components"] = f"""
+        WITH RECURSIVE mm AS (SELECT way_id, MIN(position) AS mn,
+                           MAX(position) AS mx
+                    FROM {way_nodes_p} GROUP BY 1),
+        ep AS (SELECT w.way_id, w.node_id FROM {way_nodes_p} w
+               JOIN mm USING (way_id) WHERE w.position = mm.mn
+               UNION ALL
+               SELECT w.way_id, w.node_id FROM {way_nodes_p} w
+               JOIN mm USING (way_id) WHERE w.position = mm.mx),
+        deg AS (SELECT node_id, COUNT(*) AS c,
+                       COUNT(DISTINCT way_id) AS dw,
+                       MIN(way_id) AS wa, MAX(way_id) AS wb
+                FROM ep GROUP BY 1),
+        e AS (SELECT wa AS a, wb AS b FROM deg
+              WHERE c = 2 AND dw = 2),
+        u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(x, y) AS (SELECT a, b FROM u
+                        UNION
+                        SELECT r.x, e2.b
+                        FROM reach r JOIN u e2 ON r.y = e2.a),
+        lab AS (SELECT x, LEAST(MIN(y), x) AS label
+                FROM reach GROUP BY x)
+        SELECT label AS chain_id, CAST(COUNT(*) AS BIGINT) AS n_ways
+        FROM lab GROUP BY 1"""
+    o["top_session_paths"] = """
+        WITH s AS (SELECT user_id,
+                          CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                              AS day,
+                          event_type, ts, event_id FROM events),
+        p AS (SELECT user_id, day,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, day),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p GROUP BY path)
+        SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10"""
     o["orders_price_ntile"] = """
         SELECT o_orderkey,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
