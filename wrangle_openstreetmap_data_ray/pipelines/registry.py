@@ -7014,6 +7014,110 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def amenity_join_counts(sf_dir):
+        """Join-count spatial autocorrelation (the classic binary
+        colocation statistic): over the grid cells OCCUPIED by cafes
+        (A) or restaurants (B), the number of rook-adjacent cell pairs
+        of each coloring — AA / AB / BB (cells holding both kinds count
+        as both, i.e. the pair contributes to every matching class).
+        Cell sets dedupe in the combiner; adjacency resolves by
+        exploding each occupied cell to its 2 canonical (east, north)
+        neighbor edges so every adjacent pair is counted exactly once —
+        no self-join."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        kinds = ("cafe", "restaurant")
+        tags = fx.read_fixture(sf_dir, "tags",
+                               columns=["elem_id", "key", "value"]) \
+            .filter(expr="key == 'amenity'") \
+            .rename_columns({"elem_id": "id"})
+        nodes = fx.read_fixture(sf_dir, "nodes",
+                                columns=["id", "lon", "lat"])
+        j = tags.join(nodes, on=("id",), join_type="inner",
+                      **join_kwargs(fx.table_join_partitions(
+                          sf_dir, "tags", "nodes")))
+
+        def cells(b: pa.Table) -> pa.Table:
+            v = np.asarray(b["value"].to_pylist())
+            m = np.isin(v, kinds)
+            qx, qy = geo.cell_xy(b["lon"].to_numpy()[m],
+                                 b["lat"].to_numpy()[m], TILE_RES)
+            isa = (v[m] == kinds[0]).astype(np.int64)
+            return pa.table({"qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64()),
+                             "a_p": pa.array(isa, pa.int64()),
+                             "b_p": pa.array(1 - isa, pa.int64())})
+
+        occ = grouped_agg_vec(
+            j.map_batches(cells, batch_format="pyarrow"),
+            ["qx", "qy"], [("a_p", "sum", "na"), ("b_p", "sum", "nb")])
+
+        def edges(b: pa.Table) -> pa.Table:
+            qx = b["qx"].to_numpy()
+            qy = b["qy"].to_numpy()
+            # canonical directed edges: east and north neighbors only
+            ex = np.concatenate([qx + 1, qx])
+            ey = np.concatenate([qy, qy + 1])
+            sx = np.concatenate([qx, qx])
+            sy = np.concatenate([qy, qy])
+            n = np.int64(1) << np.int64(TILE_RES)
+            rep = np.concatenate([np.arange(len(qx))] * 2)
+            return pa.table({
+                "cell": pa.array(ex * n + ey, pa.int64()),
+                "side": pa.array(np.zeros(2 * len(qx), np.int64)),
+                "a": pa.array(
+                    (b["na"].to_numpy() > 0).astype(np.int64)[rep],
+                    pa.int64()),
+                "bb": pa.array(
+                    (b["nb"].to_numpy() > 0).astype(np.int64)[rep],
+                    pa.int64()),
+                "own": pa.array(sx * n + sy, pa.int64())})
+
+        def self_rows(b: pa.Table) -> pa.Table:
+            qx = b["qx"].to_numpy()
+            qy = b["qy"].to_numpy()
+            n = np.int64(1) << np.int64(TILE_RES)
+            return pa.table({
+                "cell": pa.array(qx * n + qy, pa.int64()),
+                "side": pa.array(np.ones(len(qx), np.int64)),
+                "a": pa.array((b["na"].to_numpy() > 0)
+                              .astype(np.int64), pa.int64()),
+                "bb": pa.array((b["nb"].to_numpy() > 0)
+                               .astype(np.int64), pa.int64()),
+                "own": pa.array(qx * n + qy, pa.int64())})
+
+        occ = occ.materialize()
+        probes = occ.map_batches(edges, batch_format="pyarrow") \
+            .union(occ.map_batches(self_rows, batch_format="pyarrow"))
+
+        def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            aa = ab = bb_ = 0
+            for _cell, gg in g.groupby("cell", sort=False):
+                here = gg[gg["side"] == 1]
+                if not len(here):
+                    continue
+                ha = int(here["a"].iloc[0])
+                hb = int(here["bb"].iloc[0])
+                nb = gg[gg["side"] == 0]
+                for _, r in nb.iterrows():
+                    aa += ha * int(r["a"])
+                    bb_ += hb * int(r["bb"])
+                    ab += ha * int(r["bb"]) + hb * int(r["a"])
+            return pd.DataFrame({
+                "jc_aa": pd.Series([aa], dtype="int64"),
+                "jc_ab": pd.Series([ab], dtype="int64"),
+                "jc_bb": pd.Series([bb_], dtype="int64")})
+
+        parts = bucketed_group_apply(probes, ["cell"], count_pairs,
+                                     n_buckets=32)
+        from ray.data.aggregate import Sum
+        agg = parts.aggregate(Sum("jc_aa", alias_name="jc_aa"),
+                              Sum("jc_ab", alias_name="jc_ab"),
+                              Sum("jc_bb", alias_name="jc_bb"))
+        return pd.DataFrame({"jc_aa": [int(agg["jc_aa"])],
+                             "jc_ab": [int(agg["jc_ab"])],
+                             "jc_bb": [int(agg["jc_bb"])]})
+    q["amenity_join_counts"] = amenity_join_counts
+
     def way_chain_components(sf_dir):
         """GIS line merge (ST_LineMerge semantics over the way graph):
         ways stitch into chains through shared ENDPOINT nodes of
@@ -11270,6 +11374,28 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    _jx = _grid_sql("n.lon", TILE_RES, -180.0, 360.0)
+    _jy = _grid_sql("n.lat", TILE_RES, -90.0, 180.0)
+    o["amenity_join_counts"] = f"""
+        WITH pts AS (SELECT t.value, n.lon, n.lat
+                     FROM {tags_p} t JOIN {nodes_p} n ON t.elem_id = n.id
+                     WHERE t.key = 'amenity'
+                       AND t.value IN ('cafe', 'restaurant')),
+        occ AS (SELECT {_jx.replace("n.lon", "lon").replace("n.lat", "lat")} AS qx,
+                       {_jy.replace("n.lon", "lon").replace("n.lat", "lat")} AS qy,
+                       MAX(CASE WHEN value = 'cafe' THEN 1 ELSE 0 END)
+                           AS a,
+                       MAX(CASE WHEN value = 'restaurant' THEN 1
+                           ELSE 0 END) AS b
+                FROM pts GROUP BY 1, 2),
+        adj AS (SELECT l.a AS la, l.b AS lb, r.a AS ra, r.b AS rb
+                FROM occ l JOIN occ r
+                  ON (r.qx = l.qx + 1 AND r.qy = l.qy)
+                  OR (r.qx = l.qx AND r.qy = l.qy + 1))
+        SELECT CAST(SUM(la * ra) AS BIGINT) AS jc_aa,
+               CAST(SUM(la * rb + lb * ra) AS BIGINT) AS jc_ab,
+               CAST(SUM(lb * rb) AS BIGINT) AS jc_bb
+        FROM adj"""
     o["way_chain_components"] = f"""
         WITH RECURSIVE mm AS (SELECT way_id, MIN(position) AS mn,
                            MAX(position) AS mx
