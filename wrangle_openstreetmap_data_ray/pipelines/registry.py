@@ -7014,6 +7014,106 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def chunk_dedup_counts(sf_dir):
+        """Paragraph/chunk-level exact dedup profile (the LLM-corpus
+        boilerplate signal one level below document dedup): RAG chunks
+        whose exact text recurs across the corpus, with occurrence
+        count and the smallest owning doc_id.
+        Chunk text shuffles once through the bounded bucket pass; only
+        recurring chunks (count ≥ 2) are emitted."""
+        from ..util import grouped_agg_vec
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+        chunks = textstage.chunk_documents(ds, size=CHUNK_SIZE,
+                                           stride=CHUNK_STRIDE)
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({"chunk_text": b["chunk_text"],
+                             "d_p": b["doc_id"],
+                             "n_p": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        agg = grouped_agg_vec(
+            chunks.map_batches(prep, batch_format="pyarrow"),
+            ["chunk_text"], [("n_p", "sum", "n_occurrences"),
+                             ("d_p", "min", "owner_doc")])
+        return agg.filter(expr="n_occurrences >= 2")
+    q["chunk_dedup_counts"] = chunk_dedup_counts
+
+    def token_zipf_fit(sf_dir):
+        """Zipf's-law fit over the top-100 corpus tokens: OLS slope of
+        floor-e6 ln(count) against floor-e6 ln(rank), computed from
+        EXACT integer sufficient statistics (each log term fixes to an
+        int BEFORE the sums, the float-free screen pattern — the slope
+        numerator/denominator are pinned integers). Token counts ride
+        the combiner; the top-100 head is the distributed top-k."""
+        from ..functions import text
+        from ..util import distributed_topk, grouped_agg_vec
+        ds = fx.driver_table(sf_dir, "documents", columns=["text"])
+
+        def toks(b: pa.Table) -> pa.Table:
+            from collections import Counter
+            c: Counter = Counter()
+            for t in b["text"].to_pylist():
+                c.update(text.WS_RE.findall(t or ""))
+            return pa.table({
+                "token": pa.array(list(c.keys()), pa.string()),
+                "c_p": pa.array(list(c.values()), pa.int64())})
+
+        counts = grouped_agg_vec(
+            ds.map_batches(toks, batch_format="pyarrow"),
+            ["token"], [("c_p", "sum", "cnt")])
+        top = distributed_topk(counts, 100, [("cnt", "descending"),
+                                             ("token", "ascending")])
+        r = np.arange(1, len(top) + 1, dtype=np.float64)
+        x = np.floor(np.log(r) * 1e6).astype(np.int64)
+        y = np.floor(np.log(top["cnt"].to_numpy().astype(np.float64))
+                     * 1e6).astype(np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
+        num = n * sxy - sx * sy            # exact python ints
+        den = n * sxx - sx * sx
+        # divide as double(num)/double(den) — the SQL cast-then-divide
+        # tree (python int/int true division rounds the exact rational,
+        # which can differ in the last bit)
+        ratio = np.float64(num) / np.float64(den)
+        return pd.DataFrame({
+            "n_tokens": pd.Series([n], dtype="int64"),
+            "slope_num": pd.Series([num], dtype="int64"),
+            "slope_den": pd.Series([den], dtype="int64"),
+            "slope_e6": pd.Series(
+                [int(np.floor(ratio * 1e6 + 0.5))], dtype="int64")})
+    q["token_zipf_fit"] = token_zipf_fit
+
+    def tag_key_cooccurrence(sf_dir):
+        """Tag-key market basket: pairs of tag KEYS that appear on the
+        same OSM element, with co-occurrence counts (the schema-mining
+        signal 'amenity implies cuisine'). Within-element pair
+        expansion is vectorized per bucket; pairs ≥ 5 emitted."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        tags = fx.read_fixture(sf_dir, "tags",
+                               columns=["elem_id", "key"])
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            oa, ob = [], []
+            for _e, gg in g.groupby("elem_id", sort=False):
+                ks = sorted(set(gg["key"].tolist()))
+                for i in range(len(ks)):
+                    for jj in range(i + 1, len(ks)):
+                        oa.append(ks[i])
+                        ob.append(ks[jj])
+            return pd.DataFrame({
+                "key_a": pd.Series(oa, dtype="string"),
+                "key_b": pd.Series(ob, dtype="string")})
+
+        pp = bucketed_group_apply(tags, ["elem_id"], pairs, n_buckets=64)
+        agg = grouped_agg_vec(pp, ["key_a", "key_b"],
+                              [(None, "count", "n")])
+        return agg.filter(expr="n >= 5")
+    q["tag_key_cooccurrence"] = tag_key_cooccurrence
+
     def amenity_join_counts(sf_dir):
         """Join-count spatial autocorrelation (the classic binary
         colocation statistic): over the grid cells OCCUPIED by cafes
@@ -11374,6 +11474,57 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["chunk_dedup_counts"] = rf"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(text, '\S+') AS tk
+                      FROM documents),
+        c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+        e AS (SELECT doc_id, tk, n,
+                     unnest(generate_series(0,
+                         (n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} - 1))
+                         AS k
+              FROM c),
+        ch AS (SELECT doc_id,
+                      array_to_string(list_slice(tk,
+                          k*{CHUNK_STRIDE} + 1,
+                          k*{CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')
+                          AS chunk_text
+               FROM e)
+        SELECT chunk_text, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(doc_id) AS BIGINT) AS owner_doc
+        FROM ch GROUP BY chunk_text HAVING COUNT(*) >= 2"""
+    o["token_zipf_fit"] = r"""
+        WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                         AS token FROM documents),
+        tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY token),
+        top AS (SELECT cnt, ROW_NUMBER() OVER
+                    (ORDER BY cnt DESC, token) AS r
+                FROM tc ORDER BY cnt DESC, token LIMIT 100),
+        xy AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS x,
+                      CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6)
+                           AS BIGINT) AS y FROM top),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(x * y) AS BIGINT) AS sxy FROM st0),
+        st0 AS (SELECT x, y FROM xy)
+        SELECT n AS n_tokens,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT) AS slope_e6
+        FROM st"""
+    o["tag_key_cooccurrence"] = f"""
+        WITH d AS (SELECT DISTINCT elem_id, key FROM {tags_p}),
+        p AS (SELECT a.key AS key_a, b.key AS key_b
+              FROM d a JOIN d b ON a.elem_id = b.elem_id
+               AND a.key < b.key)
+        SELECT key_a, key_b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5"""
     _jx = _grid_sql("n.lon", TILE_RES, -180.0, 360.0)
     _jy = _grid_sql("n.lat", TILE_RES, -90.0, 180.0)
     o["amenity_join_counts"] = f"""
