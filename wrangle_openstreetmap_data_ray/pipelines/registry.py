@@ -7014,6 +7014,84 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def doc_langid_confusion(sf_dir):
+        """Model-eval confusion matrix for the language-ID classifier:
+        counts per (true lang, predicted lang) — the precision/recall
+        surface a corpus-quality dashboard reads. The predictor is the
+        same SQL-pinned stopword-vote classifier as doc_langid_check;
+        the twin wraps that exact SQL and joins the truth column."""
+        from ..util import grouped_agg_vec
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+        feats = textstage.analyze_text(ds) \
+            .select_columns(["doc_id", "lang_pred"])
+        truth = fx.driver_table(sf_dir, "documents",
+                                columns=["doc_id", "lang"])
+        j = feats.join(truth, on=("doc_id",), join_type="inner",
+                       **join_kwargs(fx.table_join_partitions(
+                           sf_dir, "documents", "documents")))
+        return grouped_agg_vec(j, ["lang", "lang_pred"],
+                               [(None, "count", "n")])
+    q["doc_langid_confusion"] = doc_langid_confusion
+
+    def hourly_burst_hours(sf_dir):
+        """Trailing-window burst detection (the streaming rate-spike
+        screen, complementary to the global z-score anomaly query): per
+        event type, hours whose count exceeds 3× the trailing-24h
+        average — the test is cross-multiplied to pure integers
+        (cnt·24 > 3·sum24) and requires a FULL trailing window. Hour
+        counts ride the combiner (bounded distinct keys); the per-type
+        series scan is one bucketed pass."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["ts", "event_type"])
+
+        def hours(b: pa.Table) -> pa.Table:
+            hr = pc.cast(b["ts"], pa.int64()).to_numpy() \
+                // 3_600_000_000
+            return pa.table({"event_type": b["event_type"],
+                             "hour": pa.array(hr, pa.int64())})
+
+        hc = grouped_agg_vec(
+            ev.map_batches(hours, batch_format="pyarrow"),
+            ["event_type", "hour"], [(None, "count", "cnt")])
+
+        def burst(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for et, p in g.groupby("event_type"):
+                p = p.sort_values("hour", kind="mergesort")
+                # dense hour series: missing hours count 0 (the twin
+                # generates the same dense series per type)
+                h = p["hour"].to_numpy()
+                c = p["cnt"].to_numpy()
+                full = np.arange(h[0], h[-1] + 1, dtype=np.int64)
+                dense = np.zeros(len(full), np.int64)
+                dense[h - h[0]] = c
+                if len(full) <= 24:
+                    continue
+                cum = np.concatenate([[0], np.cumsum(dense)])
+                s24 = cum[24:-1] - cum[:-25]      # trailing 24, excl cur
+                cur = dense[24:]
+                hit = cur * 24 > 3 * s24
+                hrs = full[24:][hit]
+                outs.append(pd.DataFrame({
+                    "event_type": pd.Series([et] * len(hrs),
+                                            dtype="string"),
+                    "hour": pd.Series(hrs, dtype="int64"),
+                    "cnt": pd.Series(cur[hit], dtype="int64"),
+                    "sum24": pd.Series(s24[hit], dtype="int64")}))
+            if not outs:
+                return pd.DataFrame({
+                    "event_type": pd.Series([], dtype="string"),
+                    "hour": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "sum24": pd.Series([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_group_apply(hc, ["event_type"], burst,
+                                    n_buckets=8)
+    q["hourly_burst_hours"] = hourly_burst_hours
+
     def chunk_dedup_counts(sf_dir):
         """Paragraph/chunk-level exact dedup profile (the LLM-corpus
         boilerplate signal one level below document dedup): RAG chunks
@@ -11474,6 +11552,35 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["doc_langid_confusion"] = f"""
+        WITH pred AS ({o["doc_langid_check"]})
+        SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2"""
+    o["hourly_burst_hours"] = """
+        WITH hc AS (SELECT event_type,
+                           CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                               AS hour,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+        rng AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+                FROM hc GROUP BY 1),
+        dense AS (SELECT r.event_type,
+                         unnest(generate_series(r.h0, r.h1)) AS hour
+                  FROM rng r),
+        d2 AS (SELECT d.event_type, d.hour, COALESCE(hc.cnt, 0) AS cnt,
+                      ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                         ORDER BY d.hour) AS rn
+               FROM dense d LEFT JOIN hc
+                 ON hc.event_type = d.event_type AND hc.hour = d.hour),
+        w AS (SELECT event_type, hour, cnt, rn,
+                     SUM(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY hour
+                                    ROWS BETWEEN 24 PRECEDING
+                                             AND 1 PRECEDING) AS s24
+              FROM d2)
+        SELECT event_type, hour, cnt, CAST(s24 AS BIGINT) AS sum24
+        FROM w WHERE rn > 24 AND cnt * 24 > 3 * s24"""
     o["chunk_dedup_counts"] = rf"""
         WITH toks AS (SELECT doc_id,
                              regexp_extract_all(text, '\S+') AS tk
