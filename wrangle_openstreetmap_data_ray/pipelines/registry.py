@@ -7014,6 +7014,150 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def orders_cusum_days(sf_dir):
+        """CUSUM change detection over the daily order-count series per
+        priority (the SPC run-chart screen): days where the cumulative
+        excess over the global per-priority daily mean — resetting
+        whenever it dips below zero — exceeds two days' worth of mean.
+        EXACT integers throughout: counts scale by the day total
+        (den) so the mean never becomes a float, and the classic
+        max(0, ·) recursion is computed with the prefix-minus-running-
+        min identity (s_i = P_i − min_{j≤i} P_j), which both numpy and
+        the twin's two stacked windows express without recursion."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_orderdate",
+                                          "o_orderpriority"])
+
+        def days(b: pa.Table) -> pa.Table:
+            d = pc.cast(b["o_orderdate"], pa.int64()).to_numpy() \
+                // 86_400_000_000
+            return pa.table({"pri": b["o_orderpriority"],
+                             "day": pa.array(d, pa.int64())})
+
+        dc = grouped_agg_vec(
+            orders.map_batches(days, batch_format="pyarrow"),
+            ["pri", "day"], [(None, "count", "cnt")])
+
+        def cusum(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for pri, p in g.groupby("pri"):
+                p = p.sort_values("day", kind="mergesort")
+                d = p["day"].to_numpy()
+                c = p["cnt"].to_numpy()
+                full = np.arange(d[0], d[-1] + 1, dtype=np.int64)
+                dense = np.zeros(len(full), np.int64)
+                dense[d - d[0]] = c
+                num = int(dense.sum())          # mean = num / den
+                den = len(full)
+                pref = np.cumsum(dense * den - num)
+                runmin = np.minimum.accumulate(
+                    np.concatenate([np.zeros(1, np.int64), pref]))[:-1]
+                s = pref - runmin
+                hit = s > 2 * num
+                outs.append(pd.DataFrame({
+                    "pri": pd.Series([pri] * int(hit.sum()),
+                                     dtype="string"),
+                    "day": pd.Series(full[hit], dtype="int64"),
+                    "cusum_scaled": pd.Series(s[hit], dtype="int64")}))
+            if not outs:
+                return pd.DataFrame({
+                    "pri": pd.Series([], dtype="string"),
+                    "day": pd.Series([], dtype="int64"),
+                    "cusum_scaled": pd.Series([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_group_apply(dc, ["pri"], cusum, n_buckets=8)
+    q["orders_cusum_days"] = orders_cusum_days
+
+    def knn_link_prediction(sf_dir):
+        """Jaccard link prediction over the kNN graph: for every
+        wedge-connected node pair NOT already adjacent, the Jaccard of
+        their (undirected) neighbor sets as an exact fraction — the
+        classic common-neighbors recommender. Adjacency is bounded by
+        k, wedge pairs enumerate inside one bucketed pass per center
+        node, and the score stays a (common, union) integer pair."""
+        from ..util import bucketed_group_apply, grouped_agg_vec
+        pts = fx.read_fixture(sf_dir, "knn_pts")
+        kn = knn.knn_join(pts, k=KNN_K, res=11, id_col="image_id",
+                          exact=True)
+
+        def undirect(b: pa.Table) -> pa.Table:
+            a = b["id"].to_pylist()
+            bb = b["neighbor_id"].to_pylist()
+            lo = [min(x, y) for x, y in zip(a, bb)]
+            hi = [max(x, y) for x, y in zip(a, bb)]
+            return pa.table({"u": pa.array(lo, pa.string()),
+                             "v": pa.array(hi, pa.string())})
+
+        edges = grouped_agg_vec(
+            kn.map_batches(undirect, batch_format="pyarrow"),
+            ["u", "v"], [(None, "count", "x")]).drop_columns(["x"]) \
+            .materialize()
+
+        def star(b: pa.Table) -> pa.Table:
+            u = b["u"].to_pylist()
+            v = b["v"].to_pylist()
+            return pa.table({
+                "center": pa.array(u + v, pa.string()),
+                "leaf": pa.array(v + u, pa.string())})
+
+        stars = edges.map_batches(star, batch_format="pyarrow")
+
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            oa, ob = [], []
+            for _c, gg in g.groupby("center", sort=False):
+                ls = sorted(set(gg["leaf"].tolist()))
+                for i in range(len(ls)):
+                    for jj in range(i + 1, len(ls)):
+                        oa.append(ls[i])
+                        ob.append(ls[jj])
+            return pd.DataFrame({
+                "u": pd.Series(oa, dtype="string"),
+                "v": pd.Series(ob, dtype="string")})
+
+        cand = grouped_agg_vec(
+            bucketed_group_apply(stars, ["center"], wedges,
+                                 n_buckets=64),
+            ["u", "v"], [(None, "count", "n_common")])
+        # drop already-adjacent pairs with a distributed anti-join on a
+        # packed pair key (edges are data-volume — never a driver set)
+        from ..util import anti_semi_join
+
+        def packc(b: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(b["u"], b["v"], "|")
+            return b.append_column("pk", k)
+
+        def packe(b: pa.Table) -> pa.Table:
+            return pa.table({"pk": pc.binary_join_element_wise(
+                b["u"], b["v"], "|")})
+
+        cand = anti_semi_join(
+            cand.map_batches(packc, batch_format="pyarrow"),
+            edges.map_batches(packe, batch_format="pyarrow"),
+            on="pk", n_buckets=64).drop_columns(["pk"])
+        # degrees are a bounded per-node table: broadcast for the union
+        deg = grouped_agg_vec(stars, ["center"],
+                              [(None, "count", "degree")]).to_pandas()
+        import ray
+
+        from ..util import _bcast_get
+        ref = ray.put(dict(zip(deg["center"], deg["degree"])))
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            dm = _bcast_get(ref)
+            du = b["u"].map(dm).astype("int64")
+            dv = b["v"].map(dm).astype("int64")
+            un = du + dv - b["n_common"]
+            return pd.DataFrame({
+                "u": b["u"].astype("string"),
+                "v": b["v"].astype("string"),
+                "n_common": b["n_common"].astype("int64"),
+                "n_union": un.astype("int64")})
+
+        return cand.map_batches(score, batch_format="pandas")
+    q["knn_link_prediction"] = knn_link_prediction
+
     def doc_langid_confusion(sf_dir):
         """Model-eval confusion matrix for the language-ID classifier:
         counts per (true lang, predicted lang) — the precision/recall
@@ -11552,6 +11696,65 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["orders_cusum_days"] = """
+        WITH dc AS (SELECT o_orderpriority AS pri,
+                           CAST(epoch_us(o_orderdate) AS BIGINT)
+                               // 86400000000 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM orders GROUP BY 1, 2),
+        rng AS (SELECT pri, MIN(day) AS d0, MAX(day) AS d1
+                FROM dc GROUP BY 1),
+        dense AS (SELECT r.pri,
+                         unnest(generate_series(r.d0, r.d1)) AS day
+                  FROM rng r),
+        d2 AS (SELECT d.pri, d.day, COALESCE(dc.cnt, 0) AS cnt
+               FROM dense d LEFT JOIN dc
+                 ON dc.pri = d.pri AND dc.day = d.day),
+        tot AS (SELECT pri, CAST(SUM(cnt) AS BIGINT) AS num,
+                       CAST(COUNT(*) AS BIGINT) AS den
+                FROM d2 GROUP BY 1),
+        pr AS (SELECT d2.pri, d2.day, t.num,
+                      CAST(SUM(d2.cnt * t.den - t.num) OVER
+                          (PARTITION BY d2.pri ORDER BY d2.day)
+                          AS BIGINT) AS pref
+               FROM d2 JOIN tot t ON t.pri = d2.pri),
+        cs AS (SELECT pri, day, num,
+                      pref - LEAST(0, CAST(MIN(pref) OVER
+                          (PARTITION BY pri ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT))
+                          AS s
+               FROM pr)
+        SELECT pri, day, CAST(s AS BIGINT) AS cusum_scaled
+        FROM cs WHERE s > 2 * num"""
+    o["knn_link_prediction"] = f"""
+        WITH kn AS (
+          SELECT id, neighbor_id FROM (
+            SELECT a.image_id AS id, b.image_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.image_id
+                     ORDER BY {hav}, b.image_id) AS rn
+            FROM {knn_p} a, {knn_p} b
+            WHERE a.image_id != b.image_id)
+          WHERE rn <= {KNN_K}),
+        e AS (SELECT DISTINCT LEAST(id, neighbor_id) AS u,
+                     GREATEST(id, neighbor_id) AS v FROM kn),
+        st AS (SELECT u AS center, v AS leaf FROM e
+               UNION ALL SELECT v, u FROM e),
+        w AS (SELECT a.leaf AS u, b.leaf AS v
+              FROM st a JOIN st b
+                ON a.center = b.center AND a.leaf < b.leaf),
+        cand AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common
+                 FROM w GROUP BY 1, 2),
+        deg AS (SELECT center, CAST(COUNT(*) AS BIGINT) AS d
+                FROM st GROUP BY 1)
+        SELECT c.u, c.v, c.n_common,
+               CAST(du.d + dv.d - c.n_common AS BIGINT) AS n_union
+        FROM cand c
+        JOIN deg du ON du.center = c.u
+        JOIN deg dv ON dv.center = c.v
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.u = c.u AND e.v = c.v)"""
     o["doc_langid_confusion"] = f"""
         WITH pred AS ({o["doc_langid_check"]})
         SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
