@@ -7014,6 +7014,46 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def view_to_purchase_lag_days(sf_dir):
+        """Funnel-latency distribution: per user the exact integer-day
+        lag between the FIRST view and the FIRST purchase (purchases
+        that precede any view report negative lags — a data-quality
+        signal in its own right), aggregated into a lag-day histogram.
+        Two min-combiner passes and one bounded join; no row-walked
+        aggregate anywhere."""
+        from ..util import grouped_agg_vec, join_kwargs
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "ts", "event_type"])
+
+        def firsts(kind):
+            def fn(b: pa.Table) -> pa.Table:
+                m = pc.equal(b["event_type"], kind)
+                bb = b.filter(m)
+                us = pc.cast(bb["ts"], pa.int64())
+                return pa.table({"user_id": bb["user_id"],
+                                 "us_p": us})
+            return fn
+
+        fv = grouped_agg_vec(
+            ev.map_batches(firsts("view"), batch_format="pyarrow"),
+            ["user_id"], [("us_p", "min", "v_us")])
+        fp = grouped_agg_vec(
+            ev.map_batches(firsts("purchase"), batch_format="pyarrow"),
+            ["user_id"], [("us_p", "min", "p_us")])
+        j = fv.join(fp, on=("user_id",), join_type="inner",
+                    num_partitions=4)
+
+        def lag(b: pa.Table) -> pa.Table:
+            v = b["v_us"].to_numpy()
+            p = b["p_us"].to_numpy()
+            d = (p - v) // 86_400_000_000
+            return pa.table({"lag_days": pa.array(d, pa.int64())})
+
+        return grouped_agg_vec(
+            j.map_batches(lag, batch_format="pyarrow"),
+            ["lag_days"], [(None, "count", "n_users")])
+    q["view_to_purchase_lag_days"] = view_to_purchase_lag_days
+
     def orders_cusum_days(sf_dir):
         """CUSUM change detection over the daily order-count series per
         priority (the SPC run-chart screen): days where the cumulative
@@ -11696,6 +11736,22 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["view_to_purchase_lag_days"] = """
+        WITH fv AS (SELECT user_id,
+                           MIN(CAST(epoch_us(ts) AS BIGINT)) AS v
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+        fp AS (SELECT user_id,
+                      MIN(CAST(epoch_us(ts) AS BIGINT)) AS p
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        l AS (SELECT CASE WHEN p >= v
+                          THEN (p - v) // 86400000000
+                          -- DuckDB // truncates toward zero; numpy
+                          -- floors — mirror floor for negative lags
+                          ELSE -(((v - p) + 86399999999) // 86400000000)
+                     END AS lag_days
+              FROM fv JOIN fp USING (user_id))
+        SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM l GROUP BY lag_days"""
     o["orders_cusum_days"] = """
         WITH dc AS (SELECT o_orderpriority AS pri,
                            CAST(epoch_us(o_orderdate) AS BIGINT)
