@@ -7014,6 +7014,104 @@ def queries():
         return grouped_agg_vec(diff, ["change"], [(None, "count", "n")])
     q["lancelike_version_diff_check"] = lancelike_version_diff_check
 
+    def dau_wau_stickiness(sf_dir):
+        """DAU/WAU stickiness table (the product-analytics engagement
+        ratio): per day, the exact distinct daily actives and the
+        distinct actives of the trailing 7-day window ending that day.
+        Distinct (user, day) pairs dedupe in the combiner; each pair
+        replicates to the ≤7 windows it covers and the exact tuple-
+        dedup combiner resolves window distincts — no self-join."""
+        from ray.data.aggregate import Max
+
+        from ..util import (grouped_agg_vec, grouped_count_distinct,
+                            join_kwargs)
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "ts"])
+
+        def days(b: pa.Table) -> pa.Table:
+            d = pc.cast(b["ts"], pa.int64()).to_numpy() \
+                // 86_400_000_000
+            return pa.table({"user_id": b["user_id"],
+                             "day": pa.array(d, pa.int64())})
+
+        ud = grouped_agg_vec(
+            ev.map_batches(days, batch_format="pyarrow"),
+            ["user_id", "day"], [(None, "count", "x")]) \
+            .drop_columns(["x"]).materialize()
+        mx = int(ud.aggregate(Max("day", alias_name="m"))["m"])
+        dau = grouped_agg_vec(ud, ["day"], [(None, "count", "dau")])
+
+        def windows(b: pa.Table) -> pa.Table:
+            d = b["day"].to_numpy()
+            u = b["user_id"].to_numpy()
+            w = (np.repeat(d, 7)
+                 + np.tile(np.arange(7, dtype=np.int64), len(d)))
+            uu = np.repeat(u, 7)
+            keep = w <= mx
+            return pa.table({"wday": pa.array(w[keep], pa.int64()),
+                             "user_id": pa.array(uu[keep], pa.int64())})
+
+        wau = grouped_count_distinct(
+            ud.map_batches(windows, batch_format="pyarrow"),
+            ["wday"], "user_id", out_col="wau", n_buckets=16)
+
+        def retype(b: pa.Table) -> pa.Table:
+            # pandas blocks out of the bucketed distinct: re-type to
+            # arrow AND rename (rename_columns on a pandas block crashes
+            # Ray's Project operator)
+            return pa.table({"day": pc.cast(b["wday"], pa.int64()),
+                             "wau": pc.cast(b["wau"], pa.int64())})
+
+        wau = wau.map_batches(retype, batch_format="pyarrow")
+        return dau.join(wau, on=("day",), join_type="inner",
+                        num_partitions=4)
+    q["dau_wau_stickiness"] = dau_wau_stickiness
+
+    def polygon_compactness(sf_dir):
+        """Polsby-Popper compactness per polygon (4πA/P², the
+        gerrymander/shape-regularity score): shoelace area on EXACT
+        e7-integer coords, perimeter as an integer sum of per-edge
+        floor-e2 lengths (each sqrt fixes to an int before summation —
+        order-free), and one mirrored float expression for the final
+        e6 ratio."""
+        edges = fx.read_fixture(sf_dir, "edges")
+
+        def comp(b: pa.Table) -> pa.Table:
+            x1 = np.floor(b["x1"].to_numpy() * 1e7 + 0.5) \
+                .astype(np.int64)
+            y1 = np.floor(b["y1"].to_numpy() * 1e7 + 0.5) \
+                .astype(np.int64)
+            x2 = np.floor(b["x2"].to_numpy() * 1e7 + 0.5) \
+                .astype(np.int64)
+            y2 = np.floor(b["y2"].to_numpy() * 1e7 + 0.5) \
+                .astype(np.int64)
+            cross = x1 * y2 - x2 * y1
+            dx, dy = x2 - x1, y2 - y1
+            ln2 = np.floor(np.sqrt((dx * dx + dy * dy)
+                                   .astype(np.float64)) * 100 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"polygon_id": b["polygon_id"],
+                             "cr_p": pa.array(cross, pa.int64()),
+                             "pl_p": pa.array(ln2, pa.int64())})
+
+        from ..util import grouped_agg_vec
+        agg = grouped_agg_vec(
+            edges.map_batches(comp, batch_format="pyarrow"),
+            ["polygon_id"], [("cr_p", "sum", "a2"),
+                             ("pl_p", "sum", "p2")])
+
+        def fin(b: pa.Table) -> pa.Table:
+            a2 = np.abs(b["a2"].to_numpy()).astype(np.float64)
+            p = b["p2"].to_numpy().astype(np.float64)
+            c = np.floor(2 * np.pi * a2 * 1e4 / (p * p) * 1e6 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"polygon_id": b["polygon_id"],
+                             "perim_e2": b["p2"],
+                             "compact_e6": pa.array(c, pa.int64())})
+
+        return agg.map_batches(fin, batch_format="pyarrow")
+    q["polygon_compactness"] = polygon_compactness
+
     def view_to_purchase_lag_days(sf_dir):
         """Funnel-latency distribution: per user the exact integer-day
         lag between the FIRST view and the FIRST purchase (purchases
@@ -11736,6 +11834,40 @@ def oracle_sql():
           AND c.cx < e.x1 + (c.cy - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
         GROUP BY c.polygon_id, c.qx, c.qy
         HAVING COUNT(*) % 2 = 1"""
+    o["dau_wau_stickiness"] = """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                               AS day
+                    FROM events),
+        mx AS (SELECT MAX(day) AS m FROM ud),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                FROM ud GROUP BY 1),
+        w AS (SELECT ud.user_id, ud.day + k AS wday
+              FROM ud, UNNEST(generate_series(0, 6)) AS t(k)),
+        wau AS (SELECT wday AS day,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+                FROM w, mx WHERE wday <= mx.m GROUP BY 1)
+        SELECT d.day, d.dau, wau.wau
+        FROM dau d JOIN wau USING (day)"""
+    o["polygon_compactness"] = f"""
+        WITH e AS (SELECT polygon_id,
+                          CAST(floor(x1*1e7 + 0.5) AS BIGINT) AS x1,
+                          CAST(floor(y1*1e7 + 0.5) AS BIGINT) AS y1,
+                          CAST(floor(x2*1e7 + 0.5) AS BIGINT) AS x2,
+                          CAST(floor(y2*1e7 + 0.5) AS BIGINT) AS y2
+                   FROM {edges_p}),
+        agg AS (SELECT polygon_id,
+                       CAST(SUM(x1*y2 - x2*y1) AS BIGINT) AS a2s,
+                       CAST(SUM(CAST(floor(sqrt(CAST(
+                           (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)
+                           AS DOUBLE)) * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS p2
+                FROM e GROUP BY 1)
+        SELECT polygon_id, p2 AS perim_e2,
+               CAST(floor(2 * pi() * CAST(ABS(a2s) AS DOUBLE) * 1e4
+                          / (CAST(p2 AS DOUBLE) * CAST(p2 AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT) AS compact_e6
+        FROM agg"""
     o["view_to_purchase_lag_days"] = """
         WITH fv AS (SELECT user_id,
                            MIN(CAST(epoch_us(ts) AS BIGINT)) AS v
