@@ -159,6 +159,24 @@ def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
         return np.unique(splitmix64(acc))
 
 
+def shingle_hashes_positional(tokens: list[str], n: int) -> np.ndarray:
+    """Like ``_shingle_hashes`` but POSITIONAL: one hash per shingle
+    start offset (index i ↔ tokens[i:i+n]), no dedup and no padding —
+    the surface for span-level dedup (ExactSubstr-style), where a
+    duplicated shingle's location inside the document matters. Returns
+    an empty array for docs shorter than ``n`` tokens."""
+    if len(tokens) < n:
+        return np.empty(0, np.uint64)
+    th = _token_hashes(tokens)
+    k = len(th) - n + 1
+    weights = splitmix64(np.arange(1, n + 1, dtype=np.uint64)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(k, np.uint64)
+        for j in range(n):
+            acc += th[j:j + k] * weights[j]
+        return splitmix64(acc)
+
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 

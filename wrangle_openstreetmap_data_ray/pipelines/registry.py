@@ -8854,6 +8854,237 @@ def queries():
         return out
     q["lancelike_bloom_point_get"] = lancelike_bloom_point_get
 
+    def doc_dup_spans(sf_dir):
+        """ExactSubstr-style duplicated-SPAN profile (Lee et al. 2022,
+        "Deduplicating Training Data Makes Language Models Better"):
+        per document, maximal runs of word 3-grams that occur ≥ 2 times
+        anywhere in the corpus (cross-doc or within-doc), merged when
+        their windows overlap or touch (start-gap ≤ 2), with the token
+        coverage of each run. Positional shingle hashes (fixed-width
+        ints, never text) resolve their global occurrence count in ONE
+        bounded-bucket shuffle; span merging is a vectorized
+        gaps-and-islands pass per doc bucket."""
+        from ..functions import text as tx
+        from ..util import bucketed_group_apply
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+
+        def shingle_pos(b: pa.Table) -> pa.Table:
+            ids, ps, hs = [], [], []
+            for i, t in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+                h = tx.shingle_hashes_positional(
+                    tx.WS_RE.findall(t or ""), 3).view(np.int64)
+                if len(h):
+                    ids.append(np.full(len(h), i, np.int64))
+                    ps.append(np.arange(len(h), dtype=np.int64))
+                    hs.append(h)
+            if not ids:
+                z = pa.array([], pa.int64())
+                return pa.table({"doc_id": z, "pos": z, "h": z})
+            return pa.table({
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "pos": pa.array(np.concatenate(ps), pa.int64()),
+                "h": pa.array(np.concatenate(hs), pa.int64())})
+
+        rows = docs.map_batches(shingle_pos, batch_format="pyarrow")
+
+        def mark(g: pd.DataFrame) -> pd.DataFrame:
+            # occurrence count INCLUDES within-doc repeats (ExactSubstr
+            # treats self-repetition as duplication too)
+            sz = g.groupby("h", sort=False)["h"].transform("size")
+            return g.loc[sz.to_numpy() >= 2, ["doc_id", "pos"]]
+
+        dup = bucketed_group_apply(rows, ["h"], mark, n_buckets=64)
+
+        def spans(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+            d = g["doc_id"].to_numpy()
+            p = g["pos"].to_numpy()
+            if not len(d):
+                z = pd.Series([], dtype="int64")
+                return pd.DataFrame({"doc_id": z, "n_spans": z,
+                                     "dup_tokens": z})
+            new = np.ones(len(d), bool)
+            new[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > 2)
+            isl = np.cumsum(new) - 1
+            starts = np.nonzero(new)[0]
+            ends = np.append(starts[1:] - 1, len(d) - 1)
+            cov = p[ends] - p[starts] + 3       # 3-token window length
+            out = pd.DataFrame({"doc_id": d[starts], "cov": cov})
+            r = out.groupby("doc_id", sort=False).agg(
+                n_spans=("cov", "size"),
+                dup_tokens=("cov", "sum")).reset_index()
+            return r.astype({"n_spans": "int64", "dup_tokens": "int64"})
+
+        return bucketed_group_apply(dup, ["doc_id"], spans, n_buckets=32)
+    q["doc_dup_spans"] = doc_dup_spans
+
+    def semdedup_pairs(sf_dir):
+        """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+        space, then search near-duplicate pairs ONLY within a cluster —
+        the scalable alternative to an all-pairs cosine join. Centroids
+        come from the pinned Lloyd kernel (k=4, 1 update round, id-
+        ordered seeds); assignment is one broadcast map pass with the
+        same Σ(x_j−c_j)² expression as the SQL twin; within-cluster
+        pairs resolve in a bucketed shuffle keyed on the cluster id
+        (per-cluster matmul, hot-cluster cap raises loudly). τ=0.98 sits
+        far from any pair's cosine, so the pair set is value-exact."""
+        import ray
+
+        from ..util import _bcast_get, bucketed_group_apply
+        ds = fx.read_fixture(sf_dir, "embeddings_dup",
+                             columns=["vec_id", "embedding"]).materialize()
+        C, _ = simsearch.kmeans_fit(ds, "embedding", "vec_id",
+                                    k=4, n_iters=1)
+        ref = ray.put(C)
+
+        def assign(b: pa.Table, _c=ref) -> pa.Table:
+            cen = _bcast_get(_c)
+            x = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+                  .astype(np.float64)
+            d2 = ((x[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "c": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+                "embedding": b["embedding"]})
+
+        asg = ds.map_batches(assign, batch_format="pyarrow")
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for c, grp in g.groupby("c", sort=False):
+                if len(grp) > 100_000:
+                    raise ValueError(
+                        f"cluster {c} holds {len(grp)} vectors — raise k "
+                        "or sub-bucket before the within-cluster scan")
+                ids = grp["vec_id"].to_numpy()
+                X = np.stack(grp["embedding"].to_numpy()) \
+                      .astype(np.float64)
+                Xn = X / np.sqrt((X * X).sum(axis=1))[:, None]
+                ia, ib = np.nonzero(np.triu(Xn @ Xn.T >= 0.98, k=1))
+                a, b_ = ids[ia], ids[ib]
+                outs.append(pd.DataFrame({
+                    "c": np.full(len(a), c, np.int64),
+                    "id_a": np.minimum(a, b_).astype(np.int64),
+                    "id_b": np.maximum(a, b_).astype(np.int64)}))
+            if not outs:
+                z = pd.Series([], dtype="int64")
+                return pd.DataFrame({"c": z, "id_a": z, "id_b": z})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_group_apply(asg, ["c"], pairs, n_buckets=4)
+    q["semdedup_pairs"] = semdedup_pairs
+
+    def phash_caption_conflicts(sf_dir):
+        """Label-conflict screen for multimodal training data: images
+        whose VISUAL content collides (identical phash) but whose
+        captions disagree — per phash group with ≥ 2 images, the image
+        count and the distinct-caption count. One bounded-bucket shuffle
+        on the hash key; per-bucket aggregation is a vectorized pandas
+        groupby."""
+        from ..util import bucketed_group_apply
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "phash", "caption"])
+
+        def agg(g: pd.DataFrame) -> pd.DataFrame:
+            r = g.groupby("phash", sort=False).agg(
+                n_imgs=("caption", "size"),
+                n_captions=("caption", "nunique")).reset_index()
+            r = r[r["n_imgs"] >= 2]
+            return r.astype({"n_imgs": "int64", "n_captions": "int64"})
+
+        return bucketed_group_apply(imgs, ["phash"], agg, n_buckets=32)
+    q["phash_caption_conflicts"] = phash_caption_conflicts
+
+    def kde_cell_density(sf_dir):
+        """Kernel density surface over the point table (heatmap KDE with
+        an integer Epanechnikov-style kernel): density(cell) =
+        Σ_{|dx|,|dy| ≤ 2} n(cell+δ) · (9 − dx² − dy²) over the per-cell
+        point counts at res 13 — all weights integer, so the surface is
+        exact under any partitioning. Counts pre-reduce per block
+        (pyarrow C++ combiner), the 25-neighbor explode runs over
+        DISTINCT cells only, and one bounded sum merges the partials —
+        points never cross the wire."""
+        from ..functions import geo as G
+        from ..util import bucketed_sum, grouped_agg_vec
+        RES, N = 13, 1 << 13
+        pts = fx.read_fixture(sf_dir, "geo", columns=["lon", "lat"])
+
+        def cells(b: pa.Table) -> pa.Table:
+            x, y = G.cell_xy(b["lon"].to_numpy(), b["lat"].to_numpy(), RES)
+            return pa.table({"k": pa.array(x * N + y, pa.int64())})
+
+        cnt = grouped_agg_vec(pts.map_batches(cells, batch_format="pyarrow"),
+                              ["k"], [(None, "count", "n")])
+
+        def explode(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy()
+            n = pc.cast(b["n"], pa.int64()).to_numpy()
+            ux, uy = k // N, k % N
+            ks, ws = [], []
+            for dx in range(-2, 3):
+                for dy in range(-2, 3):
+                    w = 9 - (dx * dx + dy * dy)
+                    nx, ny = ux + dx, uy + dy
+                    ok = (nx >= 0) & (nx < N) & (ny >= 0) & (ny < N)
+                    ks.append(nx[ok] * N + ny[ok])
+                    ws.append(n[ok] * w)
+            return pa.table({
+                "k": pa.array(np.concatenate(ks), pa.int64()),
+                "wn": pa.array(np.concatenate(ws).astype(np.int64),
+                               pa.int64())})
+
+        dens = bucketed_sum(cnt.map_batches(explode, batch_format="pyarrow"),
+                            ["k"], {"wn": "dens"}, n_buckets=64)
+
+        def out(g: pd.DataFrame) -> pd.DataFrame:
+            k = g["k"].to_numpy()
+            return pd.DataFrame({"qx": (k // N).astype(np.int64),
+                                 "qy": (k % N).astype(np.int64),
+                                 "dens": g["dens"].to_numpy()
+                                          .astype(np.int64)})
+
+        return dens.map_batches(out, batch_format="pandas")
+    q["kde_cell_density"] = kde_cell_density
+
+    def event_type_transitions(sf_dir):
+        """First-order Markov transition matrix of the event stream:
+        per user, consecutive event-type pairs in exact (ts, event_id)
+        order, counted globally, with the row-normalized transition
+        probability in permille (floor division over positive ints —
+        exact on both engines). Pairs build inside one bounded bucket
+        shuffle per user; the tiny (≤ n_types²) count table finishes
+        on the driver."""
+        from ..util import bucketed_group_apply
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "event_id", "ts",
+                                      "event_type"])
+
+        def trans(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+            u = g["user_id"].to_numpy()
+            t = g["event_type"].to_numpy()
+            same = u[1:] == u[:-1]
+            out = pd.DataFrame({"prev_type": t[:-1][same],
+                                "next_type": t[1:][same]})
+            r = out.groupby(["prev_type", "next_type"], sort=False) \
+                   .size().reset_index(name="cnt")
+            r["prev_type"] = r["prev_type"].astype("string")
+            r["next_type"] = r["next_type"].astype("string")
+            return r.astype({"cnt": "int64"})
+
+        counts = bucketed_group_apply(ev, ["user_id"], trans,
+                                      n_buckets=64)
+        from ..util import bucketed_sum
+        merged = bucketed_sum(counts, ["prev_type", "next_type"],
+                              {"cnt": "cnt"}, n_buckets=16).to_pandas()
+        tot = merged.groupby("prev_type")["cnt"].transform("sum")
+        merged["p_permille"] = (1000 * merged["cnt"]) // tot
+        return merged.reset_index(drop=True)
+    q["event_type_transitions"] = event_type_transitions
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -12170,4 +12401,92 @@ def oracle_sql():
         FROM orders WHERE o_orderkey % 7 = 0
         UNION ALL SELECT 'removed', CAST(COUNT(*) AS BIGINT)
         FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 != 0"""
+    # ExactSubstr spans: duplicated = 3-gram occurs >= 2 times anywhere
+    # (within-doc repeats count); islands merge windows with start-gap
+    # <= 2; coverage = span token length (mx - mn + 3)
+    o["doc_dup_spans"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, i AS pos,
+                      array_to_string(t[i:i+2], ' ') AS s
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)),
+        c AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+        dp AS (SELECT doc_id, pos FROM sh JOIN c USING (s)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos) <= 2
+                            THEN 0 ELSE 1 END AS brk
+                FROM dp),
+        gg AS (SELECT doc_id, pos, SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS gid FROM isl),
+        sp AS (SELECT doc_id, gid, MIN(pos) AS mn, MAX(pos) AS mx
+               FROM gg GROUP BY doc_id, gid)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(mx - mn + 3) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY doc_id"""
+    # SemDeDup: the pinned Lloyd chain (k=4, 1 update round — a2 is the
+    # assignment by the round-1 means c1), then pairs within a cluster
+    o["semdedup_pairs"] = f"""
+        WITH emb AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM read_parquet('{_fxp('embeddings_dup')}')),
+        init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                 FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 4)),
+        d1 AS (SELECT e.vec_id, e.v, i.c,
+                   list_sum(list_transform(generate_series(1, len(e.v)),
+                       j -> (e.v[j] - i.v[j])**2)) AS dist
+               FROM emb e CROSS JOIN init i),
+        a1 AS (SELECT vec_id, v, c FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+        c1 AS (SELECT c, list(m ORDER BY j) AS v FROM (
+                   SELECT c, j, AVG(v[j]) AS m
+                   FROM a1, UNNEST(generate_series(1, len(v))) AS t(j)
+                   GROUP BY c, j) GROUP BY c),
+        d2 AS (SELECT e.vec_id, e.v, i.c,
+                   list_sum(list_transform(generate_series(1, len(e.v)),
+                       j -> (e.v[j] - i.v[j])**2)) AS dist
+               FROM emb e CROSS JOIN c1 i),
+        a2 AS (SELECT vec_id, c FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1)
+        SELECT a.c, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
+        JOIN read_parquet('{_fxp('embeddings_dup')}') ea
+          ON ea.vec_id = a.vec_id
+        JOIN read_parquet('{_fxp('embeddings_dup')}') eb
+          ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+              >= 0.98"""
+    o["phash_caption_conflicts"] = f"""
+        SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+               CAST(COUNT(DISTINCT caption) AS BIGINT) AS n_captions
+        FROM {images_p} GROUP BY phash HAVING COUNT(*) >= 2"""
+    o["kde_cell_density"] = f"""
+        WITH c AS (SELECT {_grid_sql('lon', 13, -180.0, 360.0)} AS x,
+                          {_grid_sql('lat', 13, -90.0, 180.0)} AS y,
+                          COUNT(*) AS n
+                   FROM {geo_p} GROUP BY 1, 2),
+        d AS (SELECT unnest([-2, -1, 0, 1, 2]) AS dx),
+        e AS (SELECT unnest([-2, -1, 0, 1, 2]) AS dy)
+        SELECT c.x + d.dx AS qx, c.y + e.dy AS qy,
+               CAST(SUM(c.n * (9 - d.dx*d.dx - e.dy*e.dy)) AS BIGINT)
+                   AS dens
+        FROM c CROSS JOIN d CROSS JOIN e
+        WHERE c.x + d.dx BETWEEN 0 AND 8191
+          AND c.y + e.dy BETWEEN 0 AND 8191
+        GROUP BY 1, 2"""
+    o["event_type_transitions"] = """
+        WITH s AS (SELECT user_id, event_type,
+                          LEAD(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        p AS (SELECT event_type AS prev_type, nxt AS next_type,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT prev_type, SUM(cnt) AS tot FROM p
+              GROUP BY prev_type)
+        SELECT p.prev_type, p.next_type, p.cnt,
+               CAST((1000 * p.cnt) // t.tot AS BIGINT) AS p_permille
+        FROM p JOIN t USING (prev_type)"""
     return o
