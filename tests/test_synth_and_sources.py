@@ -385,3 +385,44 @@ def test_point_get_respects_mor_tombstones_and_mutations_keep_blooms(
     # dot-named tags are rejected (vacuum would not see them)
     with pytest.raises(ValueError):
         lancelike.create_tag(root, ".prod")
+
+
+def test_lancelike_fts_index_search_and_staleness(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    root = str(tmp_path / "fts")
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "body": pa.array(["red fox jumps", "red dog", "blue fox",
+                          "green tree", "red fox den", "dog park"])})
+    ds = rd.from_arrow(t).repartition(3)
+    lancelike.write_dataset(ds, root, stage="docs", parent=None)
+    man = lancelike.create_inverted_index(root, "body", "doc_id",
+                                          n_buckets=4)
+    assert man["metrics"]["index_of_version"] == 1
+    # AND: docs containing both 'red' and 'fox'
+    out, scanned, total = lancelike.search_inverted_index(
+        root, "body", ["red", "fox"], mode="and")
+    assert sorted(r["key"] for r in out.take_all()) == [0, 4]
+    assert scanned <= total
+    # OR: union, each key once
+    out_or, _, _ = lancelike.search_inverted_index(
+        root, "body", ["red", "fox"], mode="or")
+    assert sorted(r["key"] for r in out_or.take_all()) == [0, 1, 2, 4]
+    # duplicate query tokens collapse (AND count uses DISTINCT tokens)
+    out_dup, _, _ = lancelike.search_inverted_index(
+        root, "body", ["red", "red"], mode="and")
+    assert sorted(r["key"] for r in out_dup.take_all()) == [0, 1, 4]
+    # data moved past the indexed version → stale index refuses
+    upd = rd.from_arrow(pa.table({
+        "doc_id": pa.array([99], pa.int64()),
+        "body": pa.array(["red fox returns"])}))
+    lancelike.merge_upsert(upd, root, "doc_id", stage="upd")
+    with pytest.raises(ValueError, match="stale"):
+        lancelike.search_inverted_index(root, "body", ["red"])
+    # rebuild against the new version → fresh results include the upsert
+    lancelike.create_inverted_index(root, "body", "doc_id", n_buckets=4)
+    out2, _, _ = lancelike.search_inverted_index(
+        root, "body", ["red", "fox"], mode="and")
+    assert sorted(r["key"] for r in out2.take_all()) == [0, 4, 99]

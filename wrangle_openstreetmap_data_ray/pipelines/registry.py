@@ -8920,6 +8920,35 @@ def queries():
         return bucketed_group_apply(dup, ["doc_id"], spans, n_buckets=32)
     q["doc_dup_spans"] = doc_dup_spans
 
+    def lancelike_fts_search(sf_dir):
+        """Full-text search through the store's INVERTED INDEX: captions
+        index into token-hash-partitioned posting lists committed as an
+        index dataset (one distributed build pass, stale-guarded by data
+        version); an AND query then opens ONLY the posting partitions
+        its tokens hash to — asserted a strict subset — and never the
+        data files. Result = image ids whose caption contains every
+        query token, equal by construction to the full-scan filter the
+        SQL twin runs."""
+        from ..sources import lancelike
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "caption"])
+        root = f"/tmp/graft_out/fts_demo_{fx.sf_tag(sf_dir)}"
+        lancelike.write_dataset(
+            imgs, root, stage="fts_demo", parent=fx.sf_tag(sf_dir),
+            fingerprint=lancelike.input_fingerprint(imgs))
+        lancelike.create_inverted_index(root, "caption", "image_id",
+                                        n_buckets=8)
+        out, scanned, total = lancelike.search_inverted_index(
+            root, "caption", ["stall", "Serangoon"], mode="and")
+        if not (0 < scanned < total):
+            raise AssertionError(
+                f"FTS partition pruning ineffective: {scanned}/{total}")
+
+        def ren(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["image_id"])
+        return out.map_batches(ren, batch_format="pyarrow")
+    q["lancelike_fts_search"] = lancelike_fts_search
+
     def semdedup_pairs(sf_dir):
         """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
         space, then search near-duplicate pairs ONLY within a cluster —
@@ -12424,6 +12453,11 @@ def oracle_sql():
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(SUM(mx - mn + 3) AS BIGINT) AS dup_tokens
         FROM sp GROUP BY doc_id"""
+    o["lancelike_fts_search"] = f"""
+        SELECT image_id FROM {images_p}
+        WHERE list_contains(regexp_extract_all(caption, '\\S+'), 'stall')
+          AND list_contains(regexp_extract_all(caption, '\\S+'),
+                            'Serangoon')"""
     # SemDeDup: the pinned Lloyd chain (k=4, 1 update round — a2 is the
     # assignment by the round-1 means c1), then pairs within a cluster
     o["semdedup_pairs"] = f"""

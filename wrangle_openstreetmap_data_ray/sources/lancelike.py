@@ -1285,3 +1285,123 @@ def analyze(root: str, columns: list[str], stage: str = "analyze") -> dict:
     return _commit(root, stage, man["stage"], man["fragments"], metrics,
                    man.get("fingerprint"),
                    tombstones=man.get("tombstones"))
+
+
+# ------------------------------------------------------------ FTS index
+
+_INDEX_DIR = "_indexes"
+
+
+def create_inverted_index(root: str, text_col: str, key_col: str,
+                          stage: str = "fts", n_buckets: int = 16,
+                          resume: bool = True) -> dict:
+    """Full-text INVERTED INDEX over a string column (the Lance-style
+    scalar/FTS index verb): posting rows ``(token, key)`` — one row per
+    DISTINCT token per document — hash-partitioned by token into
+    ``n_buckets`` posting partitions and committed as a lancelike
+    dataset under ``root/_indexes/fts_<col>/``, so a term lookup opens
+    exactly the one partition its hash names (metadata decision).
+
+    The index manifest records the data version it was built from;
+    ``search_inverted_index`` refuses a stale index rather than serving
+    results that disagree with the current data. Build is one
+    distributed pass over the data scan (merge-on-read tombstones
+    applied — deleted rows never enter the index); tokenization is
+    whitespace ``\\S+``, the same surface as the text operators.
+    """
+    import re
+
+    import numpy as np
+
+    from ..util import stable_bucket
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    idx_root = os.path.join(root, _INDEX_DIR, f"fts_{text_col}")
+    fpr = f"v{man['version']}:{text_col}:{key_col}:{n_buckets}"
+    ds = read_dataset(root, columns=[key_col, text_col])
+    ws = re.compile(r"\S+")
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys, toks = [], []
+        kv = b[key_col].to_pylist()
+        tv = b[text_col].to_pylist()
+        for k, t in zip(kv, tv):
+            u = sorted(set(ws.findall(t or "")))
+            keys.extend([k] * len(u))
+            toks.extend(u)
+        tb = pa.table({"token": pa.array(toks, pa.string()),
+                       "key": pa.array(keys)})
+        if tb.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "key": pa.array([], b[key_col].type),
+                             "tb": pa.array([], pa.string())})
+        bk = stable_bucket(toks, n_buckets).astype(np.int32)
+        return tb.append_column("tb", pa.array(
+            [str(x) for x in bk], pa.string()))
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    return write_dataset_partitioned(
+        rows, idx_root, stage=stage, partition_col="tb",
+        parent=f"{man['stage']}@v{man['version']}",
+        metrics={"index_of_version": man["version"], "column": text_col,
+                 "key_col": key_col, "n_buckets": n_buckets},
+        resume=resume, fingerprint=fpr)
+
+
+def search_inverted_index(root: str, text_col: str, tokens: list[str],
+                          mode: str = "and"):
+    """Term lookup through the FTS index: opens ONLY the posting
+    partitions the query tokens hash to (never the data files, never
+    the other partitions), then resolves the boolean query distributed
+    — AND = keys whose per-key match count equals the distinct query
+    token count, OR = distinct keys. Raises if the index is missing or
+    STALE (data version moved past the one it indexes). Returns
+    ``(keys_dataset, scanned_partitions, total_partitions)``.
+    """
+    from ..util import grouped_agg_vec, stable_bucket
+
+    idx_root = os.path.join(root, _INDEX_DIR, f"fts_{text_col}")
+    iman = latest_manifest(idx_root)
+    if iman is None:
+        raise FileNotFoundError(f"no FTS index for {text_col!r} under "
+                                f"{root} — create_inverted_index first")
+    dman = latest_manifest(root)
+    built_of = iman["metrics"]["index_of_version"]
+    if dman["version"] != built_of:
+        raise ValueError(
+            f"stale FTS index: built at data version {built_of}, store "
+            f"is at {dman['version']} — rebuild the index")
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    qtokens = sorted(set(tokens))
+    if not qtokens:
+        raise ValueError("empty token list")
+    P = int(iman["metrics"]["n_buckets"])
+    need = sorted({str(int(b)) for b in stable_bucket(qtokens, P)})
+    total = len({f.get("partition") for f in iman["fragments"]})
+    ds = read_dataset(idx_root, columns=["token", "key"],
+                      partitions=need)
+
+    def hits(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(b["token"], value_set=pa.array(qtokens))
+        return b.filter(keep).select(["key"])
+
+    matched = ds.map_batches(hits, batch_format="pyarrow")
+    if mode == "or":
+        out = grouped_agg_vec(matched, ["key"],
+                              [(None, "count", "_n")]) \
+            .drop_columns(["_n"])
+    else:
+        cnt = grouped_agg_vec(matched, ["key"], [(None, "count", "_n")])
+        nq = len(qtokens)
+
+        def full(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.equal(pc.cast(b["_n"], pa.int64()), nq)
+            return b.filter(keep).select(["key"])
+
+        out = cnt.map_batches(full, batch_format="pyarrow")
+    return out, len(need), total
