@@ -9114,6 +9114,165 @@ def queries():
         return merged.reset_index(drop=True)
     q["event_type_transitions"] = event_type_transitions
 
+    def polygon_centroids(sf_dir):
+        """Exact polygon centroids (the shoelace moment formula) on e7
+        integer coordinates: per polygon, Σcross and the two first-
+        moment sums run in arbitrary-precision Python ints inside one
+        bucketed pass (the per-edge moment products overflow int64),
+        anchored at the polygon's min corner so the final floor
+        division has a non-negative numerator — the sign-normalized
+        HUGEINT twin floors identically. Degenerate (zero-area) rings
+        drop on both engines."""
+        from ..util import bucketed_group_apply
+        edges = fx.read_fixture(sf_dir, "edges")
+
+        def cent(g: pd.DataFrame) -> pd.DataFrame:
+            pids, cxs, cys = [], [], []
+            for pid, e in g.groupby("polygon_id", sort=False):
+                x1 = np.floor(e["x1"].to_numpy() * 1e7 + 0.5) \
+                    .astype(np.int64)
+                y1 = np.floor(e["y1"].to_numpy() * 1e7 + 0.5) \
+                    .astype(np.int64)
+                x2 = np.floor(e["x2"].to_numpy() * 1e7 + 0.5) \
+                    .astype(np.int64)
+                y2 = np.floor(e["y2"].to_numpy() * 1e7 + 0.5) \
+                    .astype(np.int64)
+                ax = int(min(x1.min(), x2.min()))
+                ay = int(min(y1.min(), y2.min()))
+                a2 = sx = sy = 0
+                for i in range(len(x1)):    # ≤ ring length, exact ints
+                    u1, v1 = int(x1[i]) - ax, int(y1[i]) - ay
+                    u2, v2 = int(x2[i]) - ax, int(y2[i]) - ay
+                    cr = u1 * v2 - u2 * v1
+                    a2 += cr
+                    sx += (u1 + u2) * cr
+                    sy += (v1 + v2) * cr
+                if a2 == 0:
+                    continue
+                if a2 < 0:
+                    a2, sx, sy = -a2, -sx, -sy
+                pids.append(pid)
+                cxs.append(ax + sx // (3 * a2))
+                cys.append(ay + sy // (3 * a2))
+            return pd.DataFrame({
+                "polygon_id": pd.Series(pids, dtype="string"),
+                "cx_e7": pd.Series(cxs, dtype="int64"),
+                "cy_e7": pd.Series(cys, dtype="int64")})
+
+        return bucketed_group_apply(edges, ["polygon_id"], cent,
+                                    n_buckets=16)
+    q["polygon_centroids"] = polygon_centroids
+
+    def polyfill_compact_cells(sf_dir):
+        """S2/H3-style cell COMPACTION of the polyfill cover: where all
+        4 children of a res-15 (then res-14) quadtree parent are in the
+        cover, replace them by the parent — the mixed-resolution cover
+        a spatial index serves range queries from. Two bottom-up levels
+        run vectorized inside the per-polygon bucket (a polygon's cells
+        colocate, so promotion is exact); output is (polygon_id, res,
+        qx, qy) at res 16/15/14."""
+        from ..util import bucketed_group_apply
+        cells = polygon_polyfill_cells(sf_dir)
+        M = np.int64(1) << np.int64(20)
+
+        def compact(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for pid, grp in g.groupby("polygon_id", sort=False):
+                qx = grp["qx"].to_numpy().astype(np.int64)
+                qy = grp["qy"].to_numpy().astype(np.int64)
+                for res in (16, 15):
+                    pk = (qx // 2) * M + (qy // 2)
+                    uniq, inv, cnts = np.unique(
+                        pk, return_inverse=True, return_counts=True)
+                    promoted = cnts[inv] == 4
+                    keep = ~promoted
+                    outs.append(pd.DataFrame({
+                        "polygon_id": pd.Series([pid] * int(keep.sum()),
+                                                dtype="string"),
+                        "res": np.full(int(keep.sum()), res, np.int64),
+                        "qx": qx[keep], "qy": qy[keep]}))
+                    par = uniq[cnts == 4]
+                    qx, qy = par // M, par % M
+                outs.append(pd.DataFrame({
+                    "polygon_id": pd.Series([pid] * len(qx),
+                                            dtype="string"),
+                    "res": np.full(len(qx), 14, np.int64),
+                    "qx": qx, "qy": qy}))
+            if not outs:
+                z = pd.Series([], dtype="int64")
+                return pd.DataFrame({
+                    "polygon_id": pd.Series([], dtype="string"),
+                    "res": z, "qx": z, "qy": z})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_group_apply(cells, ["polygon_id"], compact,
+                                    n_buckets=16)
+    q["polyfill_compact_cells"] = polyfill_compact_cells
+
+    def way_buffer_cells(sf_dir):
+        """Polyline BUFFER as a cell cover: the distinct raster cells
+        any way burns (the DDA kernel), dilated by one Chebyshev ring —
+        dilation multiplies the globally-DISTINCT cell set, never the
+        per-way burn, so shuffles carry only cell keys (the
+        cell_buffer_dilate discipline applied to line geometry)."""
+        from ..util import grouped_count
+        n = 1 << WAY_RASTER_RES
+        burned = way_rasterize_cells(sf_dir)
+
+        def key(b: pa.Table) -> pa.Table:
+            k = b["cx"].to_numpy().astype(np.int64) * n \
+                + b["cy"].to_numpy().astype(np.int64)
+            return pa.table({"k": pa.array(k, pa.int64())})
+
+        distinct = grouped_count(
+            burned.map_batches(key, batch_format="pyarrow"), "k")
+
+        def dilate(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy()
+            ux, uy = k // n, k % n
+            ks = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nx, ny = ux + dx, uy + dy
+                    ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                    ks.append(nx[ok] * n + ny[ok])
+            return pa.table({"k": pa.array(np.concatenate(ks),
+                                           pa.int64())})
+
+        dil = grouped_count(
+            distinct.map_batches(dilate, batch_format="pyarrow"), "k")
+
+        def out(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy()
+            return pa.table({"cx": pa.array(k // n, pa.int64()),
+                             "cy": pa.array(k % n, pa.int64())})
+        return dil.map_batches(out, batch_format="pyarrow")
+    q["way_buffer_cells"] = way_buffer_cells
+
+    def image_dedup_keep_list(sf_dir):
+        """The dedup DECISION LIST a training pipeline actually applies:
+        per exact-duplicate phash group, keep the smallest image_id and
+        emit every other member with its keeper — the drop manifest.
+        One bounded-bucket shuffle on the hash key; per-bucket keeper
+        resolution is a vectorized groupby-transform."""
+        from ..util import bucketed_group_apply
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "phash"])
+
+        def keep(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.groupby("phash", sort=False)["image_id"]
+            keeper = gg.transform("min")
+            sz = gg.transform("size")
+            m = (sz.to_numpy() >= 2) & (g["image_id"].to_numpy()
+                                        != keeper.to_numpy())
+            return pd.DataFrame({
+                "dropped_id": g["image_id"].to_numpy()[m],
+                "keeper_id": keeper.to_numpy()[m]}).astype(
+                {"dropped_id": "string", "keeper_id": "string"})
+
+        return bucketed_group_apply(imgs, ["phash"], keep, n_buckets=32)
+    q["image_dedup_keep_list"] = image_dedup_keep_list
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -12510,6 +12669,83 @@ def oracle_sql():
         WHERE c.x + d.dx BETWEEN 0 AND 8191
           AND c.y + e.dy BETWEEN 0 AND 8191
         GROUP BY 1, 2"""
+    # shoelace centroid: min-corner anchor keeps the numerator
+    # non-negative after sign normalization, so HUGEINT // floors
+    # exactly like the engine's Python-int floordiv
+    o["polygon_centroids"] = f"""
+        WITH e AS (SELECT polygon_id,
+                          CAST(floor(x1*1e7 + 0.5) AS BIGINT) AS x1,
+                          CAST(floor(y1*1e7 + 0.5) AS BIGINT) AS y1,
+                          CAST(floor(x2*1e7 + 0.5) AS BIGINT) AS x2,
+                          CAST(floor(y2*1e7 + 0.5) AS BIGINT) AS y2
+                   FROM {edges_p}),
+        a AS (SELECT polygon_id, MIN(LEAST(x1, x2)) AS ax,
+                     MIN(LEAST(y1, y2)) AS ay
+              FROM e GROUP BY 1),
+        t AS (SELECT e.polygon_id, a.ax, a.ay,
+                     CAST(e.x1 - a.ax AS HUGEINT) AS u1,
+                     CAST(e.y1 - a.ay AS HUGEINT) AS v1,
+                     CAST(e.x2 - a.ax AS HUGEINT) AS u2,
+                     CAST(e.y2 - a.ay AS HUGEINT) AS v2
+              FROM e JOIN a USING (polygon_id)),
+        s AS (SELECT polygon_id, ax, ay,
+                     SUM(u1*v2 - u2*v1) AS a2,
+                     SUM((u1 + u2) * (u1*v2 - u2*v1)) AS sx,
+                     SUM((v1 + v2) * (u1*v2 - u2*v1)) AS sy
+              FROM t GROUP BY polygon_id, ax, ay),
+        nrm AS (SELECT polygon_id, ax, ay,
+                       CASE WHEN a2 < 0 THEN -a2 ELSE a2 END AS a2,
+                       CASE WHEN a2 < 0 THEN -sx ELSE sx END AS sx,
+                       CASE WHEN a2 < 0 THEN -sy ELSE sy END AS sy
+                FROM s WHERE a2 != 0)
+        SELECT polygon_id,
+               CAST(ax + sx // (3 * a2) AS BIGINT) AS cx_e7,
+               CAST(ay + sy // (3 * a2) AS BIGINT) AS cy_e7
+        FROM nrm"""
+    # quadtree compaction, 2 bottom-up levels; every step MATERIALIZED
+    # (the unrolled-CTE expansion lesson)
+    o["polyfill_compact_cells"] = f"""
+        WITH pf AS MATERIALIZED ({o["polygon_polyfill_cells"]}),
+        p15 AS MATERIALIZED (
+            SELECT polygon_id, qx // 2 AS qx, qy // 2 AS qy
+            FROM pf GROUP BY polygon_id, qx // 2, qy // 2
+            HAVING COUNT(*) = 4),
+        r16 AS (SELECT f.polygon_id, CAST(16 AS BIGINT) AS res,
+                       f.qx, f.qy
+                FROM pf f LEFT JOIN p15 p
+                  ON p.polygon_id = f.polygon_id
+                 AND p.qx = f.qx // 2 AND p.qy = f.qy // 2
+                WHERE p.qx IS NULL),
+        p14 AS MATERIALIZED (
+            SELECT polygon_id, qx // 2 AS qx, qy // 2 AS qy
+            FROM p15 GROUP BY polygon_id, qx // 2, qy // 2
+            HAVING COUNT(*) = 4),
+        r15 AS (SELECT f.polygon_id, CAST(15 AS BIGINT) AS res,
+                       f.qx, f.qy
+                FROM p15 f LEFT JOIN p14 p
+                  ON p.polygon_id = f.polygon_id
+                 AND p.qx = f.qx // 2 AND p.qy = f.qy // 2
+                WHERE p.qx IS NULL)
+        SELECT * FROM r16
+        UNION ALL SELECT * FROM r15
+        UNION ALL SELECT polygon_id, CAST(14 AS BIGINT) AS res, qx, qy
+        FROM p14"""
+    o["way_buffer_cells"] = f"""
+        WITH rc AS MATERIALIZED ({o["way_rasterize_cells"]}),
+        c AS (SELECT DISTINCT cx, cy FROM rc),
+        d AS (SELECT unnest([-1, 0, 1]) AS dx),
+        e AS (SELECT unnest([-1, 0, 1]) AS dy)
+        SELECT DISTINCT c.cx + d.dx AS cx, c.cy + e.dy AS cy
+        FROM c CROSS JOIN d CROSS JOIN e
+        WHERE c.cx + d.dx BETWEEN 0 AND {(1 << WAY_RASTER_RES) - 1}
+          AND c.cy + e.dy BETWEEN 0 AND {(1 << WAY_RASTER_RES) - 1}"""
+    o["image_dedup_keep_list"] = f"""
+        WITH g AS (SELECT phash, MIN(image_id) AS keeper,
+                          COUNT(*) AS c
+                   FROM {images_p} GROUP BY phash)
+        SELECT i.image_id AS dropped_id, g.keeper AS keeper_id
+        FROM {images_p} i JOIN g USING (phash)
+        WHERE g.c >= 2 AND i.image_id != g.keeper"""
     o["event_type_transitions"] = """
         WITH s AS (SELECT user_id, event_type,
                           LEAD(event_type) OVER (PARTITION BY user_id
