@@ -9273,6 +9273,91 @@ def queries():
         return bucketed_group_apply(imgs, ["phash"], keep, n_buckets=32)
     q["image_dedup_keep_list"] = image_dedup_keep_list
 
+    def image_phash_clusters(sf_dir):
+        """Near-dup image CLUSTERS: connected components over the
+        banded-Hamming pair graph (phash distance ≤ 3), reported as
+        (root_id = component min image_id, n_members). Pairs come from
+        the pigeonhole-exact banding kernel; labels from the two-regime
+        distributed CC — the oracle closes the same pair set with a
+        recursive-CTE transitive closure."""
+        from ..util import grouped_agg_vec
+        ds = fx.read_fixture(sf_dir, "images",
+                             columns=["image_id", "phash"])
+        pairs = dedup.band_hamming_pairs(ds, "image_id", "phash",
+                                         max_hamming=3) \
+                     .select_columns(["id_a", "id_b"])
+        labels = dedup.connected_components_pairs(pairs)
+        agg = grouped_agg_vec(labels, ["label"],
+                              [(None, "count", "n_members")])
+
+        def ren(b: pa.Table) -> pa.Table:   # rename via arrow map (the
+            # rename_columns-on-pandas-blocks gotcha, NOTES_r4)
+            return pa.table({"root_id": b["label"],
+                             "n_members": pc.cast(b["n_members"],
+                                                  pa.int64())})
+        return agg.map_batches(ren, batch_format="pyarrow")
+    q["image_phash_clusters"] = image_phash_clusters
+
+    def doc_quality_filter_ids(sf_dir):
+        """The quality-filter KEEP LIST (the artifact the funnel counts
+        summarize): ids of documents passing every Gopher-style stage —
+        min length, distinct-token ratio, modal-bigram repetition — over
+        the oracle-pinned repetition signals. Map-only over the signal
+        pass; no shuffle."""
+        from ..stages import textstage
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+        stats = textstage.repetition_stats(docs)
+
+        def passing(b: pa.Table) -> pa.Table:
+            n = b["n_tokens"].to_numpy()
+            dr = b["distinct_token_ratio"].to_numpy(zero_copy_only=False)
+            bf = b["top_bigram_frac"].to_numpy(zero_copy_only=False)
+            keep = (n >= 30) & ~np.isnan(dr) & (dr >= 0.45) & (bf <= 0.04)
+            return pa.table({"doc_id": pc.cast(
+                b["doc_id"].filter(pa.array(keep)), pa.int64())})
+
+        return stats.map_batches(passing, batch_format="pyarrow")
+    q["doc_quality_filter_ids"] = doc_quality_filter_ids
+
+    def embedding_outlier_screen(sf_dir):
+        """Embedding data-quality screen: squared distance of every
+        vector to its OWN label's class prototype (the per-label mean
+        from one map-only partial pass, broadcast once), fixed-pointed
+        at e4 — the far tail of this column is what a curation pipeline
+        drops. Same Σ(x_j−m_j)² expression as the SQL twin's
+        lateral-UNNEST prototype join."""
+        import ray
+
+        from ..util import _bcast_get
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding", "label"]) \
+            .materialize()
+        keys, means, _ = simsearch.grouped_vector_mean(ds, "embedding",
+                                                       "label")
+        ref = ray.put((keys, means))
+
+        def score(b: pa.Table, _r=ref) -> pa.Table:
+            ks, cen = _bcast_get(_r)
+            pos = {k: i for i, k in enumerate(ks)}
+            x = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+                  .astype(np.float64)
+            lab = b["label"].to_numpy(zero_copy_only=False)
+            m = cen[np.array([pos[v] for v in lab])]
+            # dim-sequential accumulation == the twin's list_sum left
+            # fold (numpy axis-sums go pairwise past 8 terms — NOTES_r4)
+            d2 = np.zeros(len(x), np.float64)
+            for j in range(x.shape[1]):
+                d2 += (x[:, j] - m[:, j]) ** 2
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "label": b["label"],
+                "d2_e4": pa.array(np.floor(d2 * 1e4 + 0.5)
+                                  .astype(np.int64), pa.int64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+    q["embedding_outlier_screen"] = embedding_outlier_screen
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -12746,6 +12831,52 @@ def oracle_sql():
         SELECT i.image_id AS dropped_id, g.keeper AS keeper_id
         FROM {images_p} i JOIN g USING (phash)
         WHERE g.c >= 2 AND i.image_id != g.keeper"""
+    o["image_phash_clusters"] = f"""
+        WITH RECURSIVE p AS (
+            SELECT a.image_id AS id_a, b.image_id AS id_b
+            FROM {images_p} a, {images_p} b
+            WHERE a.image_id < b.image_id
+              AND bit_count(xor(a.phash, b.phash)) <= 3),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(u, v) AS (
+            SELECT u, v FROM e
+            UNION
+            SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        n AS (SELECT DISTINCT u AS id FROM e),
+        lab AS (SELECT n.id, LEAST(n.id, MIN(r.v)) AS root
+                FROM n JOIN reach r ON r.u = n.id GROUP BY n.id)
+        SELECT root AS root_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM lab GROUP BY root"""
+    o["doc_quality_filter_ids"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+        bgtop AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot FROM
+                  (SELECT doc_id, b, COUNT(*) AS c FROM bg
+                   GROUP BY doc_id, b) GROUP BY doc_id),
+        r AS (SELECT k.doc_id, len(k.t) AS n,
+                     ROUND(len(list_distinct(k.t)) * 1.0 / len(k.t), 6)
+                       AS dr,
+                     ROUND(COALESCE(g.topc * 1.0 / g.tot, 0.0), 6) AS bf
+              FROM toks k LEFT JOIN bgtop g USING (doc_id))
+        SELECT doc_id FROM r
+        WHERE n >= 30 AND dr IS NOT NULL AND dr >= 0.45 AND bf <= 0.04"""
+    o["embedding_outlier_screen"] = """
+        WITH emb AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+        m AS (SELECT label, list(mm ORDER BY j) AS mv FROM (
+                  SELECT label, j, AVG(v[j]) AS mm
+                  FROM emb, UNNEST(generate_series(1, len(v))) AS t(j)
+                  GROUP BY label, j) GROUP BY label)
+        SELECT e.vec_id, e.label,
+               CAST(floor(list_sum(list_transform(
+                   generate_series(1, len(e.v)),
+                   j -> (e.v[j] - m.mv[j])**2)) * 1e4 + 0.5)
+                   AS BIGINT) AS d2_e4
+        FROM emb e JOIN m USING (label)"""
     o["event_type_transitions"] = """
         WITH s AS (SELECT user_id, event_type,
                           LEAD(event_type) OVER (PARTITION BY user_id
