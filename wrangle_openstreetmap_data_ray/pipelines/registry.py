@@ -9358,6 +9358,87 @@ def queries():
         return ds.map_batches(score, batch_format="pyarrow")
     q["embedding_outlier_screen"] = embedding_outlier_screen
 
+    # ---------------- training-data curation plans (session-6 batch A)
+
+    def spatial_stratified_sample(sf_dir):
+        """Spatially stratified curation sampling: ONE representative
+        image per occupied res-12 grid cell, picked by a deterministic
+        pseudo-random key (splitmix64 of the numeric image index) so the
+        pick is stable across parallelism / resume / re-runs — the
+        primitive that de-biases a hot-spot-skewed corpus before
+        training. Per-block pre-reduce keeps ≤1 row per (cell, block);
+        the shuffle carries only cell keys + ids + one uint64."""
+        from ..functions.hashing import splitmix64
+        from ..util import grouped_topk
+        ds = fx.read_fixture(sf_dir, "geo",
+                             columns=["image_id", "lon", "lat"])
+
+        def keyed(b: pa.Table) -> pa.Table:
+            qx, qy = geo.cell_xy(b["lon"].to_numpy(),
+                                 b["lat"].to_numpy(), CELL_RES)
+            idnum = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 3),
+                            pa.uint64()).to_numpy(zero_copy_only=False)
+            h = splitmix64(idnum)
+            return pa.table({"image_id": b["image_id"],
+                             "qx": pa.array(qx, pa.int64()),
+                             "qy": pa.array(qy, pa.int64()),
+                             "h": pa.array(h, pa.uint64())})
+
+        picked = grouped_topk(ds.map_batches(keyed, batch_format="pyarrow"),
+                              ["qx", "qy"], 1,
+                              [("h", "asc"), ("image_id", "asc")])
+        return picked.map_batches(
+            lambda b: b.select(["qx", "qy", "image_id"]),
+            batch_format="pyarrow")
+    q["spatial_stratified_sample"] = spatial_stratified_sample
+
+    def label_balance_plan(sf_dir):
+        """Class-balance curation plan: per-label vector counts plus the
+        permille undersampling rate that equalizes every label to the
+        rarest one (floor(1000·min/n)) — the plan a builder feeds back
+        into hash_stratified_sample. Counts via the vectorized map-side
+        combiner; only the distinct-label table (bounded) leaves the
+        cluster."""
+        ds = fx.driver_table(sf_dir, "embeddings", columns=["label"])
+        counts = grouped_count(ds, "label", out="n_vecs").to_pandas()
+        m = int(counts["n_vecs"].min())
+        counts["rate_permille"] = (1000 * m) // counts["n_vecs"]
+        counts["label"] = counts["label"].astype("int64")
+        return counts
+    q["label_balance_plan"] = label_balance_plan
+
+    def epoch_shuffle_positions(sf_dir):
+        """Deterministic epoch-shuffle plan: the global training order
+        for two epochs as rank-of-hash (splitmix64(doc_id ^ epoch)) via
+        a range-partitioned sort + O(blocks) offset merge
+        (global_row_number) — never a driver-side sort. Epochs
+        decorrelate because the seed enters the MIXER, not the
+        comparator; the permutation is reproducible byte-for-byte in
+        HUGEINT SQL."""
+        from ..functions.hashing import hash64_ints
+        from ..util import global_row_number
+        outs = []
+        for epoch in (0, 1):
+            ds = fx.driver_table(sf_dir, "documents", columns=["doc_id"])
+
+            def keyed(b: pa.Table, _e=epoch) -> pa.Table:
+                h = hash64_ints(b["doc_id"].to_numpy(), seed=_e)
+                return pa.table({"doc_id": b["doc_id"],
+                                 "h": pa.array(h, pa.uint64())})
+
+            rn = global_row_number(
+                ds.map_batches(keyed, batch_format="pyarrow"),
+                [("h", "asc"), ("doc_id", "asc")], out_col="pos")
+            outs.append(rn.map_batches(
+                lambda b, _e=epoch: pa.table({
+                    "epoch": pa.array(
+                        np.full(b.num_rows, _e, np.int64)),
+                    "doc_id": b["doc_id"],
+                    "pos": b["pos"]}),
+                batch_format="pyarrow"))
+        return outs[0].union(outs[1])
+    q["epoch_shuffle_positions"] = epoch_shuffle_positions
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -12890,4 +12971,30 @@ def oracle_sql():
         SELECT p.prev_type, p.next_type, p.cnt,
                CAST((1000 * p.cnt) // t.tot AS BIGINT) AS p_permille
         FROM p JOIN t USING (prev_type)"""
+    o["spatial_stratified_sample"] = _SM64_MACROS + f"""
+        WITH g AS (SELECT image_id,
+                   {_grid_sql('lon', CELL_RES, -180.0, 360.0)} AS qx,
+                   {_grid_sql('lat', CELL_RES, -90.0, 180.0)} AS qy,
+                   sm64(CAST(substring(image_id, 4) AS UBIGINT)) AS h
+                   FROM {geo_p})
+        SELECT qx, qy, image_id FROM g
+        QUALIFY row_number() OVER (PARTITION BY qx, qy
+                                   ORDER BY h, image_id) = 1"""
+    o["label_balance_plan"] = """
+        WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                   FROM embeddings GROUP BY label)
+        SELECT label, n_vecs,
+               CAST((1000 * (SELECT MIN(n_vecs) FROM c)) // n_vecs
+                    AS BIGINT) AS rate_permille
+        FROM c"""
+    o["epoch_shuffle_positions"] = _SM64_MACROS + """
+        WITH e AS (SELECT unnest([0, 1]) AS epoch),
+        h AS (SELECT e.epoch, d.doc_id,
+                     sm64(xor(CAST(d.doc_id AS UBIGINT),
+                              CAST(e.epoch AS UBIGINT))) AS h
+              FROM documents d CROSS JOIN e)
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+               CAST(row_number() OVER (PARTITION BY epoch
+                    ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM h"""
     return o
