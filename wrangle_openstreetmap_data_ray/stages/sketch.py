@@ -366,6 +366,91 @@ def histogram_quantiles_by_group(ds, group_col: str, col: str,
                          "edge6": np.asarray(out_e, np.int64)})
 
 
+def exact_grouped_kth(ds, group_col: str, value_col: str,
+                      k_of_n=lambda n: (n + 1) // 2, n_bins: int = 4096):
+    """EXACT per-group k-th smallest of an integer column (lower median
+    with the default ``k_of_n``) — distributed selection with NO global
+    sort: each round is one streaming pass whose per-block pre-reduce
+    ships ≤ active-groups × n_bins integer count rows through a bounded
+    bucketed shuffle (``bucketed_sum``), and the driver holds only the
+    O(groups) (interval, residual-rank) state. Rounds =
+    ceil(log_{n_bins}(span)) — 3 passes for e6-scaled doubles — vs a
+    full range-partitioned sort of the data volume. Values must be
+    int64; the group count must be bounded (driver keeps one dict).
+
+    Returns pandas (group_col, value_col=k-th value, n)."""
+    import ray
+
+    from ..util import _bcast_get, bucketed_sum, grouped_agg_vec
+
+    ds = ds.materialize()   # ≥1 refinement pass re-reads the projection
+    bounds = grouped_agg_vec(
+        ds, [group_col],
+        [(value_col, "min", "_lo"), (value_col, "max", "_hi"),
+         (None, "count", "_n")]).to_pandas()
+    state = {r[group_col]: [int(r["_lo"]), int(r["_hi"]),
+                            int(k_of_n(int(r["_n"]))), int(r["_n"])]
+             for _, r in bounds.iterrows()}
+
+    while True:
+        active = {g: (lo, hi, (hi - lo + n_bins) // n_bins)
+                  for g, (lo, hi, _k, _n) in state.items() if lo < hi}
+        if not active:
+            break
+        ref = ray.put(active)
+
+        def partial(b: pa.Table, _r=ref) -> pa.Table:
+            act = _bcast_get(_r)
+            gtype = b.schema.field(group_col).type
+            gv = np.asarray(b[group_col].to_pylist(), dtype=object)
+            v = b[value_col].to_numpy()
+            # object dtype on BOTH sides: a numpy '<U6' from a block whose
+            # longest group is 6 chars would truncate longer keys
+            guniq = np.array(sorted(act), dtype=object)
+            if not len(gv) or not len(guniq):
+                return pa.table({group_col: pa.array([], gtype),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            gidx = {g: i for i, g in enumerate(guniq)}
+            gi = np.array([gidx.get(g, -1) for g in gv], np.int64)
+            lo = np.array([act[g][0] for g in guniq], np.int64)
+            hi = np.array([act[g][1] for g in guniq], np.int64)
+            w = np.array([act[g][2] for g in guniq], np.int64)
+            ok = gi >= 0
+            giv, vv = gi[ok], v[ok]
+            inwin = (vv >= lo[giv]) & (vv <= hi[giv])
+            giv, vv = giv[inwin], vv[inwin]
+            binv = (vv - lo[giv]) // w[giv]
+            counts = np.bincount(giv * n_bins + binv,
+                                 minlength=len(guniq) * n_bins)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                group_col: pa.array(guniq[nz // n_bins], gtype),
+                "bin": pa.array(nz % n_bins, pa.int64()),
+                "cnt": pa.array(counts[nz], pa.int64())})
+
+        hist = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                            [group_col, "bin"], {"cnt": "cnt"},
+                            n_buckets=64).to_pandas()
+        for g, sub in hist.groupby(group_col, sort=False):
+            lo, hi, k, n = state[g]
+            w = (hi - lo + n_bins) // n_bins
+            sub = sub.sort_values("bin")
+            cum = sub["cnt"].to_numpy().cumsum()
+            pos = int(np.searchsorted(cum, k))
+            b = int(sub["bin"].to_numpy()[pos])
+            if pos:
+                k -= int(cum[pos - 1])
+            state[g] = [lo + b * w, min(hi, lo + (b + 1) * w - 1), k, n]
+
+    keys = sorted(state)
+    return pd.DataFrame({group_col: keys,
+                         value_col: np.array([state[g][0] for g in keys],
+                                             np.int64),
+                         "n": np.array([state[g][3] for g in keys],
+                                       np.int64)})
+
+
 def cms_counts(ds, col: str, depth: int = 4, width: int = 1024):
     """Count-min sketch of an integer key column (Cormode & Muthukrishnan
     2005): ``depth`` hash rows × ``width`` buckets, row j's bucket being
