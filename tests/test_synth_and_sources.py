@@ -426,3 +426,60 @@ def test_lancelike_fts_index_search_and_staleness(ray_session, tmp_path):
     out2, _, _ = lancelike.search_inverted_index(
         root, "body", ["red", "fox"], mode="and")
     assert sorted(r["key"] for r in out2.take_all()) == [0, 4, 99]
+
+
+def test_lancelike_schema_evolution_verbs(ray_session, tmp_path):
+    import ray.data as rd
+    root = str(tmp_path / "se")
+    t = synth.gen_geo_table(0, 1200)
+    ds = rd.from_arrow(t).repartition(6)
+    lancelike.write_dataset(ds.sort("lon"), root, stage="base",
+                            zonemap_cols=["lon"])
+
+    # metadata-only rename: zero data I/O, range read prunes via the
+    # NEW visible name against the on-disk zone maps
+    man = lancelike.rename_column(root, "r1", "lon", "longitude")
+    assert man["schema_edits"]["renames"] == {"lon": "longitude"}
+    lons = np.sort(t["lon"].to_numpy())
+    lo, hi = float(lons[300]), float(lons[700])
+    out, scanned, total = lancelike.read_dataset_range(
+        root, "longitude", lo, hi, columns=["image_id", "longitude"])
+    got = sorted(r["image_id"] for r in out.take_all())
+    mask = (t["lon"].to_numpy() >= lo) & (t["lon"].to_numpy() <= hi)
+    assert got == sorted(np.asarray(t["image_id"].to_pylist())[mask])
+    assert 0 < scanned < total
+
+    # the old (pre-rename) name is gone from the visible schema
+    with pytest.raises(KeyError):
+        lancelike.read_dataset(root, columns=["lon"]).take_all()
+
+    # MoR delete under a pending rename records the DISK key column
+    victims = t["image_id"].to_pylist()[:5]
+    man2 = lancelike.delete_by_keys_mor(
+        pa.array(victims, pa.string()), root, key_col="image_id",
+        stage="mor")
+    assert man2["tombstones"][0]["key_col"] == "image_id"
+    left = lancelike.read_dataset(root, columns=["image_id"]).take_all()
+    assert set(victims).isdisjoint({r["image_id"] for r in left})
+    lancelike.apply_tombstones(root, stage="apply")
+
+    # rename BACK clears the edit entirely
+    man3 = lancelike.rename_column(root, "r2", "longitude", "lon")
+    assert not man3.get("schema_edits")
+
+    # drop + guards
+    lancelike.drop_column(root, "d1", "addr_postcode")
+    with pytest.raises(ValueError):
+        lancelike.merge_upsert(rd.from_arrow(t.slice(0, 2)), root,
+                               key_col="image_id", stage="bad")
+    man4 = lancelike.materialize_schema(root)
+    assert not man4.get("schema_edits")
+    names = set(lancelike.read_dataset(root).schema().names)
+    assert "addr_postcode" not in names and "lon" in names
+    # zone maps survived the physical rewrite under the (restored) name
+    assert any("lon" in f.get("zonemap", {}) for f in man4["fragments"])
+    # duplicate / missing-column guards
+    with pytest.raises(KeyError):
+        lancelike.rename_column(root, "x", "nope", "y")
+    with pytest.raises(ValueError):
+        lancelike.rename_column(root, "x", "lat", "lon")

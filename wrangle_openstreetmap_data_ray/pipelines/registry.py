@@ -9462,6 +9462,57 @@ def queries():
         return out.rename(columns={"v": "median_e6"})
     q["event_value_exact_median_by_type"] = event_value_exact_median_by_type
 
+    def lancelike_schema_evolution_check(sf_dir):
+        """Metadata-only schema evolution (Lance/Iceberg-style):
+        RENAME COLUMN + DROP COLUMN commit in ZERO data I/O (fragments
+        carried by reference; the scan path applies the projection),
+        data-rewriting verbs refuse until ``materialize_schema`` bakes
+        the edits into fragments, and the physical rewrite is
+        byte-equivalent to the metadata view. The pre-evolution version
+        stays readable under the OLD schema (copy-on-write)."""
+        import shutil
+
+        from ..sources import lancelike
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_schemaevo/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        geo_ds = fx.read_fixture(sf_dir, "geo")
+        man1 = lancelike.write_dataset(geo_ds, root, stage="base",
+                                       resume=False)
+        man2 = lancelike.rename_column(root, "ren", "addr_street",
+                                       "street_name")
+        man3 = lancelike.drop_column(root, "drop", "addr_postcode")
+        if (man2["version"], man3["version"]) != \
+                (man1["version"] + 1, man1["version"] + 2):
+            raise AssertionError("schema edits must commit new versions")
+        if any(f not in man1["fragments"] for f in man3["fragments"]):
+            raise AssertionError("metadata-only edits rewrote data")
+        try:
+            lancelike.compact(root, stage="bad")
+            raise AssertionError("compact must refuse pending edits")
+        except ValueError:
+            pass
+        cols = ["image_id", "street_name", "lon"]
+        meta_view = lancelike.read_dataset(root, columns=cols) \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        old = lancelike.read_dataset(root, version=man1["version"])
+        if "addr_postcode" not in old.schema().names:
+            raise AssertionError("old version lost a column")
+        man4 = lancelike.materialize_schema(root)
+        if man4.get("schema_edits"):
+            raise AssertionError("materialize left pending edits")
+        final = lancelike.read_dataset(root)
+        names = set(final.schema().names)
+        if "street_name" not in names or "addr_postcode" in names:
+            raise AssertionError(f"materialized schema wrong: {names}")
+        phys = final.select_columns(cols).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        if not phys.equals(meta_view):
+            raise AssertionError("physical rewrite != metadata view")
+        return phys
+    q["lancelike_schema_evolution_check"] = lancelike_schema_evolution_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13030,4 +13081,7 @@ def oracle_sql():
         FROM v
         QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY v)
             = (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2"""
+    o["lancelike_schema_evolution_check"] = f"""
+        SELECT image_id, addr_street AS street_name, lon
+        FROM {geo_p}"""
     return o

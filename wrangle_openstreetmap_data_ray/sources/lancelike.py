@@ -102,8 +102,13 @@ def _resume_ok(root: str, prev: dict | None, stage: str, parent: str | None,
 def _commit(root: str, stage: str, parent: str | None,
             fragments: list[dict], metrics: dict | None,
             fingerprint: str | None = None,
-            tombstones: list[dict] | None = None) -> dict:
+            tombstones: list[dict] | None = None,
+            schema_edits="inherit") -> dict:
     prev = latest_manifest(root)
+    if schema_edits == "inherit":
+        # metadata-only verbs (analyze, tags) must not silently CLEAR a
+        # pending rename/drop — edits carry forward until materialized
+        schema_edits = (prev or {}).get("schema_edits")
     version = (prev["version"] + 1) if prev else 1
     man = {
         "version": version,
@@ -117,6 +122,8 @@ def _commit(root: str, stage: str, parent: str | None,
     }
     if tombstones:
         man["tombstones"] = tombstones
+    if schema_edits:
+        man["schema_edits"] = schema_edits
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".manifest-v{version}.json.tmp")
@@ -134,6 +141,37 @@ def _require_no_tombstones(man: dict, verb: str) -> None:
         raise ValueError(
             f"{verb} refused: the latest version carries merge-on-read "
             f"tombstones; run apply_tombstones() first")
+
+
+def _schema_state(man: dict) -> tuple[dict, set]:
+    """Pending metadata-only schema edits: ({disk_name: visible_name},
+    {dropped disk names}). Empty when the schema is materialized."""
+    e = (man or {}).get("schema_edits") or {}
+    return dict(e.get("renames") or {}), set(e.get("dropped") or [])
+
+
+def _to_disk(man: dict, col: str) -> str:
+    """Translate a VISIBLE column name to its on-disk name (fragment
+    footers, zone maps and blooms are keyed by disk names)."""
+    renames, dropped = _schema_state(man)
+    inverse = {v: d for d, v in renames.items()}
+    if col in inverse:
+        return inverse[col]
+    if col in dropped or col in renames:
+        raise KeyError(f"column {col!r} does not exist in the current "
+                       f"schema (dropped or renamed)")
+    return col
+
+
+def _require_schema_clean(man: dict, verb: str) -> None:
+    """Data-rewriting verbs refuse while metadata-only renames/drops are
+    pending (their kernels, zone maps and postings address DISK column
+    names); run ``materialize_schema()`` first — the exact mirror of the
+    merge-on-read tombstone rule."""
+    if man.get("schema_edits"):
+        raise ValueError(
+            f"{verb} refused: the latest version carries pending "
+            f"schema edits; run materialize_schema() first")
 
 
 _BLOOM_BITS = 8192          # 1 KiB bitmap per fragment per bloom column
@@ -316,6 +354,7 @@ def fragments_for_range(root: str, col: str, lo, hi,
             man = json.load(f)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    col = _to_disk(man, col)     # zone maps are keyed by DISK names
     frags = man["fragments"]
     keep = []
     for f in frags:
@@ -364,9 +403,14 @@ def _empty_dataset_like(root: str, man: dict,
     all_frags = (man or {}).get("fragments") or []
     if all_frags:
         schema = pq.read_schema(os.path.join(root, all_frags[0]["path"]))
-        names = columns if columns is not None else schema.names
-        empty = pa.table({n: pa.array([], schema.field(n).type)
-                          for n in names})
+        renames, dropped = _schema_state(man)
+        if columns is not None:
+            empty = pa.table({n: pa.array([], schema.field(
+                _to_disk(man, n)).type) for n in columns})
+        else:
+            keep = [n for n in schema.names if n not in dropped]
+            empty = pa.table({renames.get(n, n): pa.array(
+                [], schema.field(n).type) for n in keep})
     else:
         empty = pa.table({})
     return rd.from_arrow(empty)
@@ -391,6 +435,7 @@ def fragments_for_keys(root: str, col: str, keys,
     outside its [min,max]). Metadata-only. Returns (selected, total)."""
     import numpy as np
     man = _manifest_at(root, version)
+    col = _to_disk(man, col)     # blooms/zone maps are keyed by DISK names
     karr = np.asarray(list(keys), dtype=np.int64)
     frags = man["fragments"]
     keep = []
@@ -506,27 +551,39 @@ def _read_fragments(root: str, man: dict, paths: list[str],
     back in and drop it after the join."""
     import ray.data as rd
 
+    renames, dropped = _schema_state(man)
+    # callers ask for VISIBLE names; parquet footers hold DISK names
+    disk_cols = columns if columns is None \
+        else [_to_disk(man, c) for c in columns]
+
     ts = man.get("tombstones") or []
     if not ts:
-        return rd.read_parquet(paths, columns=columns)
-    key_cols = sorted({t["key_col"] for t in ts})
-    read_cols = columns
-    added = []
-    if columns is not None:
-        read_cols = list(columns)
+        ds = rd.read_parquet(paths, columns=disk_cols)
+    else:
+        key_cols = sorted({t["key_col"] for t in ts})   # disk names
+        read_cols = disk_cols
+        added = []
+        if disk_cols is not None:
+            read_cols = list(disk_cols)
+            for kc in key_cols:
+                if kc not in read_cols:
+                    read_cols.append(kc)
+                    added.append(kc)
+        ds = rd.read_parquet(paths, columns=read_cols)
+        from ..util import anti_semi_join
         for kc in key_cols:
-            if kc not in read_cols:
-                read_cols.append(kc)
-                added.append(kc)
-    ds = rd.read_parquet(paths, columns=read_cols)
-    from ..util import anti_semi_join
-    for kc in key_cols:
-        tpaths = [os.path.join(root, t["path"]) for t in ts
-                  if t["key_col"] == kc]
-        ds = anti_semi_join(ds, rd.read_parquet(tpaths), on=kc,
-                            n_buckets=64)
-    if added:
-        ds = ds.drop_columns(added)
+            tpaths = [os.path.join(root, t["path"]) for t in ts
+                      if t["key_col"] == kc]
+            ds = anti_semi_join(ds, rd.read_parquet(tpaths), on=kc,
+                                n_buckets=64)
+        if added:
+            ds = ds.drop_columns(added)
+    if renames or dropped:
+        def project(b: pa.Table) -> pa.Table:
+            keep = [c for c in b.column_names if c not in dropped]
+            return b.select(keep).rename_columns(
+                [renames.get(c, c) for c in keep])
+        ds = ds.map_batches(project, batch_format="pyarrow")
     return ds
 
 
@@ -636,6 +693,7 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
     _require_no_tombstones(man, 'merge_upsert')
+    _require_schema_clean(man, 'merge_upsert')
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
 
     ktabs = [t for t in
@@ -718,6 +776,7 @@ def delete_by_keys(keys, root: str, key_col: str, stage: str,
         raise FileNotFoundError(f"no committed manifest under {root}")
     if not _materializing:
         _require_no_tombstones(man, "delete_by_keys")
+        _require_schema_clean(man, "delete_by_keys")
 
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         karr = pa.chunked_array([keys]).combine_chunks() \
@@ -797,6 +856,7 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
     _require_no_tombstones(man, 'compact')
+    _require_schema_clean(man, 'compact')
     if any("partition" in f for f in man["fragments"]):
         raise ValueError(
             "compact() does not support partitioned layouts — binning "
@@ -927,33 +987,16 @@ def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
             "kept_versions": kept_versions}
 
 
-def add_column(root: str, stage: str, compute, *,
-               zonemap_cols: list[str] | None = None) -> dict:
-    """Schema evolution: ALTER TABLE ADD COLUMN(s) with backfill.
-    ``compute(batch) -> batch'`` appends the new column(s) to each
-    fragment (it must be deterministic per row and must not drop or
-    reorder rows — row counts are verified per fragment). Every fragment
-    is rewritten by its own Ray task (full-cluster parallelism), the new
-    manifest commits LAST, and the previous version stays readable —
-    copy-on-write exactly like merge/compact. Unlike Lance's adjacent
-    column-group files this rewrites row data (one pass of O(table)
-    I/O); the simplicity buys zone maps over the new column for free
-    (pass ``zonemap_cols``). Partitioned layouts keep their partition
-    assignment (each fragment is rewritten in place of its subdir)."""
+def _rewrite_fragments(root: str, man: dict, compute,
+                       zonemap_cols, bloom_cols) -> list[dict]:
+    """Copy-on-write rewrite of every fragment through ``compute`` —
+    one Ray task per fragment (full-cluster parallelism), row counts
+    verified, pruning metadata recomputed, partition subdirs preserved.
+    Shared by ``add_column`` and ``materialize_schema``. Returns the
+    new fragment list; the caller commits."""
     import ray.data as rd
 
-    man = latest_manifest(root)
-    if man is None:
-        raise FileNotFoundError(f"no committed manifest under {root}")
-    _require_no_tombstones(man, 'add_column')
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
-    zm_def, bl_def = _manifest_pruning_cols(man)
-    if zonemap_cols is None:
-        # compact()'s precedent: a full rewrite must not silently drop
-        # existing pruning metadata — recompute every column already
-        # zone-mapped (and bloomed) in the current manifest
-        zonemap_cols = zm_def
-    bloom_cols = bl_def
 
     def rewrite(b: pa.Table) -> pa.Table:
         out = []
@@ -963,7 +1006,7 @@ def add_column(root: str, stage: str, compute, *,
             t2 = compute(t)
             if t2.num_rows != t.num_rows:
                 raise ValueError(
-                    f"add_column compute changed the row count of {rel} "
+                    f"fragment rewrite changed the row count of {rel} "
                     f"({t.num_rows} -> {t2.num_rows})")
             sub = os.path.dirname(rel)
             odir = os.path.join(root, sub) if sub != _FRAGMENT_DIR \
@@ -988,19 +1031,18 @@ def add_column(root: str, stage: str, compute, *,
             out.append(row)
         cols = {k: [r.get(k) for r in out]
                 for k in ("path", "rows", "bytes", "partition")}
-        t = pa.table({"path": pa.array(cols["path"], pa.string()),
-                      "rows": pa.array(cols["rows"], pa.int64()),
-                      "bytes": pa.array(cols["bytes"], pa.int64()),
-                      "partition": pa.array(
-                          [p or "" for p in cols["partition"]],
-                          pa.string()),
-                      "zonemap": pa.array(
-                          [json.dumps(r.get("zonemap") or {})
-                           for r in out], pa.string()),
-                      "bloom": pa.array(
-                          [json.dumps(r.get("bloom") or {})
-                           for r in out], pa.string())})
-        return t
+        return pa.table({"path": pa.array(cols["path"], pa.string()),
+                         "rows": pa.array(cols["rows"], pa.int64()),
+                         "bytes": pa.array(cols["bytes"], pa.int64()),
+                         "partition": pa.array(
+                             [p or "" for p in cols["partition"]],
+                             pa.string()),
+                         "zonemap": pa.array(
+                             [json.dumps(r.get("zonemap") or {})
+                              for r in out], pa.string()),
+                         "bloom": pa.array(
+                             [json.dumps(r.get("bloom") or {})
+                              for r in out], pa.string())})
 
     items = [{"path": f["path"], "partition": f.get("partition", "")}
              for f in man["fragments"]]
@@ -1019,6 +1061,138 @@ def add_column(root: str, stage: str, compute, *,
         if bl:
             f["bloom"] = bl
         frags.append(f)
+    return frags
+
+
+def _disk_schema_names(root: str, man: dict) -> list[str]:
+    frags = man["fragments"]
+    if not frags:
+        return []
+    return pq.read_schema(os.path.join(root, frags[0]["path"])).names
+
+
+def _visible_names(root: str, man: dict) -> list[str]:
+    renames, dropped = _schema_state(man)
+    return [renames.get(n, n) for n in _disk_schema_names(root, man)
+            if n not in dropped]
+
+
+def rename_column(root: str, stage: str, old: str, new: str) -> dict:
+    """Metadata-only ALTER TABLE RENAME COLUMN (the Lance/Iceberg
+    design): commits a new manifest whose ``schema_edits`` map the
+    ON-DISK name to the new visible name — ZERO data I/O, instant at
+    any table size; every read path applies the projection at scan
+    time. Data-rewriting verbs refuse until ``materialize_schema()``
+    bakes the edits into the fragments (the tombstone rule's mirror).
+    The previous version stays readable under the old schema."""
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    visible = _visible_names(root, man)
+    if old not in visible:
+        raise KeyError(f"no column {old!r} (have {visible})")
+    if new != old and new in visible:
+        raise ValueError(f"column {new!r} already exists")
+    renames, dropped = _schema_state(man)
+    disk = _to_disk(man, old)
+    renames[disk] = new
+    if renames[disk] == disk:
+        del renames[disk]
+    edits = {}
+    if renames:
+        edits["renames"] = renames
+    if dropped:
+        edits["dropped"] = sorted(dropped)
+    return _commit(root, stage, parent=man["stage"],
+                   fragments=man["fragments"],
+                   metrics={"rename_column": [old, new]},
+                   tombstones=man.get("tombstones"),
+                   schema_edits=edits or None)
+
+
+def drop_column(root: str, stage: str, name: str) -> dict:
+    """Metadata-only ALTER TABLE DROP COLUMN: the on-disk column is
+    hidden by a ``schema_edits`` entry in the new manifest — zero data
+    I/O; the bytes are reclaimed later by ``materialize_schema`` (or
+    any subsequent compaction after it). Same deferred-rewrite contract
+    as ``rename_column``."""
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    visible = _visible_names(root, man)
+    if name not in visible:
+        raise KeyError(f"no column {name!r} (have {visible})")
+    if len(visible) == 1:
+        raise ValueError("cannot drop the last column")
+    renames, dropped = _schema_state(man)
+    disk = _to_disk(man, name)
+    dropped.add(disk)
+    renames.pop(disk, None)
+    edits = {"dropped": sorted(dropped)}
+    if renames:
+        edits["renames"] = renames
+    return _commit(root, stage, parent=man["stage"],
+                   fragments=man["fragments"],
+                   metrics={"drop_column": name},
+                   tombstones=man.get("tombstones"),
+                   schema_edits=edits)
+
+
+def materialize_schema(root: str, stage: str = "materialize_schema") -> dict:
+    """Physically apply pending renames/drops: per-fragment parallel
+    copy-on-write rewrite (``_rewrite_fragments``), zone-map and bloom
+    metadata re-keyed to the new names, ``schema_edits`` cleared — after
+    this the data-rewriting verbs work again. No-op if the schema is
+    already materialized."""
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    _require_no_tombstones(man, 'materialize_schema')
+    renames, dropped = _schema_state(man)
+    if not renames and not dropped:
+        return man
+    zm_def, bl_def = _manifest_pruning_cols(man)
+    zm_new = [renames.get(c, c) for c in zm_def or [] if c not in dropped]
+    bl_new = [renames.get(c, c) for c in bl_def or [] if c not in dropped]
+
+    def proj(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names if c not in dropped]
+        return t.select(keep).rename_columns(
+            [renames.get(c, c) for c in keep])
+
+    frags = _rewrite_fragments(root, man, proj, zm_new, bl_new)
+    return _commit(root, stage, parent=man["stage"], fragments=frags,
+                   metrics={"rewritten_fragments": len(frags),
+                            "applied_renames": renames,
+                            "applied_drops": sorted(dropped)},
+                   schema_edits=None)
+
+
+def add_column(root: str, stage: str, compute, *,
+               zonemap_cols: list[str] | None = None) -> dict:
+    """Schema evolution: ALTER TABLE ADD COLUMN(s) with backfill.
+    ``compute(batch) -> batch'`` appends the new column(s) to each
+    fragment (it must be deterministic per row and must not drop or
+    reorder rows — row counts are verified per fragment). Every fragment
+    is rewritten by its own Ray task (full-cluster parallelism), the new
+    manifest commits LAST, and the previous version stays readable —
+    copy-on-write exactly like merge/compact. Unlike Lance's adjacent
+    column-group files this rewrites row data (one pass of O(table)
+    I/O); the simplicity buys zone maps over the new column for free
+    (pass ``zonemap_cols``). Partitioned layouts keep their partition
+    assignment (each fragment is rewritten in place of its subdir)."""
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    _require_no_tombstones(man, 'add_column')
+    _require_schema_clean(man, 'add_column')
+    zm_def, bl_def = _manifest_pruning_cols(man)
+    if zonemap_cols is None:
+        # compact()'s precedent: a full rewrite must not silently drop
+        # existing pruning metadata — recompute every column already
+        # zone-mapped (and bloomed) in the current manifest
+        zonemap_cols = zm_def
+    frags = _rewrite_fragments(root, man, compute, zonemap_cols, bl_def)
     metrics = {"rewritten_fragments": len(frags)}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
@@ -1040,14 +1214,18 @@ def delete_by_keys_mor(keys, root: str, key_col: str, stage: str,
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
+    # tombstones are applied to the raw parquet scan (BEFORE the
+    # schema-edit projection), so they must record the DISK column name
+    key_col_in = key_col
+    key_col = _to_disk(man, key_col)
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         karr = pa.chunked_array([keys]).combine_chunks() \
             if isinstance(keys, pa.Array) else keys.combine_chunks()
     else:
         ktabs = [t for t in
-                 ray.get(keys.select_columns([key_col]).to_arrow_refs())
+                 ray.get(keys.select_columns([key_col_in]).to_arrow_refs())
                  if t.num_rows and t.num_columns]
-        karr = (pa.concat_tables(ktabs)[key_col].combine_chunks()
+        karr = (pa.concat_tables(ktabs)[key_col_in].combine_chunks()
                 if ktabs else pa.array([]))
     karr = pc.unique(karr)
     if len(karr) > key_cap:
