@@ -9513,6 +9513,76 @@ def queries():
         return phys
     q["lancelike_schema_evolution_check"] = lancelike_schema_evolution_check
 
+    def polygon_value_cell_alloc(sf_dir):
+        """Areal interpolation (dasymetric downscaling): each polygon's
+        unit weight (1e6) spreads uniformly over its polyfill cells
+        (integer share = 1e6 // n_cells, exact on both engines); per-cell
+        totals then come from one bounded-bucket integer sum. The
+        polygon→share table is distinct-polygon-bounded, so it rides a
+        plain broadcast dict; cells never leave their bucket until
+        pre-reduced."""
+        from ..util import bucketed_sum
+        pf = polygon_polyfill_cells(sf_dir).materialize()
+        sizes = grouped_count(pf, "polygon_id", out="nc").to_pandas()
+        share = {p: 1_000_000 // int(n)
+                 for p, n in zip(sizes["polygon_id"], sizes["nc"])}
+
+        def with_share(b: pa.Table) -> pa.Table:
+            s = [share[p] for p in b["polygon_id"].to_pylist()]
+            return pa.table({"qx": b["qx"], "qy": b["qy"],
+                             "share": pa.array(s, pa.int64()),
+                             "one": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        out = bucketed_sum(pf.map_batches(with_share,
+                                          batch_format="pyarrow"),
+                           ["qx", "qy"],
+                           {"share": "alloc_sum", "one": "n_polys"},
+                           n_buckets=64)
+        return out.map_batches(
+            lambda b: pa.table({
+                "qx": pc.cast(b["qx"], pa.int64()),
+                "qy": pc.cast(b["qy"], pa.int64()),
+                "alloc_sum": pc.cast(b["alloc_sum"], pa.int64()),
+                "n_polys": pc.cast(b["n_polys"], pa.int64())}),
+            batch_format="pyarrow")
+    q["polygon_value_cell_alloc"] = polygon_value_cell_alloc
+
+    def cell_majority_kind(sf_dir):
+        """Per-cell MAJORITY polygon kind over the polyfill cover (ties →
+        lexicographic smallest kind): the zonal-classification primitive.
+        Kind attaches via a bounded broadcast dict (polygons are the
+        small side); counts pre-reduce map-side, then one grouped top-1
+        under a TOTAL order."""
+        from ..util import bucketed_sum, grouped_topk
+        pf = polygon_polyfill_cells(sf_dir)
+        polys = fx.read_fixture(sf_dir, "polygons",
+                                columns=["polygon_id", "kind"]).to_pandas()
+        kind = dict(zip(polys["polygon_id"], polys["kind"]))
+
+        def with_kind(b: pa.Table) -> pa.Table:
+            k = [kind[p] for p in b["polygon_id"].to_pylist()]
+            return pa.table({"qx": b["qx"], "qy": b["qy"],
+                             "kind": pa.array(k, pa.string()),
+                             "one": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        # distinct (cell, kind) scales with the cover — use the bounded
+        # bucketed vectorized sum, never the ray sort-agg (NOTES_r4)
+        counts = bucketed_sum(
+            pf.map_batches(with_kind, batch_format="pyarrow"),
+            ["qx", "qy", "kind"], {"one": "cnt"}, n_buckets=64)
+        top = grouped_topk(counts, ["qx", "qy"], 1,
+                           [("cnt", "desc"), ("kind", "asc")])
+        return top.map_batches(
+            lambda b: pa.table({
+                "qx": pc.cast(b["qx"], pa.int64()),
+                "qy": pc.cast(b["qy"], pa.int64()),
+                "kind": pc.cast(b["kind"], pa.string()),
+                "cnt": pc.cast(b["cnt"], pa.int64())}),
+            batch_format="pyarrow")
+    q["cell_majority_kind"] = cell_majority_kind
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13084,4 +13154,22 @@ def oracle_sql():
     o["lancelike_schema_evolution_check"] = f"""
         SELECT image_id, addr_street AS street_name, lon
         FROM {geo_p}"""
+    o["polygon_value_cell_alloc"] = f"""
+        WITH pf AS MATERIALIZED ({o["polygon_polyfill_cells"]}),
+        sz AS (SELECT polygon_id,
+                      CAST(1000000 // COUNT(*) AS BIGINT) AS share
+               FROM pf GROUP BY 1)
+        SELECT qx, qy, CAST(SUM(share) AS BIGINT) AS alloc_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_polys
+        FROM pf JOIN sz USING (polygon_id)
+        GROUP BY qx, qy"""
+    o["cell_majority_kind"] = f"""
+        WITH pf AS MATERIALIZED ({o["polygon_polyfill_cells"]}),
+        c AS (SELECT pf.qx, pf.qy, p.kind,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM pf JOIN {polys_p} p USING (polygon_id)
+              GROUP BY 1, 2, 3)
+        SELECT qx, qy, kind, cnt FROM c
+        QUALIFY row_number() OVER (PARTITION BY qx, qy
+                                   ORDER BY cnt DESC, kind) = 1"""
     return o
