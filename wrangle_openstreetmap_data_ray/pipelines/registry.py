@@ -9583,6 +9583,45 @@ def queries():
             batch_format="pyarrow")
     q["cell_majority_kind"] = cell_majority_kind
 
+    def kmv_type_jaccard(sf_dir):
+        """Pairwise audience overlap between event types from grouped
+        KMV sketches (sketch.kmv_grouped_jaccard) — set similarity
+        without shipping the user sets: bounded groups×k hash rows per
+        block, union-sketch Jaccard on the driver, VALUE-PINNED via the
+        shared splitmix63 hash surface."""
+        from ..stages import sketch
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "user_id"])
+        return sketch.kmv_grouped_jaccard(ev, "event_type", "user_id",
+                                          k=256)
+    q["kmv_type_jaccard"] = kmv_type_jaccard
+
+    def doc_readability(sf_dir):
+        """Readability proxy per document: whitespace word count,
+        vowel-group syllable proxy, and mean syllables-per-word at e6
+        fixed point — one map-only pass on Arrow's C++ regex counter
+        (no Python row loop), the standard complexity signal a corpus
+        curator bins on."""
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+
+        def f(b: pa.Table) -> pa.Table:
+            words = pc.count_substring_regex(b["text"], r"\S+")
+            syl = pc.count_substring_regex(pc.utf8_lower(b["text"]),
+                                           "[aeiou]+")
+            w = pc.cast(words, pa.int64()).to_numpy()
+            s = pc.cast(syl, pa.int64()).to_numpy()
+            keep = w > 0
+            return pa.table({
+                "doc_id": b["doc_id"].filter(pa.array(keep)),
+                "n_words": pa.array(w[keep], pa.int64()),
+                "n_syl": pa.array(s[keep], pa.int64()),
+                "syl_per_word_e6": pa.array(
+                    1_000_000 * s[keep] // w[keep], pa.int64())})
+
+        return docs.map_batches(f, batch_format="pyarrow")
+    q["doc_readability"] = doc_readability
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13172,4 +13211,46 @@ def oracle_sql():
         SELECT qx, qy, kind, cnt FROM c
         QUALIFY row_number() OVER (PARTITION BY qx, qy
                                    ORDER BY cnt DESC, kind) = 1"""
+    o["kmv_type_jaccard"] = _SM64_MACROS + """
+        WITH d AS (SELECT DISTINCT event_type,
+                       CAST(sm64(CAST(user_id AS UBIGINT)) >> 1
+                            AS BIGINT) AS h63
+                   FROM events),
+        s AS (SELECT event_type, h63 FROM d
+              QUALIFY row_number() OVER (PARTITION BY event_type
+                                         ORDER BY h63) <= 256),
+        t AS (SELECT DISTINCT event_type FROM events),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+              FROM t a, t b WHERE a.event_type < b.event_type),
+        un AS (SELECT DISTINCT p.type_a, p.type_b, s.h63
+               FROM p JOIN s ON s.event_type IN (p.type_a, p.type_b)),
+        uk AS (SELECT type_a, type_b, h63 FROM un
+               QUALIFY row_number() OVER (PARTITION BY type_a, type_b
+                                          ORDER BY h63) <= 256),
+        c AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_union
+              FROM uk GROUP BY 1, 2),
+        m AS (SELECT uk.type_a, uk.type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM uk
+              JOIN s sa ON sa.event_type = uk.type_a
+                       AND sa.h63 = uk.h63
+              JOIN s sb ON sb.event_type = uk.type_b
+                       AND sb.h63 = uk.h63
+              GROUP BY 1, 2)
+        SELECT c.type_a, c.type_b, c.n_union,
+               CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+               CAST((1000000 * COALESCE(m.n_common, 0)) // c.n_union
+                    AS BIGINT) AS jaccard_e6
+        FROM c LEFT JOIN m USING (type_a, type_b)"""
+    o["doc_readability"] = r"""
+        WITH r AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                     AS n_words,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                     AS BIGINT) AS n_syl
+                   FROM documents)
+        SELECT doc_id, n_words, n_syl,
+               CAST((1000000 * n_syl) // n_words AS BIGINT)
+                   AS syl_per_word_e6
+        FROM r WHERE n_words > 0"""
     return o

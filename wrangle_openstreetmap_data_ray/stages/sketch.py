@@ -518,6 +518,57 @@ def kmv_sketch(ds, col: str, k: int = 256) -> pd.DataFrame:
                          "h63": hs})
 
 
+def kmv_grouped_jaccard(ds, group_col: str, col: str,
+                        k: int = 256) -> pd.DataFrame:
+    """Pairwise set-similarity between the GROUPS of an integer key
+    column from per-group KMV sketches (Beyer et al. 2007's k-min-value
+    set operations): one streaming pass ships ≤ groups×k distinct-hash
+    rows per block; the driver merges ≤ groups×k values and compares
+    every group pair on the UNION sketch (k smallest of the merged
+    sketches; common = union-sketch values present in both sides).
+    Deterministic AND value-pinned — hashes are ``splitmix64 >> 1``,
+    the same 63-bit surface as ``kmv_sketch``, so the SQL twin
+    reproduces n_union / n_common / jaccard_e6 exactly. Group count
+    must be bounded (driver holds groups×k ints)."""
+    from itertools import combinations
+
+    from ..functions.hashing import hash64_ints
+
+    def part(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        b = b.filter(pc.is_valid(b[group_col]))
+        if not b.num_rows:
+            return pa.table({group_col: pa.array([], gtype),
+                             "h63": pa.array([], pa.int64())})
+        gv = np.asarray(b[group_col].to_pylist(), dtype=object)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (hash64_ints(v) >> np.uint64(1)).astype(np.int64)
+        gs, hs = [], []
+        for g in np.unique(gv):
+            hk = np.unique(h[gv == g])[:k]
+            gs.extend([g] * len(hk))
+            hs.append(hk)
+        return pa.table({group_col: pa.array(gs, gtype),
+                         "h63": pa.array(np.concatenate(hs)
+                                         if hs else np.empty(0, np.int64),
+                                         pa.int64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    sk = {g: np.unique(sub["h63"].to_numpy())[:k]
+          for g, sub in parts.groupby(group_col, sort=True)}
+    rows = []
+    for a, b in combinations(sorted(sk), 2):
+        u = np.unique(np.concatenate([sk[a], sk[b]]))[:k]
+        common = np.isin(u, sk[a]) & np.isin(u, sk[b])
+        n_union, n_common = len(u), int(common.sum())
+        rows.append((a, b, n_union, n_common,
+                     1_000_000 * n_common // n_union if n_union else 0))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_union",
+                                       "n_common", "jaccard_e6"]) \
+        .astype({"n_union": "int64", "n_common": "int64",
+                 "jaccard_e6": "int64"})
+
+
 def kmv_estimate(kmv: pd.DataFrame, k: int = 256) -> int:
     """Distinct-count estimate from a kmv_sketch result (exact int math)."""
     if len(kmv) < k:
