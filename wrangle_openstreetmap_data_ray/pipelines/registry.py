@@ -9622,6 +9622,84 @@ def queries():
         return docs.map_batches(f, batch_format="pyarrow")
     q["doc_readability"] = doc_readability
 
+    def weighted_sample_orders(sf_dir):
+        """Deterministic weighted sampling WITHOUT replacement (priority
+        sampling — Efraimidis & Spirakis 2006 with a fixed splitmix hash
+        in place of the RNG): priority = hash(key)/weight, the k
+        smallest priorities win, so heavier orders are proportionally
+        likelier — reproducible across parallelism/resume, exactly
+        twinned in SQL because uint64→double CAST and one division are
+        single IEEE ops on both engines. Distributed top-k partials;
+        only ≤ k rows per block reach the driver."""
+        from ..functions.hashing import hash64_ints
+        ds = fx.driver_table(sf_dir, "orders",
+                             columns=["o_orderkey", "o_totalprice"])
+
+        def pr(b: pa.Table) -> pa.Table:
+            h = hash64_ints(b["o_orderkey"].to_numpy())
+            prio = h.astype(np.float64) / \
+                b["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "o_totalprice": b["o_totalprice"],
+                             "prio": pa.array(prio, pa.float64())})
+
+        top = distributed_topk(ds.map_batches(pr, batch_format="pyarrow"),
+                               50, [("prio", "ascending"),
+                                    ("o_orderkey", "ascending")])
+        return top[["o_orderkey", "o_totalprice"]]
+    q["weighted_sample_orders"] = weighted_sample_orders
+
+    def event_value_rank_in_type(sf_dir):
+        """Distributed partitioned WINDOW at data volume: per-type dense
+        row_number over (value, event_id) via ONE global range-
+        partitioned sort + O(blocks) offset merge (global_row_number on
+        the composite key), then rank-in-type = global rank − the
+        type's prefix offset (types are bounded, offsets broadcast).
+        Emits the e6 percent position — the full ROW_NUMBER() OVER
+        (PARTITION BY ... ORDER BY ...) shape without any per-group
+        driver pull."""
+        from ..util import global_row_number
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "event_type", "value"])
+
+        def scale(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "v": pa.array(np.floor(v * 1e6 + 0.5)
+                                           .astype(np.int64), pa.int64())})
+
+        keyed = ds.map_batches(scale, batch_format="pyarrow")
+        rn = global_row_number(keyed, [("event_type", "asc"),
+                                       ("v", "asc"),
+                                       ("event_id", "asc")], out_col="grn")
+        counts = grouped_count(rn, "event_type").to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        offs = dict(zip(counts["event_type"],
+                        counts["cnt"].cumsum().shift(fill_value=0)
+                        .astype("int64")))
+        ns = dict(zip(counts["event_type"], counts["cnt"].astype("int64")))
+        import ray
+
+        from ..util import _bcast_get
+        ref = ray.put((offs, ns))
+
+        def rank(b: pa.Table, _r=ref) -> pa.Table:
+            om, nm = _bcast_get(_r)
+            et = b["event_type"].to_pylist()
+            off = np.array([om[t] for t in et], np.int64)
+            n = np.array([nm[t] for t in et], np.int64)
+            r = b["grn"].to_numpy() - off
+            pct = np.where(n > 1, 1_000_000 * (r - 1) // np.maximum(
+                n - 1, 1), 0).astype(np.int64)
+            return pa.table({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "rank_in_type": pa.array(r, pa.int64()),
+                             "pct_e6": pa.array(pct, pa.int64())})
+
+        return rn.map_batches(rank, batch_format="pyarrow")
+    q["event_value_rank_in_type"] = event_value_rank_in_type
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13253,4 +13331,26 @@ def oracle_sql():
                CAST((1000000 * n_syl) // n_words AS BIGINT)
                    AS syl_per_word_e6
         FROM r WHERE n_words > 0"""
+    o["weighted_sample_orders"] = _SM64_MACROS + """
+        WITH p AS (SELECT o_orderkey, o_totalprice,
+                   CAST(sm64(CAST(o_orderkey AS UBIGINT)) AS DOUBLE)
+                       / o_totalprice AS prio
+                   FROM orders)
+        SELECT o_orderkey, o_totalprice FROM p
+        ORDER BY prio, o_orderkey LIMIT 50"""
+    o["event_value_rank_in_type"] = """
+        WITH v AS (SELECT event_id, event_type,
+                          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+                   FROM events),
+        r AS (SELECT event_id, event_type,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY v, event_id) AS BIGINT)
+                         AS rank_in_type,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM v)
+        SELECT event_id, event_type, rank_in_type,
+               CASE WHEN n > 1 THEN CAST((1000000 * (rank_in_type - 1))
+                    // (n - 1) AS BIGINT) ELSE 0 END AS pct_e6
+        FROM r"""
     return o
