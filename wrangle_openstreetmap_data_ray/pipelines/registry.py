@@ -86,6 +86,7 @@ BUFFER_R = 2         # cell_buffer_dilate Chebyshev dilation radius (cells)
 SEARCH_TOKENS = ("table", "scan", "merge")   # doc_keyword_and_search query
 ANCHORS = ((103.70, 1.25), (103.85, 1.30),   # anchor_nearest_points query
            (103.95, 1.35), (103.80, 1.40))   # points (lon, lat)
+KCENTER_K = 8        # kcenter_diverse_points subset size (== SQL unroll)
 SIMPLIFY_MIN_CROSS = 2_000_000_000_000   # way_simplify_onepass: min |cross|
                      # of an interior vertex's neighbor triangle, in e7-int
                      # coordinate units (2e12 ≈ a 0.02°-base × 0.02°-height
@@ -9700,6 +9701,31 @@ def queries():
         return rn.map_batches(rank, batch_format="pyarrow")
     q["event_value_rank_in_type"] = event_value_rank_in_type
 
+    def kcenter_diverse_points(sf_dir):
+        """Diverse-subset selection over the geotags: greedy farthest-
+        first traversal (simsearch.kcenter_select, Gonzalez k-center) on
+        e7-integer coordinates — k streaming passes, one broadcast
+        center set, one top-1 partial per block, exact integer L2. The
+        selected ids and their coverage-radius curve are pinned against
+        an 8-step unrolled MATERIALIZED-CTE twin."""
+        from ..stages import simsearch
+        ds = fx.read_fixture(sf_dir, "geo",
+                             columns=["image_id", "lon", "lat"])
+
+        def to_int(b: pa.Table) -> pa.Table:
+            x = np.floor(b["lon"].to_numpy() * 1e7 + 0.5).astype(np.int64)
+            y = np.floor(b["lat"].to_numpy() * 1e7 + 0.5).astype(np.int64)
+            vals = np.column_stack([x, y]).ravel()
+            offs = np.arange(0, 2 * (len(x) + 1), 2, dtype=np.int32)
+            fv = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                          pa.array(vals, pa.int64()))
+            return pa.table({"image_id": b["image_id"], "fv": fv})
+
+        return simsearch.kcenter_select(
+            ds.map_batches(to_int, batch_format="pyarrow"),
+            "image_id", "fv", k=KCENTER_K)
+    q["kcenter_diverse_points"] = kcenter_diverse_points
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13353,4 +13379,33 @@ def oracle_sql():
                CASE WHEN n > 1 THEN CAST((1000000 * (rank_in_type - 1))
                     // (n - 1) AS BIGINT) ELSE 0 END AS pct_e6
         FROM r"""
+    # farthest-first traversal, unrolled: dN holds every point's exact
+    # int min-distance to the first N centers; every step MATERIALIZED
+    # (expression fan-out re-expands exponentially otherwise — NOTES_r4)
+    _kc = [f"""
+        pts AS MATERIALIZED (SELECT image_id,
+            CAST(floor(lon * 1e7 + 0.5) AS BIGINT) AS x,
+            CAST(floor(lat * 1e7 + 0.5) AS BIGINT) AS y FROM {geo_p}),
+        c1 AS MATERIALIZED (SELECT image_id, x, y FROM pts
+            ORDER BY image_id LIMIT 1),
+        d1 AS MATERIALIZED (SELECT p.image_id, p.x, p.y,
+            (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) AS dmin
+            FROM pts p CROSS JOIN c1 c)"""]
+    for i in range(2, KCENTER_K + 1):
+        _kc.append(f"""
+        c{i} AS MATERIALIZED (SELECT image_id, x, y, dmin FROM d{i-1}
+            ORDER BY dmin DESC, image_id LIMIT 1)""")
+        if i < KCENTER_K:
+            _kc.append(f"""
+        d{i} AS MATERIALIZED (SELECT d.image_id, d.x, d.y,
+            LEAST(d.dmin, (d.x-c.x)*(d.x-c.x) + (d.y-c.y)*(d.y-c.y))
+                AS dmin
+            FROM d{i-1} d CROSS JOIN c{i} c)""")
+    _kc_sel = ["SELECT CAST(1 AS BIGINT) AS rank, image_id, "
+               "CAST(0 AS BIGINT) AS d2_sel FROM c1"]
+    for i in range(2, KCENTER_K + 1):
+        _kc_sel.append(f"SELECT CAST({i} AS BIGINT), image_id, dmin "
+                       f"FROM c{i}")
+    o["kcenter_diverse_points"] = ("WITH " + ",".join(_kc) + "\n        "
+                                   + "\n        UNION ALL ".join(_kc_sel))
     return o

@@ -647,3 +647,51 @@ def ivfpq_topk(ds, queries: np.ndarray, k_top: int = 10,
     return grouped_topk(parts, ["query_id"], k_top,
                         [("d2e6", "asc"), ("vec_id", "asc")],
                         n_buckets=64)
+
+
+def kcenter_select(ds, id_col: str, vec_col: str, k: int) -> pd.DataFrame:
+    """Greedy farthest-first traversal (Gonzalez 1985 2-approximate
+    k-center) — the DIVERSE-SUBSET selection primitive for training-data
+    curation: seed with the smallest id, then k−1 rounds each add the
+    point maximizing its distance to the chosen set. Every round is one
+    streaming pass (centers broadcast, ≤ m×D ints) whose blocks emit a
+    single top-1 partial, so only O(blocks) rows ever reach the driver;
+    total cost k passes, no shuffle. Distances are EXACT integer
+    squared-L2 over the caller's fixed-point ``vec_col`` (list<int64>) —
+    deterministic under any partitioning and reproducible in SQL.
+    Callers must size the fixed point so D·span² fits int64.
+
+    Returns pandas (rank 1..k, id, d2_sel) where d2_sel is the selected
+    point's distance-to-set at selection time (0 for the seed) — the
+    coverage-radius curve a curator reads off."""
+    import ray
+
+    from ..util import _bcast_get, distributed_topk
+
+    ds = ds.materialize()           # k passes over the projected input
+    seed = distributed_topk(ds, 1, [(id_col, "ascending")])
+    ids = [seed[id_col].iloc[0]]
+    centers = [np.asarray(seed[vec_col].iloc[0], dtype=np.int64)]
+    d2s = [0]
+    for _ in range(1, k):
+        ref = ray.put(np.stack(centers))
+
+        def dmin(b: pa.Table, _r=ref) -> pa.Table:
+            C = _bcast_get(_r)                       # (m, D) int64
+            X = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
+                .astype(np.int64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+                .min(axis=1)
+            return pa.table({id_col: b[id_col],
+                             vec_col: b[vec_col],
+                             "d2": pa.array(d2, pa.int64())})
+
+        top = distributed_topk(
+            ds.map_batches(dmin, batch_format="pyarrow"), 1,
+            [("d2", "descending"), (id_col, "ascending")])
+        ids.append(top[id_col].iloc[0])
+        centers.append(np.asarray(top[vec_col].iloc[0], dtype=np.int64))
+        d2s.append(int(top["d2"].iloc[0]))
+    return pd.DataFrame({"rank": np.arange(1, k + 1, dtype=np.int64),
+                         id_col: ids,
+                         "d2_sel": np.asarray(d2s, np.int64)})
