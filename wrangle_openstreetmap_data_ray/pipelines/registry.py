@@ -9726,6 +9726,32 @@ def queries():
             "image_id", "fv", k=KCENTER_K)
     q["kcenter_diverse_points"] = kcenter_diverse_points
 
+    def kcenter_diverse_embeddings(sf_dir):
+        """The same farthest-first traversal in EMBEDDING space — the
+        diverse-core selection step of a training-data curator (pick k
+        maximally spread exemplars before labeling/dedup). Vectors are
+        e6 fixed-pointed so the squared-L2 chain is exact integers on
+        both engines; the generic kcenter_select op is shared with the
+        geospatial variant."""
+        from ..stages import simsearch
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+
+        def to_int(b: pa.Table) -> pa.Table:
+            X = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            V = np.floor(X * 1e6 + 0.5).astype(np.int64)
+            d = V.shape[1]
+            offs = np.arange(0, d * (len(V) + 1), d, dtype=np.int32)
+            fv = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                          pa.array(V.ravel(), pa.int64()))
+            return pa.table({"vec_id": b["vec_id"], "fv": fv})
+
+        return simsearch.kcenter_select(
+            ds.map_batches(to_int, batch_format="pyarrow"),
+            "vec_id", "fv", k=KCENTER_K)
+    q["kcenter_diverse_embeddings"] = kcenter_diverse_embeddings
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13408,4 +13434,35 @@ def oracle_sql():
                        f"FROM c{i}")
     o["kcenter_diverse_points"] = ("WITH " + ",".join(_kc) + "\n        "
                                    + "\n        UNION ALL ".join(_kc_sel))
+    _ke = ["""
+        pts AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding, e ->
+                CAST(floor(CAST(e AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+                AS v FROM embeddings),
+        c1 AS MATERIALIZED (SELECT vec_id, v FROM pts
+            ORDER BY vec_id LIMIT 1),
+        d1 AS MATERIALIZED (SELECT p.vec_id, p.v, kd2(p.v, c.v) AS dmin
+            FROM pts p CROSS JOIN c1 c)"""]
+    for i in range(2, KCENTER_K + 1):
+        _ke.append(f"""
+        c{i} AS MATERIALIZED (SELECT vec_id, v, dmin FROM d{i-1}
+            ORDER BY dmin DESC, vec_id LIMIT 1)""")
+        if i < KCENTER_K:
+            _ke.append(f"""
+        d{i} AS MATERIALIZED (SELECT d.vec_id, d.v,
+            LEAST(d.dmin, kd2(d.v, c.v)) AS dmin
+            FROM d{i-1} d CROSS JOIN c{i} c)""")
+    _ke_sel = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, "
+               "CAST(0 AS BIGINT) AS d2_sel FROM c1"]
+    for i in range(2, KCENTER_K + 1):
+        _ke_sel.append(f"SELECT CAST({i} AS BIGINT), vec_id, "
+                       f"CAST(dmin AS BIGINT) FROM c{i}")
+    o["kcenter_diverse_embeddings"] = (
+        """CREATE OR REPLACE MACRO kd2(a, b) AS CAST(list_sum(
+            list_transform(generate_series(1, len(a)),
+                j -> (CAST(a[j] AS BIGINT) - CAST(b[j] AS BIGINT))
+                   * (CAST(a[j] AS BIGINT) - CAST(b[j] AS BIGINT))))
+            AS BIGINT);
+        WITH """ + ",".join(_ke) + "\n        "
+        + "\n        UNION ALL ".join(_ke_sel))
     return o
