@@ -9752,6 +9752,33 @@ def queries():
             "vec_id", "fv", k=KCENTER_K)
     q["kcenter_diverse_embeddings"] = kcenter_diverse_embeddings
 
+    def doc_token_counts_bpe(sf_dir):
+        """BPE-ish regex token counting (the GPT-2 pre-tokenizer shape,
+        RE2-safe — no lookahead): ' ?letters | ?digits | ?other-runs'
+        over the lowered text. Both engines run the SAME RE2 engine
+        (pyarrow's count_substring_regex and DuckDB both bind RE2), so
+        the counts are pinned, not merely similar."""
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+        pat = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+        def f(b: pa.Table) -> pa.Table:
+            n = pc.count_substring_regex(pc.utf8_lower(b["text"]), pat)
+            return pa.table({"doc_id": b["doc_id"],
+                             "n_tokens_bpe": pc.cast(n, pa.int64())})
+
+        return docs.map_batches(f, batch_format="pyarrow")
+    q["doc_token_counts_bpe"] = doc_token_counts_bpe
+
+    def way_point_loads(sf_dir):
+        """Map-matched LOAD per way: how many geo points snap to each
+        way (the edge-flow aggregation a routing/traffic pipeline runs
+        after map matching). Composition: the exact snap kernel → one
+        vectorized grouped count (ways are dimension-bounded)."""
+        snapped = snap_points_to_ways(sf_dir)
+        return grouped_count(snapped, "way_id", out="n_points")
+    q["way_point_loads"] = way_point_loads
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13457,6 +13484,16 @@ def oracle_sql():
     for i in range(2, KCENTER_K + 1):
         _ke_sel.append(f"SELECT CAST({i} AS BIGINT), vec_id, "
                        f"CAST(dmin AS BIGINT) FROM c{i}")
+    o["doc_token_counts_bpe"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT)
+                   AS n_tokens_bpe
+        FROM documents"""
+    o["way_point_loads"] = f"""
+        WITH s AS MATERIALIZED ({{SNAP}})
+        SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM s GROUP BY way_id"""
     o["kcenter_diverse_embeddings"] = (
         """CREATE OR REPLACE MACRO kd2(a, b) AS CAST(list_sum(
             list_transform(generate_series(1, len(a)),
@@ -13465,4 +13502,7 @@ def oracle_sql():
             AS BIGINT);
         WITH """ + ",".join(_ke) + "\n        "
         + "\n        UNION ALL ".join(_ke_sel))
+    # composed AFTER snap_points_to_ways' own twin exists in o
+    o["way_point_loads"] = o["way_point_loads"].replace(
+        "{SNAP}", o["snap_points_to_ways"])
     return o
