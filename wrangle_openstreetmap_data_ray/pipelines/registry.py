@@ -9779,6 +9779,49 @@ def queries():
         return grouped_count(snapped, "way_id", out="n_points")
     q["way_point_loads"] = way_point_loads
 
+    def event_value_mad_by_type(sf_dir):
+        """Robust dispersion per type: the MEDIAN ABSOLUTE DEVIATION,
+        exactly — two composed distributed-selection passes
+        (sketch.exact_grouped_kth): the per-type median, broadcast as a
+        bounded dict, then the median of |v − median|. Never sorts the
+        data volume; ~6 streaming passes total. The robust-outlier
+        primitive (x is an outlier iff |x−med| > c·MAD) a curation
+        pipeline thresholds on."""
+        import ray
+
+        from ..stages import sketch
+        from ..util import _bcast_get
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+
+        def scale(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({"event_type": b["event_type"],
+                             "v": pa.array(np.floor(v * 1e6 + 0.5)
+                                           .astype(np.int64), pa.int64())})
+
+        sv = ds.map_batches(scale, batch_format="pyarrow").materialize()
+        med = sketch.exact_grouped_kth(sv, "event_type", "v")
+        mmap = dict(zip(med["event_type"], med["v"].astype(int)))
+        ref = ray.put(mmap)
+
+        def absdev(b: pa.Table, _r=ref) -> pa.Table:
+            mm = _bcast_get(_r)
+            m = np.array([mm[t] for t in b["event_type"].to_pylist()],
+                         np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "av": pa.array(np.abs(b["v"].to_numpy() - m),
+                                            pa.int64())})
+
+        mad = sketch.exact_grouped_kth(
+            sv.map_batches(absdev, batch_format="pyarrow"),
+            "event_type", "av")
+        out = med.rename(columns={"v": "median_e6"}) \
+            .merge(mad.rename(columns={"av": "mad_e6"})[
+                ["event_type", "mad_e6"]], on="event_type")
+        return out[["event_type", "median_e6", "mad_e6", "n"]]
+    q["event_value_mad_by_type"] = event_value_mad_by_type
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13505,4 +13548,23 @@ def oracle_sql():
     # composed AFTER snap_points_to_ways' own twin exists in o
     o["way_point_loads"] = o["way_point_loads"].replace(
         "{SNAP}", o["snap_points_to_ways"])
+    o["event_value_mad_by_type"] = """
+        WITH v AS (SELECT event_type,
+                          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+                   FROM events),
+        m AS (SELECT event_type, v AS med,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM v
+              QUALIFY row_number() OVER (PARTITION BY event_type
+                  ORDER BY v)
+                  = (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2),
+        a AS (SELECT v.event_type, ABS(v.v - m.med) AS av
+              FROM v JOIN m USING (event_type)),
+        d AS (SELECT event_type, av FROM a
+              QUALIFY row_number() OVER (PARTITION BY event_type
+                  ORDER BY av)
+                  = (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2)
+        SELECT m.event_type, m.med AS median_e6, d.av AS mad_e6, m.n
+        FROM m JOIN d USING (event_type)"""
     return o
