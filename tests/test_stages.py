@@ -1900,3 +1900,76 @@ def test_ivfpq_topk_recall(ray_session):
         assert len(approx) == 10
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_exact_grouped_kth_edges(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import sketch
+
+    rng = np.random.default_rng(7)
+    g = np.repeat(["a", "purchase", "z"], [1, 5000, 2])
+    v = np.concatenate([[42],
+                        rng.integers(-10**9, 10**9, 5000),
+                        [-5, -5]]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(16)
+    out = sketch.exact_grouped_kth(ds, "g", "v").set_index("g")
+    # lower median == sorted()[ceil(n/2)-1]
+    for key, vals in (("a", v[:1]), ("purchase", v[1:5001]),
+                      ("z", v[5001:])):
+        s = np.sort(vals)
+        assert out.loc[key, "v"] == s[(len(s) + 1) // 2 - 1]
+        assert out.loc[key, "n"] == len(s)
+    # arbitrary rank k_of_n (min and max)
+    mn = sketch.exact_grouped_kth(ds, "g", "v", k_of_n=lambda n: 1) \
+        .set_index("g")
+    mx = sketch.exact_grouped_kth(ds, "g", "v", k_of_n=lambda n: n) \
+        .set_index("g")
+    assert mn.loc["purchase", "v"] == v[1:5001].min()
+    assert mx.loc["purchase", "v"] == v[1:5001].max()
+
+
+def test_kcenter_select_matches_serial_greedy(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import simsearch
+
+    rng = np.random.default_rng(3)
+    X = rng.integers(-10**6, 10**6, size=(500, 3)).astype(np.int64)
+    ids = [f"p{i:04d}" for i in range(500)]
+    offs = np.arange(0, 3 * 501, 3, dtype=np.int32)
+    fv = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                  pa.array(X.ravel(), pa.int64()))
+    ds = rd.from_arrow(pa.table({"id": ids, "fv": fv})).repartition(8)
+    out = simsearch.kcenter_select(ds, "id", "fv", k=5)
+
+    # serial reference
+    centers = [0]                      # p0000 = smallest id
+    sel = [("p0000", 0)]
+    for _ in range(4):
+        d2 = np.min([((X - X[c]) ** 2).sum(axis=1) for c in centers],
+                    axis=0)
+        best = int(np.argmax(d2))      # np.argmax = first max = smallest id
+        centers.append(best)
+        sel.append((ids[best], int(d2[best])))
+    assert list(zip(out["id"], out["d2_sel"])) == sel
+    # coverage radius is non-increasing after the seed
+    assert all(a >= b for a, b in zip(out["d2_sel"][1:-1],
+                                      out["d2_sel"][2:]))
+
+
+def test_kmv_grouped_jaccard_bounds(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import sketch
+
+    # identical groups -> jaccard 1; disjoint -> 0 (k covers both sets)
+    a = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"g": ["x"] * 1000 + ["y"] * 1000 + ["z"] * 1000,
+                    "u": np.concatenate([a, a, a + 10_000])})
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = sketch.kmv_grouped_jaccard(ds, "g", "u", k=256) \
+        .set_index(["type_a", "type_b"])
+    assert out.loc[("x", "y"), "jaccard_e6"] == 1_000_000
+    assert out.loc[("x", "z"), "jaccard_e6"] == 0
+    assert out.loc[("y", "z"), "jaccard_e6"] == 0
