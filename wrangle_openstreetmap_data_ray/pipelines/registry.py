@@ -9822,6 +9822,50 @@ def queries():
         return out[["event_type", "median_e6", "mad_e6", "n"]]
     q["event_value_mad_by_type"] = event_value_mad_by_type
 
+    def user_time_weighted_value(sf_dir):
+        """Time-weighted average for an IRREGULARLY sampled series (the
+        standard ops-metrics estimator: each value holds until the next
+        event): per user, Σ v_e6·Δt_µs // ΣΔt_µs. The v×Δt products
+        overflow int64 (≈1.3e21 here), so they accumulate in arbitrary-
+        precision Python ints inside ONE bounded-bucket pass (the
+        polygon-centroid precedent); the HUGEINT twin floors
+        identically. Single-event users have no interval and drop on
+        both engines."""
+        from ..util import bucketed_group_apply, typed_empty_series
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+
+        def twa(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+            u = g["user_id"].to_numpy()
+            t = g["ts"].astype("int64").to_numpy()
+            v = np.floor(g["value"].to_numpy() * 1e6 + 0.5) \
+                .astype(np.int64)
+            same = u[1:] == u[:-1]
+            uu = u[1:][same]
+            if not len(uu):
+                return pd.DataFrame({
+                    "user_id": typed_empty_series(u),
+                    "twa_e6": np.empty(0, np.int64),
+                    "n_intervals": np.empty(0, np.int64)})
+            dt = (t[1:] - t[:-1])[same].astype(object)
+            vv = v[:-1][same].astype(object)
+            df = pd.DataFrame({"user_id": uu, "num": vv * dt, "den": dt})
+            agg = df.groupby("user_id", sort=False).agg(
+                num=("num", "sum"), den=("den", "sum"),
+                n=("den", "size")).reset_index()
+            return pd.DataFrame({
+                "user_id": agg["user_id"],
+                "twa_e6": np.array([int(a) // int(b) for a, b in
+                                    zip(agg["num"], agg["den"])],
+                                   np.int64),
+                "n_intervals": agg["n"].astype("int64")})
+
+        return bucketed_group_apply(ev, ["user_id"], twa, n_buckets=64)
+    q["user_time_weighted_value"] = user_time_weighted_value
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13567,4 +13611,22 @@ def oracle_sql():
                   = (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2)
         SELECT m.event_type, m.med AS median_e6, d.av AS mad_e6, m.n
         FROM m JOIN d USING (event_type)"""
+    o["user_time_weighted_value"] = """
+        WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+                          event_id
+                   FROM events),
+        i AS (SELECT user_id, v,
+                     LEAD(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) - t AS dt
+              FROM s),
+        g AS (SELECT user_id,
+                     SUM(CAST(v AS HUGEINT) * CAST(dt AS HUGEINT))
+                         AS num,
+                     SUM(CAST(dt AS HUGEINT)) AS den,
+                     CAST(COUNT(*) AS BIGINT) AS n_intervals
+              FROM i WHERE dt IS NOT NULL GROUP BY user_id)
+        SELECT user_id, CAST(num // den AS BIGINT) AS twa_e6,
+               n_intervals
+        FROM g"""
     return o
