@@ -9866,6 +9866,30 @@ def queries():
         return bucketed_group_apply(ev, ["user_id"], twa, n_buckets=64)
     q["user_time_weighted_value"] = user_time_weighted_value
 
+    def event_value_exact_p90_by_type(sf_dir):
+        """Exact per-type 90th percentile (rank ⌈0.9·n⌉ element) — the
+        same distributed histogram-refinement selection as the median,
+        at an arbitrary rank; the ELEMENT semantics make it
+        SQL-pinnable where an interpolated percentile would not be."""
+        import math
+
+        from ..stages import sketch
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+
+        def scale(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({"event_type": b["event_type"],
+                             "v": pa.array(np.floor(v * 1e6 + 0.5)
+                                           .astype(np.int64), pa.int64())})
+
+        out = sketch.exact_grouped_kth(
+            ds.map_batches(scale, batch_format="pyarrow"),
+            "event_type", "v",
+            k_of_n=lambda n: math.ceil(0.9 * n))
+        return out.rename(columns={"v": "p90_e6"})
+    q["event_value_exact_p90_by_type"] = event_value_exact_p90_by_type
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13629,4 +13653,15 @@ def oracle_sql():
         SELECT user_id, CAST(num // den AS BIGINT) AS twa_e6,
                n_intervals
         FROM g"""
+    o["event_value_exact_p90_by_type"] = """
+        WITH v AS (SELECT event_type,
+                          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_type, v AS p90_e6,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n
+        FROM v
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY v)
+            = CAST(ceil(0.9 * (COUNT(*) OVER (PARTITION BY event_type)))
+                   AS BIGINT)"""
     return o
