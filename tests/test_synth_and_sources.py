@@ -483,3 +483,20 @@ def test_lancelike_schema_evolution_verbs(ray_session, tmp_path):
         lancelike.rename_column(root, "x", "nope", "y")
     with pytest.raises(ValueError):
         lancelike.rename_column(root, "x", "lat", "lon")
+
+
+def test_write_dataset_overwrite_clears_schema_edits(ray_session, tmp_path):
+    import ray.data as rd
+    root = str(tmp_path / "ow")
+    t = synth.gen_geo_table(0, 300)
+    lancelike.write_dataset(rd.from_arrow(t), root, stage="v1",
+                            resume=False)
+    lancelike.rename_column(root, "ren", "lon", "longitude")
+    # a full overwrite defines its own schema — pending edits must NOT
+    # leak onto the new fragments (they are already visible-named)
+    lancelike.write_dataset(rd.from_arrow(t), root, stage="v3",
+                            resume=False)
+    man = lancelike.latest_manifest(root)
+    assert not man.get("schema_edits")
+    names = set(lancelike.read_dataset(root).schema().names)
+    assert "lon" in names and "longitude" not in names

@@ -338,7 +338,10 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
         if bl:
             f["bloom"] = bl
         frags.append(f)
-    return _commit(root, stage, parent, frags, metrics, fingerprint)
+    # a full overwrite defines its own schema: never inherit pending
+    # renames/drops from the version being replaced
+    return _commit(root, stage, parent, frags, metrics, fingerprint,
+                   schema_edits=None)
 
 
 def fragments_for_range(root: str, col: str, lo, hi,
@@ -539,7 +542,8 @@ def write_dataset_partitioned(ds, root: str, stage: str, partition_col: str,
     m = dict(metrics or {})
     m["partition_col"] = partition_col
     m["partition_rows"] = per_part
-    return _commit(root, stage, parent, frags, m, fingerprint)
+    return _commit(root, stage, parent, frags, m, fingerprint,
+                   schema_edits=None)   # full overwrite — see write_dataset
 
 
 def _read_fragments(root: str, man: dict, paths: list[str],

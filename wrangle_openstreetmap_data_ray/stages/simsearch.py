@@ -677,6 +677,10 @@ def kcenter_select(ds, id_col: str, vec_col: str, k: int) -> pd.DataFrame:
         ref = ray.put(np.stack(centers))
 
         def dmin(b: pa.Table, _r=ref) -> pa.Table:
+            if not b.num_rows:   # np.stack raises on an empty block
+                return pa.table({id_col: b[id_col],
+                                 vec_col: b[vec_col],
+                                 "d2": pa.array([], pa.int64())})
             C = _bcast_get(_r)                       # (m, D) int64
             X = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
                 .astype(np.int64)
