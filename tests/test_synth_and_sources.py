@@ -500,3 +500,42 @@ def test_write_dataset_overwrite_clears_schema_edits(ray_session, tmp_path):
     assert not man.get("schema_edits")
     names = set(lancelike.read_dataset(root).schema().names)
     assert "lon" in names and "longitude" not in names
+
+
+def test_metadata_value_counts_through_mutators(ray_session, tmp_path):
+    import ray.data as rd
+    root = str(tmp_path / "vc")
+    t = synth.gen_images_table(0, 400).select(["image_id", "fmt", "w"])
+    lancelike.write_dataset(rd.from_arrow(t).repartition(8), root,
+                            stage="base", count_cols=["fmt"])
+    import collections
+    want = collections.Counter(t["fmt"].to_pylist())
+    assert lancelike.metadata_value_counts(root, "fmt") == dict(want)
+
+    # survives merge_upsert (rewritten + carried + new fragments)
+    upd = t.slice(0, 5).set_column(
+        1, "fmt", pa.array(["raw8"] * 5, pa.string()))
+    lancelike.merge_upsert(rd.from_arrow(upd), root, key_col="image_id",
+                           stage="m")
+    for iid, old in zip(t["image_id"].to_pylist()[:5],
+                        t["fmt"].to_pylist()[:5]):
+        want[old] -= 1
+        want["raw8"] += 1
+    assert lancelike.metadata_value_counts(root, "fmt") == \
+        {k: v for k, v in want.items() if v}
+
+    # survives compact
+    lancelike.compact(root, stage="c", target_bytes=1 << 20)
+    assert lancelike.metadata_value_counts(root, "fmt") == \
+        {k: v for k, v in want.items() if v}
+
+    # missing counts raise rather than undercount
+    with pytest.raises(KeyError):
+        lancelike.metadata_value_counts(root, "w")
+
+    # MoR tombstones refuse (metadata would overcount)
+    lancelike.delete_by_keys_mor(
+        pa.array(t["image_id"].to_pylist()[:2], pa.string()),
+        root, key_col="image_id", stage="mor")
+    with pytest.raises(ValueError):
+        lancelike.metadata_value_counts(root, "fmt")

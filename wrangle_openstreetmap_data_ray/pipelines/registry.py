@@ -9890,6 +9890,34 @@ def queries():
         return out.rename(columns={"v": "p90_e6"})
     q["event_value_exact_p90_by_type"] = event_value_exact_p90_by_type
 
+    def lancelike_metadata_count_check(sf_dir):
+        """Aggregate pushdown to MANIFEST METADATA (Iceberg-style):
+        per-fragment value counts recorded at write time answer a
+        GROUP-BY-count with zero data I/O, and stay correct through a
+        copy-on-write DELETE (rewritten fragments recompute their
+        counts; carried ones keep theirs by reference). The oracle is
+        the relational GROUP BY over the same post-delete content."""
+        import shutil
+
+        from ..sources import lancelike
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_vcount/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "fmt"])
+        lancelike.write_dataset(imgs, root, stage="base", resume=False,
+                                count_cols=["fmt"])
+        victims = pa.array([f"img{i:012d}" for i in range(0, 200, 7)],
+                           pa.string())
+        lancelike.delete_by_keys(victims, root, "image_id", stage="del")
+        counts = lancelike.metadata_value_counts(root, "fmt")
+        return pd.DataFrame(
+            {"fmt": sorted(counts),
+             "n": np.array([counts[k] for k in sorted(counts)],
+                           np.int64)})
+    q["lancelike_metadata_count_check"] = lancelike_metadata_count_check
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13664,4 +13692,12 @@ def oracle_sql():
         QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY v)
             = CAST(ceil(0.9 * (COUNT(*) OVER (PARTITION BY event_type)))
                    AS BIGINT)"""
+    o["lancelike_metadata_count_check"] = f"""
+        WITH victims AS (
+            SELECT printf('img%012d', g.i) AS image_id
+            FROM (SELECT unnest(generate_series(0, 199, 7)) AS i) g)
+        SELECT i.fmt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {images_p} i
+        WHERE i.image_id NOT IN (SELECT image_id FROM victims)
+        GROUP BY i.fmt"""
     return o

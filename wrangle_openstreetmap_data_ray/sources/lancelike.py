@@ -174,6 +174,7 @@ def _require_schema_clean(man: dict, verb: str) -> None:
             f"schema edits; run materialize_schema() first")
 
 
+_VCOUNT_CARD_CAP = 256      # per-fragment distinct cap for count_cols
 _BLOOM_BITS = 8192          # 1 KiB bitmap per fragment per bloom column
 _BLOOM_K = 4                # probe positions per key (13 bits each from h)
 _BLOOM_SEED = 0xB100F17
@@ -211,7 +212,8 @@ def _bloom_any_hit(hexmap: str, keys) -> bool:
     return bool(hit.any())
 
 
-def _fragment_meta(batch: pa.Table, zonemap_cols, bloom_cols):
+def _fragment_meta(batch: pa.Table, zonemap_cols, bloom_cols,
+                   count_cols=None):
     """(zonemap dict, bloom dict) for one fragment's rows — THE one
     definition of fragment pruning metadata, shared by _FragmentWriter
     and every mutator that rewrites fragments (compact, merge probe,
@@ -243,13 +245,31 @@ def _fragment_meta(batch: pa.Table, zonemap_cols, bloom_cols):
             vals = batch[c].drop_null().to_numpy()
             if len(vals):
                 bl[c] = _bloom_build(vals)
-    return zm, bl
+    vc = {}
+    for c in count_cols or []:
+        if c not in batch.column_names:
+            continue
+        if batch.num_rows:
+            vcs = pc.value_counts(batch[c].combine_chunks()
+                                  if isinstance(batch[c], pa.ChunkedArray)
+                                  else batch[c])
+            vals = vcs.field("values").to_pylist()
+            cnts = vcs.field("counts").to_pylist()
+            pairs = [(v, n) for v, n in zip(vals, cnts) if v is not None]
+            if len(pairs) > _VCOUNT_CARD_CAP:
+                raise ValueError(
+                    f"count_cols supports low-cardinality columns only; "
+                    f"{c!r} has {len(pairs)} distinct values in one "
+                    f"fragment (cap {_VCOUNT_CARD_CAP})")
+            if pairs:
+                vc[c] = [[v for v, _ in pairs], [int(n) for _, n in pairs]]
+    return zm, bl, vc
 
 
 def _manifest_pruning_cols(man: dict) -> tuple:
     """(zonemap cols, bloom cols) already present in a manifest — the
     defaults every full/partial rewrite preserves."""
-    zs, bs = [], []
+    zs, bs, cs = [], [], []
     for f in man["fragments"]:
         for c in f.get("zonemap", {}):
             if c not in zs:
@@ -257,7 +277,10 @@ def _manifest_pruning_cols(man: dict) -> tuple:
         for c in f.get("bloom", {}):
             if c not in bs:
                 bs.append(c)
-    return (zs or None), (bs or None)
+        for c in f.get("vcounts", {}):
+            if c not in cs:
+                cs.append(c)
+    return (zs or None), (bs or None), (cs or None)
 
 
 class _FragmentWriter:
@@ -279,10 +302,12 @@ class _FragmentWriter:
     negatives: a key present in the fragment always tests positive."""
 
     def __init__(self, frag_dir: str, zonemap_cols: list[str] | None = None,
-                 bloom_cols: list[str] | None = None):
+                 bloom_cols: list[str] | None = None,
+                 count_cols: list[str] | None = None):
         self.frag_dir = frag_dir
         self.zonemap_cols = zonemap_cols or []
         self.bloom_cols = bloom_cols or []
+        self.count_cols = count_cols or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         name = f"frag-{uuid.uuid4().hex}.parquet"
@@ -292,16 +317,19 @@ class _FragmentWriter:
         os.replace(tmp, final)
         # strict-column check: a write-path col missing from the batch is
         # a caller error (rewrite paths pass cols filtered to the schema)
-        for c in list(self.zonemap_cols) + list(self.bloom_cols):
+        for c in (list(self.zonemap_cols) + list(self.bloom_cols)
+                  + list(self.count_cols)):
             if c not in batch.column_names:
                 raise KeyError(f"metadata column {c!r} not in batch")
-        zm, bl = _fragment_meta(batch, self.zonemap_cols, self.bloom_cols)
+        zm, bl, vc = _fragment_meta(batch, self.zonemap_cols,
+                                    self.bloom_cols, self.count_cols)
         return pa.table({
             "path": [os.path.join(_FRAGMENT_DIR, name)],
             "rows": pa.array([batch.num_rows], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
             "zonemap": pa.array([json.dumps(zm, default=str)], pa.string()),
             "bloom": pa.array([json.dumps(bl)], pa.string()),
+            "vcounts": pa.array([json.dumps(vc)], pa.string()),
         })
 
 
@@ -309,7 +337,8 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
                   metrics: dict | None = None, resume: bool = True,
                   fingerprint: str | None = None,
                   zonemap_cols: list[str] | None = None,
-                  bloom_cols: list[str] | None = None) -> dict:
+                  bloom_cols: list[str] | None = None,
+                  count_cols: list[str] | None = None) -> dict:
     """Write a ``ray.data.Dataset`` as a new committed version of ``root``.
 
     Returns the committed manifest. If ``resume`` and the latest committed
@@ -324,7 +353,8 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
         return latest_manifest(root)
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
     os.makedirs(frag_dir, exist_ok=True)
-    meta = ds.map_batches(_FragmentWriter(frag_dir, zonemap_cols, bloom_cols),
+    meta = ds.map_batches(_FragmentWriter(frag_dir, zonemap_cols,
+                                          bloom_cols, count_cols),
                           batch_format="pyarrow",
                           batch_size=None)  # one fragment per input block
     frags = []
@@ -337,6 +367,9 @@ def write_dataset(ds, root: str, stage: str, parent: str | None = None,
         bl = json.loads(r.get("bloom") or "{}")
         if bl:
             f["bloom"] = bl
+        vc = json.loads(r.get("vcounts") or "{}")
+        if vc:
+            f["vcounts"] = vc
         frags.append(f)
     # a full overwrite defines its own schema: never inherit pending
     # renames/drops from the version being replaced
@@ -615,8 +648,42 @@ def dataset_row_count(root: str) -> int:
     return 0 if man is None else man["total_rows"]
 
 
+def metadata_value_counts(root: str, col: str,
+                          version: int | None = None) -> dict:
+    """GROUP-BY-count answered from MANIFEST METADATA ALONE (the
+    Iceberg/Lance aggregate-pushdown pattern): per-fragment value
+    counts for low-cardinality ``count_cols`` are recorded at write
+    time and preserved by every mutator (merge/delete/compact/
+    add_column/materialize recompute them on rewritten fragments,
+    carry them by reference otherwise), so a ``SELECT col, COUNT(*)
+    GROUP BY col`` over a 100 TB table costs O(#fragments) dict sums
+    and ZERO data I/O. Raises if any fragment lacks counts for ``col``
+    (the answer would silently undercount) — no fallback scan here;
+    callers choose to scan explicitly. Merge-on-read tombstones also
+    raise: metadata counts cannot see scan-time anti-joins."""
+    man = _manifest_at(root, version)
+    if man.get("tombstones"):
+        raise ValueError("metadata_value_counts refused: pending "
+                         "merge-on-read tombstones would make metadata "
+                         "counts overcount; apply_tombstones() first")
+    dcol = _to_disk(man, col)
+    out: dict = {}
+    for f in man["fragments"]:
+        if not f["rows"]:
+            continue
+        vc = f.get("vcounts", {}).get(dcol)
+        if vc is None:
+            raise KeyError(
+                f"fragment {f['path']} has no value counts for "
+                f"{col!r} — write with count_cols=[{col!r}]")
+        for v, n in zip(vc[0], vc[1]):
+            out[v] = out.get(v, 0) + int(n)
+    return out
+
+
 def _drop_hits_probe(root: str, key_col: str, kref,
-                     zonemap_cols=None, bloom_cols=None):
+                     zonemap_cols=None, bloom_cols=None,
+                     count_cols=None):
     """Per-fragment probe shared by merge_upsert / delete_by_keys: a
     fragment with NO key hit is carried over by manifest reference
     (zero I/O — the common case for localized updates); a hit fragment
@@ -629,7 +696,7 @@ def _drop_hits_probe(root: str, key_col: str, kref,
     def probe(b: pa.Table) -> pa.Table:
         from ..util import _bcast_get
         ks = _bcast_get(kref)
-        paths, rows, sizes, zms, bls = [], [], [], [], []
+        paths, rows, sizes, zms, bls, vcs = [], [], [], [], [], []
         for path, nrows, nbytes in zip(b["path"].to_pylist(),
                                        b["rows"].to_pylist(),
                                        b["bytes"].to_pylist()):
@@ -642,6 +709,7 @@ def _drop_hits_probe(root: str, key_col: str, kref,
                 sizes.append(nbytes)
                 zms.append("")                # caller keeps old metadata
                 bls.append("")
+                vcs.append("")
                 continue
             kept = t.filter(pc.invert(hit))
             if not kept.num_rows:             # fully replaced/deleted
@@ -653,17 +721,20 @@ def _drop_hits_probe(root: str, key_col: str, kref,
             os.replace(tmp, final)
             # rewritten rows: fresh pruning metadata (same definition as
             # the writer) so maintenance never drops pruning power
-            zm, bl = _fragment_meta(kept, zonemap_cols, bloom_cols)
+            zm, bl, vc = _fragment_meta(kept, zonemap_cols, bloom_cols,
+                                        count_cols)
             paths.append(os.path.join(_FRAGMENT_DIR, name))
             rows.append(kept.num_rows)
             sizes.append(os.path.getsize(final))
             zms.append(json.dumps(zm, default=str))
             bls.append(json.dumps(bl))
+            vcs.append(json.dumps(vc))
         return pa.table({"path": pa.array(paths, pa.string()),
                          "rows": pa.array(rows, pa.int64()),
                          "bytes": pa.array(sizes, pa.int64()),
                          "zonemap": pa.array(zms, pa.string()),
-                         "bloom": pa.array(bls, pa.string())})
+                         "bloom": pa.array(bls, pa.string()),
+                         "vcounts": pa.array(vcs, pa.string())})
 
     return probe
 
@@ -720,23 +791,26 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
         "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
                           pa.int64())})
 
-    zm_cols, bl_cols = _manifest_pruning_cols(man)
+    zm_cols, bl_cols, cs_cols = _manifest_pruning_cols(man)
     # the updates batch may carry extra/fewer columns; only compute
     # metadata for columns actually present (rewrites filter likewise)
     upd_cols = set(updates.schema().names)
-    probe = _drop_hits_probe(root, key_col, kref, zm_cols, bl_cols)
+    probe = _drop_hits_probe(root, key_col, kref, zm_cols, bl_cols,
+                             cs_cols)
 
     surv = rd.from_arrow(frag_meta).map_batches(
         probe, batch_format="pyarrow", batch_size=4)
     new = updates.map_batches(
         _FragmentWriter(frag_dir,
                         [c for c in zm_cols or [] if c in upd_cols],
-                        [c for c in bl_cols or [] if c in upd_cols]),
+                        [c for c in bl_cols or [] if c in upd_cols],
+                        [c for c in cs_cols or [] if c in upd_cols]),
         batch_format="pyarrow", batch_size=None)
     # carried fragments keep their metadata (bytes untouched);
     # rewritten/new fragments carry the freshly computed maps
     old_zm = {f["path"]: f.get("zonemap") for f in man["fragments"]}
     old_bl = {f["path"]: f.get("bloom") for f in man["fragments"]}
+    old_vc = {f["path"]: f.get("vcounts") for f in man["fragments"]}
     frags = []
     for r in surv.union(new).take_all():
         f = {"path": r["path"], "rows": int(r["rows"]),
@@ -749,6 +823,10 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
               else old_bl.get(r["path"]))
         if bl:
             f["bloom"] = bl
+        vc = (json.loads(r["vcounts"]) if r.get("vcounts")
+              else old_vc.get(r["path"]))
+        if vc:
+            f["vcounts"] = vc
         frags.append(f)
     old_paths = {f["path"] for f in man["fragments"]}
     carried = sum(1 for f in frags if f["path"] in old_paths)
@@ -803,13 +881,14 @@ def delete_by_keys(keys, root: str, key_col: str, stage: str,
                          pa.int64()),
         "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
                           pa.int64())})
-    zm_cols, bl_cols = _manifest_pruning_cols(man)
+    zm_cols, bl_cols, cs_cols = _manifest_pruning_cols(man)
     surv = rd.from_arrow(frag_meta).map_batches(
-        _drop_hits_probe(root, key_col, kref, zm_cols, bl_cols),
+        _drop_hits_probe(root, key_col, kref, zm_cols, bl_cols, cs_cols),
         batch_format="pyarrow", batch_size=4)
 
     old_zm = {f["path"]: f.get("zonemap") for f in man["fragments"]}
     old_bl = {f["path"]: f.get("bloom") for f in man["fragments"]}
+    old_vc = {f["path"]: f.get("vcounts") for f in man["fragments"]}
     frags = []
     for r in surv.take_all():
         f = {"path": r["path"], "rows": int(r["rows"]),
@@ -822,6 +901,10 @@ def delete_by_keys(keys, root: str, key_col: str, stage: str,
             if r.get("bloom") else old_bl.get(r["path"])
         if bl:
             f["bloom"] = bl
+        vc = json.loads(r.get("vcounts") or "{}") \
+            if r.get("vcounts") else old_vc.get(r["path"])
+        if vc:
+            f["vcounts"] = vc
         frags.append(f)
     old_paths = {f["path"] for f in man["fragments"]}
     carried = sum(1 for f in frags if f["path"] in old_paths)
@@ -866,11 +949,12 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
             "compact() does not support partitioned layouts — binning "
             "across partition subdirs would break partition-pruned reads")
     frag_dir = os.path.join(root, _FRAGMENT_DIR)
-    zm_def, bl_def = _manifest_pruning_cols(man)
+    zm_def, bl_def, cs_def = _manifest_pruning_cols(man)
     if zonemap_cols is None:
         zonemap_cols = zm_def
     if bloom_cols is None:
         bloom_cols = bl_def
+    count_cols = cs_def
 
     small = [f for f in man["fragments"] if f["bytes"] < target_bytes]
     big = [f for f in man["fragments"] if f["bytes"] >= target_bytes]
@@ -889,7 +973,8 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
     bins = [b for b in bins if len(b) > 1]
     if not bins:
         return man                      # nothing to gain
-    writer = _FragmentWriter(frag_dir, zonemap_cols, bloom_cols)
+    writer = _FragmentWriter(frag_dir, zonemap_cols, bloom_cols,
+                             count_cols)
 
     def rewrite(b: pa.Table) -> pa.Table:
         out = []
@@ -914,6 +999,9 @@ def compact(root: str, stage: str, target_bytes: int = 64 * 1024 * 1024,
         bl = json.loads(r.get("bloom") or "{}")
         if bl:
             f["bloom"] = bl
+        vc = json.loads(r.get("vcounts") or "{}")
+        if vc:
+            f["vcounts"] = vc
         frags.append(f)
     metrics = {"compacted_bins": len(bins),
                "small_fragments_in": len(small),
@@ -992,7 +1080,8 @@ def vacuum(root: str, keep_versions: int = 1, grace_s: float = 0.0) -> dict:
 
 
 def _rewrite_fragments(root: str, man: dict, compute,
-                       zonemap_cols, bloom_cols) -> list[dict]:
+                       zonemap_cols, bloom_cols,
+                       count_cols=None) -> list[dict]:
     """Copy-on-write rewrite of every fragment through ``compute`` —
     one Ray task per fragment (full-cluster parallelism), row counts
     verified, pruning metadata recomputed, partition subdirs preserved.
@@ -1027,11 +1116,14 @@ def _rewrite_fragments(root: str, man: dict, compute,
                    "bytes": os.path.getsize(final)}
             if part:
                 row["partition"] = part
-            zm, bl = _fragment_meta(t2, zonemap_cols, bloom_cols)
+            zm, bl, vc = _fragment_meta(t2, zonemap_cols, bloom_cols,
+                                        count_cols)
             if zm:
                 row["zonemap"] = zm
             if bl:
                 row["bloom"] = bl
+            if vc:
+                row["vcounts"] = vc
             out.append(row)
         cols = {k: [r.get(k) for r in out]
                 for k in ("path", "rows", "bytes", "partition")}
@@ -1046,6 +1138,9 @@ def _rewrite_fragments(root: str, man: dict, compute,
                               for r in out], pa.string()),
                          "bloom": pa.array(
                              [json.dumps(r.get("bloom") or {})
+                              for r in out], pa.string()),
+                         "vcounts": pa.array(
+                             [json.dumps(r.get("vcounts") or {})
                               for r in out], pa.string())})
 
     items = [{"path": f["path"], "partition": f.get("partition", "")}
@@ -1064,6 +1159,9 @@ def _rewrite_fragments(root: str, man: dict, compute,
         bl = json.loads(r["bloom"] or "{}")
         if bl:
             f["bloom"] = bl
+        vc = json.loads(r.get("vcounts") or "{}")
+        if vc:
+            f["vcounts"] = vc
         frags.append(f)
     return frags
 
@@ -1155,16 +1253,17 @@ def materialize_schema(root: str, stage: str = "materialize_schema") -> dict:
     renames, dropped = _schema_state(man)
     if not renames and not dropped:
         return man
-    zm_def, bl_def = _manifest_pruning_cols(man)
+    zm_def, bl_def, cs_def = _manifest_pruning_cols(man)
     zm_new = [renames.get(c, c) for c in zm_def or [] if c not in dropped]
     bl_new = [renames.get(c, c) for c in bl_def or [] if c not in dropped]
+    cs_new = [renames.get(c, c) for c in cs_def or [] if c not in dropped]
 
     def proj(t: pa.Table) -> pa.Table:
         keep = [c for c in t.column_names if c not in dropped]
         return t.select(keep).rename_columns(
             [renames.get(c, c) for c in keep])
 
-    frags = _rewrite_fragments(root, man, proj, zm_new, bl_new)
+    frags = _rewrite_fragments(root, man, proj, zm_new, bl_new, cs_new)
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics={"rewritten_fragments": len(frags),
                             "applied_renames": renames,
@@ -1190,13 +1289,14 @@ def add_column(root: str, stage: str, compute, *,
         raise FileNotFoundError(f"no committed manifest under {root}")
     _require_no_tombstones(man, 'add_column')
     _require_schema_clean(man, 'add_column')
-    zm_def, bl_def = _manifest_pruning_cols(man)
+    zm_def, bl_def, cs_def = _manifest_pruning_cols(man)
     if zonemap_cols is None:
         # compact()'s precedent: a full rewrite must not silently drop
         # existing pruning metadata — recompute every column already
-        # zone-mapped (and bloomed) in the current manifest
+        # zone-mapped (and bloomed / value-counted) in the manifest
         zonemap_cols = zm_def
-    frags = _rewrite_fragments(root, man, compute, zonemap_cols, bl_def)
+    frags = _rewrite_fragments(root, man, compute, zonemap_cols, bl_def,
+                               cs_def)
     metrics = {"rewritten_fragments": len(frags)}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
