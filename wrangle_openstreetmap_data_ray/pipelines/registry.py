@@ -87,6 +87,7 @@ SEARCH_TOKENS = ("table", "scan", "merge")   # doc_keyword_and_search query
 ANCHORS = ((103.70, 1.25), (103.85, 1.30),   # anchor_nearest_points query
            (103.95, 1.35), (103.80, 1.40))   # points (lon, lat)
 KCENTER_K = 8        # kcenter_diverse_points subset size (== SQL unroll)
+BOT_HOURLY = 3       # bot_like_users peak-hour threshold (fixture-scaled)
 SIMPLIFY_MIN_CROSS = 2_000_000_000_000   # way_simplify_onepass: min |cross|
                      # of an interior vertex's neighbor triangle, in e7-int
                      # coordinate units (2e12 ≈ a 0.02°-base × 0.02°-height
@@ -9918,6 +9919,38 @@ def queries():
                            np.int64)})
     q["lancelike_metadata_count_check"] = lancelike_metadata_count_check
 
+    def bot_like_users(sf_dir):
+        """Abuse/bot screen for event streams (the curation gate before
+        any engagement-weighted sampling): users whose burstiest hour
+        holds ≥ {BOT_HOURLY} events. Per-(user, hour) counts pre-reduce
+        in one bounded bucketed pass, then a per-user max — all
+        integers, no float heuristics."""
+        from ..util import bucketed_sum, grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["user_id", "ts"])
+
+        def keyed(b: pa.Table) -> pa.Table:
+            t = b["ts"].cast(pa.int64()).to_numpy()
+            return pa.table({"user_id": b["user_id"],
+                             "hour": pa.array(t // 3_600_000_000,
+                                              pa.int64()),
+                             "one": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        hourly = bucketed_sum(ev.map_batches(keyed,
+                                             batch_format="pyarrow"),
+                              ["user_id", "hour"], {"one": "cnt"},
+                              n_buckets=64)
+        peak = grouped_agg_vec(hourly, ["user_id"],
+                               [("cnt", "max", "peak_hourly")])
+        out = peak.filter(expr=f"peak_hourly >= {BOT_HOURLY}")
+        return out.map_batches(
+            lambda b: pa.table({
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "peak_hourly": pc.cast(b["peak_hourly"], pa.int64())}),
+            batch_format="pyarrow")
+    q["bot_like_users"] = bot_like_users
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13700,4 +13733,13 @@ def oracle_sql():
         FROM {images_p} i
         WHERE i.image_id NOT IN (SELECT image_id FROM victims)
         GROUP BY i.fmt"""
+    o["bot_like_users"] = f"""
+        WITH h AS (SELECT user_id,
+                          epoch_us(ts) // 3600000000 AS hour,
+                          COUNT(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        p AS (SELECT user_id, MAX(cnt) AS peak_hourly FROM h
+              GROUP BY user_id)
+        SELECT user_id, CAST(peak_hourly AS BIGINT) AS peak_hourly
+        FROM p WHERE peak_hourly >= {BOT_HOURLY}"""
     return o
