@@ -9951,6 +9951,125 @@ def queries():
             batch_format="pyarrow")
     q["bot_like_users"] = bot_like_users
 
+    def type_hour_chi2(sf_dir):
+        """χ² independence screen between event type and hour-of-day —
+        the drift/seasonality gate of an eval pipeline. The contingency
+        table is bounded (types × 24), so one bucketed count pass feeds
+        a driver-side EXACT integer statistic: per cell
+        (o·N − r·c)²·1e6 // (N·r·c), floored per-term on BOTH engines
+        (Python big ints here, HUGEINT in the twin), summed in cell
+        order — no float anywhere."""
+        from ..util import bucketed_sum
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "ts"])
+
+        def keyed(b: pa.Table) -> pa.Table:
+            t = b["ts"].cast(pa.int64()).to_numpy()
+            return pa.table({"event_type": b["event_type"],
+                             "hod": pa.array((t // 3_600_000_000) % 24,
+                                             pa.int64()),
+                             "one": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        cells = bucketed_sum(ev.map_batches(keyed,
+                                            batch_format="pyarrow"),
+                             ["event_type", "hod"], {"one": "o"},
+                             n_buckets=16).to_pandas()
+        N = int(cells["o"].sum())
+        r = cells.groupby("event_type")["o"].sum().to_dict()
+        c = cells.groupby("hod")["o"].sum().to_dict()
+        chi2_e6 = 0
+        dof = (len(r) - 1) * (len(c) - 1)
+        for _, row in cells.sort_values(["event_type", "hod"]).iterrows():
+            o, rr, cc = int(row["o"]), int(r[row["event_type"]]), \
+                int(c[row["hod"]])
+            num = (o * N - rr * cc) ** 2 * 1_000_000
+            chi2_e6 += num // (N * rr * cc)
+        return pd.DataFrame({"chi2_e6": np.array([chi2_e6], np.int64),
+                             "dof": np.array([dof], np.int64),
+                             "n": np.array([N], np.int64)})
+    q["type_hour_chi2"] = type_hour_chi2
+
+    def ks_view_purchase(sf_dir):
+        """EXACT two-sample Kolmogorov–Smirnov distance between the
+        'view' and 'purchase' value distributions — the distribution-
+        drift gate. Fully distributed: per-value side counts settle in
+        one bounded-bucket pass; a range-partitioned sort + O(blocks)
+        prefix-sum offsets (the global_row_number trick applied to
+        SUMS) give every distinct value its two cumulative counts; the
+        supremum |cumA·n_b − cumB·n_a| (cross-multiplied — no float
+        division) reduces via distributed top-1. Driver state is
+        O(blocks); the distinct-value table never leaves the cluster."""
+        import ray
+
+        from ..util import _bcast_get, bucketed_sum, distributed_topk
+        ev = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+
+        def keyed(b: pa.Table) -> pa.Table:
+            et = b["event_type"]
+            m = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+            b = b.filter(m)
+            v = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 1e6 + 0.5).astype(np.int64)
+            isa = pc.equal(b["event_type"], "view").to_numpy(
+                zero_copy_only=False)
+            return pa.table({"v": pa.array(v, pa.int64()),
+                             "a": pa.array(isa.astype(np.int64)),
+                             "b": pa.array((~isa).astype(np.int64))})
+
+        pv = bucketed_sum(ev.map_batches(keyed, batch_format="pyarrow"),
+                          ["v"], {"a": "a", "b": "b"}, n_buckets=64)
+        # re-type to arrow blocks before the sort (pandas-block sort-
+        # shuffle gotcha, NOTES_r4), then range-partition by v
+        ordered = pv.map_batches(
+            lambda t: pa.table({"v": pc.cast(t["v"], pa.int64()),
+                                "a": pc.cast(t["a"], pa.int64()),
+                                "b": pc.cast(t["b"], pa.int64())}),
+            batch_format="pyarrow").sort("v").materialize()
+
+        def block_meta(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "v": t["v"].slice(0, min(1, t.num_rows)),
+                "sa": pa.array([int(pc.sum(t["a"]).as_py() or 0)]
+                               if t.num_rows else [], pa.int64()),
+                "sb": pa.array([int(pc.sum(t["b"]).as_py() or 0)]
+                               if t.num_rows else [], pa.int64())})
+
+        meta = ordered.map_batches(block_meta, batch_format="pyarrow",
+                                   batch_size=None).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        n_a = int(meta["sa"].sum())
+        n_b = int(meta["sb"].sum())
+        if max(n_a, n_b) > (1 << 31):
+            raise ValueError("KS cross-products would overflow int64 — "
+                             "switch the reducer to Python ints")
+        offs = {int(v): (int(oa), int(ob)) for v, oa, ob in zip(
+            meta["v"],
+            meta["sa"].cumsum().shift(fill_value=0),
+            meta["sb"].cumsum().shift(fill_value=0))}
+        ref = ray.put(offs)
+
+        def dstat(t: pa.Table, _r=ref) -> pa.Table:
+            if not t.num_rows:
+                return pa.table({"v": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            om = _bcast_get(_r)
+            oa, ob = om[int(t["v"][0].as_py())]
+            ca = oa + np.cumsum(t["a"].to_numpy())
+            cb = ob + np.cumsum(t["b"].to_numpy())
+            d = np.abs(ca * n_b - cb * n_a)
+            return pa.table({"v": t["v"], "d": pa.array(d, pa.int64())})
+
+        top = distributed_topk(
+            ordered.map_batches(dstat, batch_format="pyarrow"), 1,
+            [("d", "descending"), ("v", "ascending")])
+        return pd.DataFrame({"d_num": top["d"].astype("int64"),
+                             "at_v": top["v"].astype("int64"),
+                             "n_a": np.array([n_a], np.int64),
+                             "n_b": np.array([n_b], np.int64)})
+    q["ks_view_purchase"] = ks_view_purchase
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13742,4 +13861,41 @@ def oracle_sql():
               GROUP BY user_id)
         SELECT user_id, CAST(peak_hourly AS BIGINT) AS peak_hourly
         FROM p WHERE peak_hourly >= {BOT_HOURLY}"""
+    o["type_hour_chi2"] = """
+        WITH cells AS (SELECT event_type,
+                           (epoch_us(ts) // 3600000000) % 24 AS hod,
+                           CAST(COUNT(*) AS HUGEINT) AS o
+                       FROM events GROUP BY 1, 2),
+        rr AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+        cc AS (SELECT hod, SUM(o) AS c FROM cells GROUP BY 1),
+        nn AS (SELECT SUM(o) AS n FROM cells),
+        term AS (SELECT ((cells.o * nn.n - rr.r * cc.c)
+                         * (cells.o * nn.n - rr.r * cc.c)
+                         * 1000000::HUGEINT)
+                        // (nn.n * rr.r * cc.c) AS t
+                 FROM cells JOIN rr USING (event_type)
+                            JOIN cc USING (hod) CROSS JOIN nn)
+        SELECT CAST((SELECT SUM(t) FROM term) AS BIGINT) AS chi2_e6,
+               CAST(((SELECT COUNT(*) FROM rr) - 1)
+                    * ((SELECT COUNT(*) FROM cc) - 1) AS BIGINT) AS dof,
+               CAST((SELECT n FROM nn) AS BIGINT) AS n"""
+    o["ks_view_purchase"] = """
+        WITH s AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                         AS a,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS b
+                   FROM events
+                   WHERE event_type IN ('view', 'purchase')),
+        pv AS (SELECT v, SUM(a) AS a, SUM(b) AS b FROM s GROUP BY v),
+        n AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM s),
+        c AS (SELECT v, SUM(a) OVER (ORDER BY v) AS ca,
+                     SUM(b) OVER (ORDER BY v) AS cb
+              FROM pv),
+        t AS (SELECT v, ABS(c.ca * n.nb - c.cb * n.na) AS d
+              FROM c CROSS JOIN n)
+        SELECT CAST(d AS BIGINT) AS d_num, v AS at_v,
+               CAST((SELECT na FROM n) AS BIGINT) AS n_a,
+               CAST((SELECT nb FROM n) AS BIGINT) AS n_b
+        FROM t ORDER BY d DESC, v LIMIT 1"""
     return o
