@@ -10070,6 +10070,53 @@ def queries():
                              "n_b": np.array([n_b], np.int64)})
     q["ks_view_purchase"] = ks_view_purchase
 
+    def caption_street_match_rate(sf_dir):
+        """Cross-modal consistency audit: does each image's NORMALIZED
+        caption mention its geotag's NORMALIZED street? Match rates per
+        postcode district expose label/caption drift by area — the QA
+        table a captioning pipeline watches. One hash join on image_id
+        (both sides are data volume), the shared canonicalization
+        kernel on both columns, elementwise substring via numpy's C
+        kernel (per-row needles — no scalar-pattern Arrow kernel
+        exists), bounded per-district counts."""
+        from ..util import bucketed_sum
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "caption"])
+        geo_ds = fx.read_fixture(sf_dir, "geo",
+                                 columns=["image_id", "addr_street",
+                                          "addr_postcode"])
+        joined = imgs.join(geo_ds, on=("image_id",), join_type="inner",
+                           **join_kwargs(fx.table_join_partitions(
+                               sf_dir, "images", "geo")))
+
+        def f(b: pa.Table) -> pa.Table:
+            cn = normalize.normalize_street(b["caption"]) \
+                .to_numpy(zero_copy_only=False).astype(str)
+            sn = normalize.normalize_street(b["addr_street"]) \
+                .to_numpy(zero_copy_only=False).astype(str)
+            match = np.char.find(cn, sn) >= 0
+            pcv = b["addr_postcode"].to_numpy(zero_copy_only=False)
+            ok = pc.match_substring_regex(
+                b["addr_postcode"], r"^[0-9]{6}$").to_numpy(
+                zero_copy_only=False)
+            # '<U2' astype is the vectorized 2-char prefix
+            dist = np.where(ok, pcv.astype(str).astype("U2"), "NA")
+            return pa.table({
+                "district": pa.array(dist.astype(object), pa.string()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "m": pa.array(match.astype(np.int64))})
+
+        out = bucketed_sum(joined.map_batches(f, batch_format="pyarrow"),
+                           ["district"], {"one": "n", "m": "n_match"},
+                           n_buckets=16)
+        return out.map_batches(
+            lambda b: pa.table({
+                "district": pc.cast(b["district"], pa.string()),
+                "n": pc.cast(b["n"], pa.int64()),
+                "n_match": pc.cast(b["n_match"], pa.int64())}),
+            batch_format="pyarrow")
+    q["caption_street_match_rate"] = caption_street_match_rate
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13898,4 +13945,19 @@ def oracle_sql():
                CAST((SELECT na FROM n) AS BIGINT) AS n_a,
                CAST((SELECT nb FROM n) AS BIGINT) AS n_b
         FROM t ORDER BY d DESC, v LIMIT 1"""
+    o["caption_street_match_rate"] = f"""
+        WITH j AS (SELECT i.caption, g.addr_street, g.addr_postcode
+                   FROM {images_p} i JOIN {geo_p} g USING (image_id)),
+        r AS (SELECT CASE WHEN regexp_matches(addr_postcode,
+                              '^[0-9]{{6}}$')
+                          THEN substring(addr_postcode, 1, 2)
+                          ELSE 'NA' END AS district,
+                     CASE WHEN contains(
+                          {normalize.normalize_street_sql('caption')},
+                          {normalize.normalize_street_sql('addr_street')})
+                          THEN 1 ELSE 0 END AS m
+              FROM j)
+        SELECT district, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS n_match
+        FROM r GROUP BY district"""
     return o
