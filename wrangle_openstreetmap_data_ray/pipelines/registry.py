@@ -10117,6 +10117,73 @@ def queries():
             batch_format="pyarrow")
     q["caption_street_match_rate"] = caption_street_match_rate
 
+    def events_watermark_windows(sf_dir):
+        """Streaming-semantics batch replay: 15-minute tumbling-window
+        counts under a WATERMARK (max event ts − 1 h). Windows that
+        close at/before the watermark are 'final'; later ones are
+        'open' — the deterministic batch twin of a streaming engine's
+        on-time/late split. Max-ts from a 1-row-per-block partial; the
+        window table is calendar-bounded."""
+        from ..util import bucketed_sum, grouped_agg_vec
+        ev = fx.driver_table(sf_dir, "events", columns=["ts"])
+        W = 15 * 60 * 10**6
+
+        def keyed(b: pa.Table) -> pa.Table:
+            t = b["ts"].cast(pa.int64()).to_numpy()
+            return pa.table({"win": pa.array((t // W) * W, pa.int64()),
+                             "mx": pa.array(t, pa.int64()),
+                             "one": pa.array(np.ones(b.num_rows,
+                                                     np.int64))})
+
+        kd = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+        wm = int(grouped_agg_vec(
+            kd.map_batches(lambda b: pa.table(
+                {"k": pa.array(np.zeros(b.num_rows, np.int64)),
+                 "mx": b["mx"]}), batch_format="pyarrow"),
+            ["k"], [("mx", "max", "mx")]).to_pandas()["mx"].iloc[0]) \
+            - 3_600 * 10**6
+        wins = bucketed_sum(kd, ["win"], {"one": "cnt"}, n_buckets=16)
+
+        def label(b: pa.Table) -> pa.Table:
+            w = b["win"].to_numpy()
+            st = np.where(w + W <= wm, "final", "open")
+            return pa.table({"win_start_us": pa.array(w, pa.int64()),
+                             "cnt": pc.cast(b["cnt"], pa.int64()),
+                             "state": pa.array(st.astype(object),
+                                               pa.string())})
+
+        return wins.map_batches(label, batch_format="pyarrow")
+    q["events_watermark_windows"] = events_watermark_windows
+
+    def street_vocab_overlap(sf_dir):
+        """Entity-resolution audit ACROSS SOURCES: the canonicalized
+        street vocabulary of the geotag sidecar vs the OSM addr:street
+        tags — how many normalized names appear in both vs one side
+        only. Each side's distinct vocab settles map-side; the overlap
+        is a bounded set op."""
+        geo_ds = fx.read_fixture(sf_dir, "geo", columns=["addr_street"])
+        tags = fx.read_fixture(sf_dir, "tags", columns=["key", "value"])
+
+        def norm_geo(b: pa.Table) -> pa.Table:
+            return pa.table({"nm": pc.unique(
+                normalize.normalize_street(b["addr_street"]))})
+
+        def norm_tag(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["key"], "addr:street"))
+            return pa.table({"nm": pc.unique(
+                normalize.normalize_street(b["value"]))})
+
+        ga = geo_ds.map_batches(norm_geo, batch_format="pyarrow") \
+            .to_pandas()["nm"].unique()
+        ta = tags.map_batches(norm_tag, batch_format="pyarrow") \
+            .to_pandas()["nm"].unique()
+        gs, ts_ = set(ga), set(ta)
+        return pd.DataFrame({
+            "category": ["both", "geo_only", "tags_only"],
+            "n": np.array([len(gs & ts_), len(gs - ts_), len(ts_ - gs)],
+                          np.int64)})
+    q["street_vocab_overlap"] = street_vocab_overlap
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -13960,4 +14027,29 @@ def oracle_sql():
         SELECT district, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(m) AS BIGINT) AS n_match
         FROM r GROUP BY district"""
+    o["events_watermark_windows"] = """
+        WITH t AS (SELECT epoch_us(ts) AS us FROM events),
+        wm AS (SELECT MAX(us) - 3600000000 AS wm FROM t),
+        w AS (SELECT (us // 900000000) * 900000000 AS win_start_us,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM t GROUP BY 1)
+        SELECT win_start_us, cnt,
+               CASE WHEN win_start_us + 900000000 <= (SELECT wm FROM wm)
+                    THEN 'final' ELSE 'open' END AS state
+        FROM w"""
+    o["street_vocab_overlap"] = f"""
+        WITH g AS (SELECT DISTINCT
+                   {normalize.normalize_street_sql('addr_street')} AS nm
+                   FROM {geo_p}),
+        t AS (SELECT DISTINCT
+              {normalize.normalize_street_sql('value')} AS nm
+              FROM {tags_p} WHERE key = 'addr:street')
+        SELECT 'both' AS category, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g WHERE nm IN (SELECT nm FROM t)
+        UNION ALL
+        SELECT 'geo_only', CAST(COUNT(*) AS BIGINT)
+        FROM g WHERE nm NOT IN (SELECT nm FROM t)
+        UNION ALL
+        SELECT 'tags_only', CAST(COUNT(*) AS BIGINT)
+        FROM t WHERE nm NOT IN (SELECT nm FROM g)"""
     return o
