@@ -10184,6 +10184,55 @@ def queries():
                           np.int64)})
     q["street_vocab_overlap"] = street_vocab_overlap
 
+    def colbert_maxsim_topk(sf_dir):
+        """Late-interaction (ColBERT-style) retrieval: documents are
+        8-vector GROUPS of the embedding table, the query is the first
+        4 vectors, and score(doc) = Σ_j max_i ⟨q_j, d_i⟩ over e6
+        fixed-point integer dot products — exact under any partitioning
+        (no cosine float trees). One bounded-bucket shuffle co-locates
+        each doc's token vectors; inside the bucket the whole block
+        multiplies against the broadcast 4×D query matrix in one int64
+        matmul; top-5 via distributed partials."""
+        from ..util import bucketed_group_apply, distributed_topk
+        ds = fx.driver_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"])
+
+        def to_int(b: pa.Table) -> pa.Table:
+            X = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            V = np.floor(X * 1e6 + 0.5).astype(np.int64)
+            d = V.shape[1]
+            offs = np.arange(0, d * (len(V) + 1), d, dtype=np.int32)
+            return pa.table({
+                "grp": pa.array(b["vec_id"].to_numpy() // 8, pa.int64()),
+                "vec_id": b["vec_id"],
+                "fv": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    pa.array(V.ravel(), pa.int64()))})
+
+        iv = ds.map_batches(to_int, batch_format="pyarrow").materialize()
+        qrows = iv.filter(expr="vec_id < 4").to_pandas() \
+            .sort_values("vec_id")
+        Q = np.stack([np.asarray(v, np.int64) for v in qrows["fv"]])
+
+        def maxsim(g: pd.DataFrame) -> pd.DataFrame:
+            D = np.stack([np.asarray(v, np.int64) for v in g["fv"]])
+            dots = D @ Q.T                        # (m, 4) exact int64
+            df = pd.DataFrame({"grp": g["grp"].to_numpy()})
+            for j in range(Q.shape[0]):
+                df[f"d{j}"] = dots[:, j]
+            mx = df.groupby("grp", sort=False).max()
+            return pd.DataFrame({"grp": mx.index.to_numpy(),
+                                 "score": mx.sum(axis=1).to_numpy()
+                                 .astype(np.int64)})
+
+        scores = bucketed_group_apply(iv, ["grp"], maxsim, n_buckets=32)
+        top = distributed_topk(scores, 5, [("score", "descending"),
+                                           ("grp", "ascending")])
+        return pd.DataFrame({"doc_grp": top["grp"].astype("int64"),
+                             "score": top["score"].astype("int64")})
+    q["colbert_maxsim_topk"] = colbert_maxsim_topk
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -14052,4 +14101,20 @@ def oracle_sql():
         UNION ALL
         SELECT 'tags_only', CAST(COUNT(*) AS BIGINT)
         FROM t WHERE nm NOT IN (SELECT nm FROM g)"""
+    o["colbert_maxsim_topk"] = """
+        CREATE OR REPLACE MACRO dotp(a, b) AS CAST(list_sum(
+            list_transform(generate_series(1, len(a)),
+                j -> CAST(a[j] AS BIGINT) * CAST(b[j] AS BIGINT)))
+            AS BIGINT);
+        WITH emb AS (SELECT vec_id, vec_id // 8 AS grp,
+                 list_transform(embedding, e ->
+                     CAST(floor(CAST(e AS DOUBLE) * 1e6 + 0.5)
+                          AS BIGINT)) AS v
+                     FROM embeddings),
+        q AS (SELECT vec_id AS qid, v FROM emb WHERE vec_id < 4),
+        dots AS (SELECT e.grp, q.qid, MAX(dotp(q.v, e.v)) AS mx
+                 FROM emb e CROSS JOIN q GROUP BY e.grp, q.qid),
+        sc AS (SELECT grp, SUM(mx) AS score FROM dots GROUP BY grp)
+        SELECT grp AS doc_grp, CAST(score AS BIGINT) AS score
+        FROM sc ORDER BY score DESC, grp LIMIT 5"""
     return o
