@@ -10233,6 +10233,47 @@ def queries():
                              "score": top["score"].astype("int64")})
     q["colbert_maxsim_topk"] = colbert_maxsim_topk
 
+    def hybrid_rank_fusion(sf_dir):
+        """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.'s
+        RRF, integerized as 1e9 // (60 + rank)) of the BM25 top-20 and
+        a raw term-frequency top-20 for the same query — the standard
+        lexical+second-signal fusion step of a search pipeline. Both
+        ranked lists are k-bounded, so the fuse is a driver-side dict
+        fold; the rankings themselves come from the distributed
+        scorers."""
+        from ..functions import text
+        from ..util import distributed_topk
+        bm = doc_bm25_topk(sf_dir).reset_index(drop=True)
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+
+        def tf(b: pa.Table) -> pa.Table:
+            n = np.zeros(b.num_rows, np.int64)
+            for qt in SEARCH_TOKENS:   # fixed query order
+                n += pc.count_substring_regex(
+                    b["text"], rf"\b{qt}\b").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            keep = n > 0
+            return pa.table({"doc_id": b["doc_id"].filter(pa.array(keep)),
+                             "tf": pa.array(n[keep], pa.int64())})
+
+        tft = distributed_topk(docs.map_batches(tf,
+                                                batch_format="pyarrow"),
+                               20, [("tf", "descending"),
+                                    ("doc_id", "ascending")])
+        fused: dict = {}
+        for rank, did in enumerate(bm["doc_id"], start=1):
+            fused[int(did)] = fused.get(int(did), 0) \
+                + 1_000_000_000 // (60 + rank)
+        for rank, did in enumerate(tft["doc_id"], start=1):
+            fused[int(did)] = fused.get(int(did), 0) \
+                + 1_000_000_000 // (60 + rank)
+        out = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        return pd.DataFrame({
+            "doc_id": np.array([d for d, _ in out], np.int64),
+            "rrf": np.array([s for _, s in out], np.int64)})
+    q["hybrid_rank_fusion"] = hybrid_rank_fusion
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -14117,4 +14158,24 @@ def oracle_sql():
         sc AS (SELECT grp, SUM(mx) AS score FROM dots GROUP BY grp)
         SELECT grp AS doc_grp, CAST(score AS BIGINT) AS score
         FROM sc ORDER BY score DESC, grp LIMIT 5"""
+    _rrf_tf = " + ".join(
+        rf"len(regexp_extract_all(text, '\b{qt}\b'))"
+        for qt in SEARCH_TOKENS)
+    o["hybrid_rank_fusion"] = rf"""
+        WITH bm AS ({o["doc_bm25_topk"]}),
+        bmr AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY bm25_e6 DESC, doc_id) AS r FROM bm),
+        tf AS (SELECT doc_id, CAST({_rrf_tf} AS BIGINT) AS tf
+               FROM documents),
+        tfr AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY tf DESC, doc_id) AS r
+                FROM tf WHERE tf > 0
+                QUALIFY row_number() OVER
+                    (ORDER BY tf DESC, doc_id) <= 20),
+        u AS (SELECT doc_id, r FROM bmr
+              UNION ALL SELECT doc_id, r FROM tfr),
+        f AS (SELECT doc_id, SUM(1000000000 // (60 + r)) AS rrf
+              FROM u GROUP BY doc_id)
+        SELECT doc_id, CAST(rrf AS BIGINT) AS rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
     return o
