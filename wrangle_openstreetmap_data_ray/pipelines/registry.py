@@ -10274,6 +10274,74 @@ def queries():
             "rrf": np.array([s for _, s in out], np.int64)})
     q["hybrid_rank_fusion"] = hybrid_rank_fusion
 
+    def image_aspect_bucket_plan(sf_dir):
+        """Aspect-ratio BUCKETING (the SDXL-style training-shard plan):
+        every image goes to the nearest of five canonical aspect
+        buckets, nearest measured by EXACT integer cross-multiplication
+        |w·bh − h·bw| scaled to a common denominator (no float ratios,
+        no ties by construction order — first minimum wins on both
+        engines via the same bucket order). Map-only + bounded counts."""
+        buckets = (("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
+                   ("16:9", 16, 9), ("9:16", 9, 16))
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "w", "h"])
+
+        def assign(b: pa.Table) -> pa.Table:
+            w = b["w"].to_numpy().astype(np.int64)
+            h = b["h"].to_numpy().astype(np.int64)
+            # distance of w/h to bw/bh == |w*bh - h*bw| / (h*bh); put on
+            # the common denominator prod(bh_i) so magnitudes compare
+            # exactly: d_i = |w*bh_i - h*bw_i| * (D // bh_i)
+            D = 1 * 3 * 4 * 9 * 16
+            ds_ = np.stack([np.abs(w * bh - h * bw) * (D // bh)
+                            for _, bw, bh in buckets])
+            best = np.argmin(ds_, axis=0)     # first min = bucket order
+            names = np.array([n for n, _, _ in buckets], dtype=object)
+            return pa.table({"bucket": pa.array(names[best], pa.string()),
+                             "px": pa.array(w * h, pa.int64()),
+                             "one": pa.array(np.ones(len(w), np.int64))})
+
+        from ..util import bucketed_sum
+        out = bucketed_sum(imgs.map_batches(assign,
+                                            batch_format="pyarrow"),
+                           ["bucket"], {"one": "n_images",
+                                        "px": "total_px"}, n_buckets=8)
+        return out.map_batches(
+            lambda b: pa.table({
+                "bucket": pc.cast(b["bucket"], pa.string()),
+                "n_images": pc.cast(b["n_images"], pa.int64()),
+                "total_px": pc.cast(b["total_px"], pa.int64())}),
+            batch_format="pyarrow")
+    q["image_aspect_bucket_plan"] = image_aspect_bucket_plan
+
+    def image_compression_audit(sf_dir):
+        """Storage audit per codec: encoded bytes-per-kilopixel (e3
+        integer) min/max/sum per format — the table a storage planner
+        reads before re-encoding a 100 TB image corpus. Map-only with
+        Arrow's C++ binary_length; bounded per-format aggregate."""
+        from ..util import grouped_agg_vec
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["fmt", "bytes", "w", "h"])
+
+        def f(b: pa.Table) -> pa.Table:
+            nb = pc.binary_length(b["bytes"]).to_numpy() \
+                .astype(np.int64)
+            px = b["w"].to_numpy().astype(np.int64) \
+                * b["h"].to_numpy().astype(np.int64)
+            return pa.table({"fmt": b["fmt"],
+                             "bpk": pa.array(1000 * nb // px, pa.int64()),
+                             "nb": pa.array(nb, pa.int64())})
+
+        out = grouped_agg_vec(
+            imgs.map_batches(f, batch_format="pyarrow"), ["fmt"],
+            [("bpk", "min", "bpk_min"), ("bpk", "max", "bpk_max"),
+             ("nb", "sum", "total_bytes"), (None, "count", "n")]) \
+            .to_pandas()
+        for c in ("bpk_min", "bpk_max", "total_bytes", "n"):
+            out[c] = out[c].astype("int64")
+        return out
+    q["image_compression_audit"] = image_compression_audit
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -14178,4 +14246,33 @@ def oracle_sql():
               FROM u GROUP BY doc_id)
         SELECT doc_id, CAST(rrf AS BIGINT) AS rrf
         FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
+    # aspect buckets: same order, same common-denominator distances;
+    # the CASE chain is first-match-wins exactly like np.argmin
+    _ab = (("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
+           ("16:9", 16, 9), ("9:16", 9, 16))
+    _abD = 1 * 3 * 4 * 9 * 16
+    _abd = [f"abs(w * {bh} - h * {bw}) * {_abD // bh}"
+            for _, bw, bh in _ab]
+    _abm = f"LEAST({', '.join(_abd)})"
+    _abcase = "CASE " + " ".join(
+        f"WHEN {d} = {_abm} THEN '{n}'"
+        for d, (n, _, _) in zip(_abd, _ab)) + " END"
+    o["image_aspect_bucket_plan"] = f"""
+        WITH a AS (SELECT {_abcase} AS bucket,
+                          CAST(w AS BIGINT) * h AS px
+                   FROM {images_p})
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(px) AS BIGINT) AS total_px
+        FROM a GROUP BY bucket"""
+    o["image_compression_audit"] = f"""
+        WITH a AS (SELECT fmt,
+                       (1000 * octet_length(bytes))
+                           // (CAST(w AS BIGINT) * h) AS bpk,
+                       CAST(octet_length(bytes) AS BIGINT) AS nb
+                   FROM {images_p})
+        SELECT fmt, CAST(MIN(bpk) AS BIGINT) AS bpk_min,
+               CAST(MAX(bpk) AS BIGINT) AS bpk_max,
+               CAST(SUM(nb) AS BIGINT) AS total_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a GROUP BY fmt"""
     return o
