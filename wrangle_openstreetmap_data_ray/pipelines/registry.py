@@ -10363,10 +10363,10 @@ _DRIVER_WINDOW = [
     "flagship_full_summary", "tpch_q3_topk",
     "render_tile_stats", "knn_pairs", "pip_join_pairs",
     "way_node_resolution", "normalize_streets",
-    "audit_street_types", "clean_postcodes", "corpus_prep_summary",
+    "clean_postcodes", "corpus_prep_summary",
     "bbox_quarantine", "cell_encode_points",
     "shape_documents_flat_check", "tag_counts",
-    "osm_top_contributors", "per_cell_counts",
+    "per_cell_counts",
     "exact_dedup_images",
     "image_phash_verify", "near_dedup_docs_check",
     "embedding_dup_pairs", "embedding_topk",
@@ -10382,20 +10382,20 @@ _DRIVER_WINDOW = [
     # tile_assignments, shape_elements, osm_distinct_users, hot_cells,
     # quarantine_rows, doc_token_counts, events_hourly,
     # image_phash_near_dup)
-    "radius_join_pairs", "interval_overlap_pairs", "decontaminate_docs",
+    "radius_join_pairs", "decontaminate_docs",
     "doc_repetition_stats",
     # round-4 additions — new operator families, all oracle-paired
     # (demoted to keep the 50-window: funnel_conversion, zonal_stats,
     # way_polyline_length, doc_fingerprint_cluster_sizes, bigram_pmi_top,
     # event_value_histogram_quantiles — still paired in the full sweep)
-    "hll_group_registers_check", "nearest_boundary_distance",
+    "hll_group_registers_check",
     "grid_dbscan_clusters",
     "way_segment_intersections",
     # round-4 session-3 additions — one row per new family (demoted, all
     # still paired in the full sweep: tag_key_classification,
     # orders_rollup, embedding_topk_ivf_fullprobe, video_frame_index,
     # cell_hop_distance, tpch_q16_shape)
-    "snap_points_to_ways", "image_augment_manifest",
+    "snap_points_to_ways",
     "kcore_radius_graph",
     "user_edit_path_length",
     # round-4 session-4 additions — one row per new family (demoted to
@@ -10409,7 +10409,22 @@ _DRIVER_WINDOW = [
     # decode→transform→encode path)
     "way_simplify_onepass", "doc_dup_ngram_counts",
     "graph_degree_assortativity", "lancelike_vacuum_check",
-    "corpus_filter_funnel", "nn_distance_stats",
+    "nn_distance_stats",
+    # round-4 session-6 additions — one row per NEW operator family
+    # (demoted to keep the 50-window, all still paired in the full
+    # sweep: audit_street_types — normalize_streets keeps the M4/M5
+    # seat; osm_top_contributors — per_cell_counts/tag_counts keep the
+    # agg family; interval_overlap_pairs — asof/sessionize keep the
+    # temporal seat; nearest_boundary_distance — snap_points_to_ways
+    # covers point-to-geometry distance; image_augment_manifest —
+    # image_phash_verify keeps the decode path; corpus_filter_funnel —
+    # doc_repetition_stats keeps the Gopher family)
+    "event_value_exact_median_by_type",    # distributed selection
+    "lancelike_schema_evolution_check",    # metadata-only rename/drop
+    "lancelike_metadata_count_check",      # aggregate pushdown
+    "kcenter_diverse_points",              # diverse-subset curation
+    "ks_view_purchase",                    # distribution-drift stats
+    "colbert_maxsim_topk",                 # late-interaction retrieval
 ]
 
 
