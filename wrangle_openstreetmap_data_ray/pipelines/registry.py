@@ -10342,6 +10342,65 @@ def queries():
         return out
     q["image_compression_audit"] = image_compression_audit
 
+    def doc_template_clusters(sf_dir):
+        """Boilerplate/template detection: documents sharing an
+        identical 8-token PREFIX (the scraped-page template signal that
+        survives MinHash because bodies differ). Arrow-kernel prefix
+        extraction (split → slice → rejoin), bounded-bucket counts,
+        clusters of ≥2 emitted with their min doc id as the exemplar."""
+        from ..util import bucketed_group_apply
+        docs = fx.driver_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+
+        def prefix(b: pa.Table) -> pa.Table:
+            toks = pc.utf8_split_whitespace(b["text"])
+            head = pc.list_slice(toks, 0, 8)
+            pfx = pc.binary_join(head, " ")
+            return pa.table({"prefix": pfx, "doc_id": b["doc_id"]})
+
+        def agg(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("prefix", sort=False).agg(
+                n_docs=("doc_id", "size"),
+                exemplar=("doc_id", "min")).reset_index()
+            return out[out["n_docs"] >= 2]
+
+        res = bucketed_group_apply(
+            docs.map_batches(prefix, batch_format="pyarrow"),
+            ["prefix"], agg, n_buckets=32)
+        return res.map_batches(
+            lambda b: pa.table({
+                "prefix": pc.cast(b["prefix"], pa.string()),
+                "n_docs": pc.cast(b["n_docs"], pa.int64()),
+                "exemplar": pc.cast(b["exemplar"], pa.int64())}),
+            batch_format="pyarrow")
+    q["doc_template_clusters"] = doc_template_clusters
+
+    def image_dup_group_profile(sf_dir):
+        """Duplicate-group PROFILE: every pixel-identical (same-phash)
+        group of ≥2 images with its size, the number of codecs it spans
+        and the keeper — the reclaim table a storage dedup pass sorts
+        by bytes. One bucketed pass per phash group."""
+        from ..util import bucketed_group_apply
+        imgs = fx.read_fixture(sf_dir, "images",
+                               columns=["image_id", "phash", "fmt"])
+
+        def agg(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("phash", sort=False).agg(
+                n_images=("image_id", "size"),
+                n_formats=("fmt", "nunique"),
+                keeper=("image_id", "min")).reset_index()
+            return out[out["n_images"] >= 2]
+
+        res = bucketed_group_apply(imgs, ["phash"], agg, n_buckets=32)
+        return res.map_batches(
+            lambda b: pa.table({
+                "phash": pc.cast(b["phash"], pa.int64()),
+                "n_images": pc.cast(b["n_images"], pa.int64()),
+                "n_formats": pc.cast(b["n_formats"], pa.int64()),
+                "keeper": pc.cast(b["keeper"], pa.string())}),
+            batch_format="pyarrow")
+    q["image_dup_group_profile"] = image_dup_group_profile
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -14290,4 +14349,18 @@ def oracle_sql():
                CAST(SUM(nb) AS BIGINT) AS total_bytes,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM a GROUP BY fmt"""
+    o["doc_template_clusters"] = r"""
+        WITH p AS (SELECT doc_id,
+                   array_to_string(regexp_extract_all(text, '\S+')[1:8],
+                                   ' ') AS prefix
+                   FROM documents)
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS exemplar
+        FROM p GROUP BY prefix HAVING COUNT(*) >= 2"""
+    o["image_dup_group_profile"] = f"""
+        SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(COUNT(DISTINCT fmt) AS BIGINT) AS n_formats,
+               MIN(image_id) AS keeper
+        FROM {images_p}
+        GROUP BY phash HAVING COUNT(*) >= 2"""
     return o
