@@ -10401,6 +10401,100 @@ def queries():
             batch_format="pyarrow")
     q["image_dup_group_profile"] = image_dup_group_profile
 
+    def event_value_mad_outlier_counts(sf_dir):
+        """Robust outlier COUNTS per type: |v − median| > 5·MAD, the
+        standard heavy-tail-safe screen (a z-score screen would move
+        with the outliers it hunts). Third composition of the
+        distributed-selection operator — median and MAD from
+        exact_grouped_kth, one final counting pass with the bounded
+        (median, MAD) dict broadcast."""
+        import ray
+
+        from ..util import _bcast_get, bucketed_sum
+        stats = event_value_mad_by_type(sf_dir)
+        mm = {r["event_type"]: (int(r["median_e6"]), int(r["mad_e6"]))
+              for _, r in stats.iterrows()}
+        ref = ray.put(mm)
+        ds = fx.driver_table(sf_dir, "events",
+                             columns=["event_type", "value"])
+
+        def flag(b: pa.Table, _r=ref) -> pa.Table:
+            m = _bcast_get(_r)
+            v = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 1e6 + 0.5).astype(np.int64)
+            et = b["event_type"].to_pylist()
+            med = np.array([m[t][0] for t in et], np.int64)
+            mad = np.array([m[t][1] for t in et], np.int64)
+            out = (np.abs(v - med) > 5 * mad).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "one": pa.array(np.ones(len(v), np.int64)),
+                             "o": pa.array(out, pa.int64())})
+
+        res = bucketed_sum(ds.map_batches(flag, batch_format="pyarrow"),
+                           ["event_type"], {"one": "n", "o": "n_outliers"},
+                           n_buckets=8)
+        return res.map_batches(
+            lambda b: pa.table({
+                "event_type": pc.cast(b["event_type"], pa.string()),
+                "n": pc.cast(b["n"], pa.int64()),
+                "n_outliers": pc.cast(b["n_outliers"], pa.int64())}),
+            batch_format="pyarrow")
+    q["event_value_mad_outlier_counts"] = event_value_mad_outlier_counts
+
+    def customer_pareto_share(sf_dir):
+        """Pareto concentration (the 80/20 read): total revenue held by
+        the top-20% customers — WITHOUT sorting the customer table. The
+        revenue threshold is the rank-(n−⌈n/5⌉) element from the
+        distributed selection operator (ties included on both engines:
+        'top' = revenue ≥ threshold); one more counting pass sums the
+        mass above it. Exact integer cents end to end."""
+        from ..stages import sketch
+        from ..util import bucketed_sum, grouped_agg_vec
+        orders = fx.driver_table(sf_dir, "orders",
+                                 columns=["o_custkey", "o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+            return pa.table({"o_custkey": b["o_custkey"],
+                             "c": pa.array(c, pa.int64())})
+
+        rev = bucketed_sum(orders.map_batches(cents,
+                                              batch_format="pyarrow"),
+                           ["o_custkey"], {"c": "rev"}, n_buckets=64)
+        rev = rev.map_batches(
+            lambda b: pa.table({
+                "k": pa.array(np.zeros(len(b["rev"]), np.int64)),
+                "rev": pc.cast(b["rev"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+        kth = sketch.exact_grouped_kth(
+            rev, "k", "rev",
+            k_of_n=lambda n: n - -(-n // 5))   # rank n - ceil(n/5)
+        thr = int(kth["rev"].iloc[0])
+        n = int(kth["n"].iloc[0])
+
+        def above(b: pa.Table) -> pa.Table:
+            r = b["rev"].to_numpy()
+            top = r > thr       # threshold row(s) excluded here; the
+            return pa.table({   # kth element defines the strict cut
+                "k": pa.array(np.zeros(len(r), np.int64)),
+                "top_rev": pa.array(np.where(top, r, 0), pa.int64()),
+                "n_top": pa.array(top.astype(np.int64)),
+                "tot": pa.array(r, pa.int64())})
+
+        agg = grouped_agg_vec(
+            rev.map_batches(above, batch_format="pyarrow"), ["k"],
+            [("top_rev", "sum", "top_rev"), ("n_top", "sum", "n_top"),
+             ("tot", "sum", "total_rev")]).to_pandas()
+        return pd.DataFrame({
+            "n_customers": np.array([n], np.int64),
+            "n_top": agg["n_top"].astype("int64").to_numpy(),
+            "threshold_cents": np.array([thr], np.int64),
+            "top_rev_cents": agg["top_rev"].astype("int64").to_numpy(),
+            "total_rev_cents": agg["total_rev"].astype("int64")
+            .to_numpy()})
+    q["customer_pareto_share"] = customer_pareto_share
+
     # Driver-facing order: the graft driver correctness-checks a fixed-size
     # PREFIX of this dict (50 entries in rounds 1-2), so the window must
     # hold the most representative pipelines — flagship composites, every
@@ -14363,4 +14457,32 @@ def oracle_sql():
                MIN(image_id) AS keeper
         FROM {images_p}
         GROUP BY phash HAVING COUNT(*) >= 2"""
+    o["event_value_mad_outlier_counts"] = f"""
+        WITH s AS ({o["event_value_mad_by_type"]}),
+        v AS (SELECT event_type,
+                     CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+              FROM events)
+        SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ABS(v.v - s.median_e6)
+                             > 5 * s.mad_e6 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM v JOIN s USING (event_type)
+        GROUP BY v.event_type"""
+    o["customer_pareto_share"] = """
+        WITH r AS (SELECT o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+        k AS (SELECT rev AS thr FROM r
+              QUALIFY row_number() OVER (ORDER BY rev)
+                  = (SELECT COUNT(*) - (COUNT(*) + 4) // 5 FROM r))
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_customers,
+               CAST(SUM(CASE WHEN rev > (SELECT thr FROM k)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+               (SELECT thr FROM k) AS threshold_cents,
+               CAST(SUM(CASE WHEN rev > (SELECT thr FROM k)
+                        THEN rev ELSE 0 END) AS BIGINT)
+                   AS top_rev_cents,
+               CAST(SUM(rev) AS BIGINT) AS total_rev_cents
+        FROM r"""
     return o
