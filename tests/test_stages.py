@@ -439,6 +439,59 @@ def test_connected_components_both_regimes(ray_session):
         assert all(lab == comp_min(i) for i, lab in got.items())
 
 
+def test_semi_join_and_cc_preserve_int_dtypes(ray_session):
+    """Regression for the round-4 grid_dbscan_clusters driver-only hash
+    mismatch: anti_semi_join's null-padded key rows upcast int64 columns
+    to float64 inside the pandas bucket frames, the float ids leaked
+    through the semi-join output into connected_components_pairs, and
+    the final cluster_id column raced between int64 and float64 (value
+    211247191 hashed as "211247191.0" at the driver only). The join
+    must restore source dtypes; CC must type its output from its input."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.util import anti_semi_join
+
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 4], pa.int64()),
+        "dst": pa.array([10, 20, 30, 40], pa.int64())}))
+    keys = rd.from_arrow(pa.table({"key": pa.array([10, 30], pa.int64())}))
+    semi = anti_semi_join(ds, keys, on="dst", keys_on="key",
+                          semi=True).materialize()
+    df = semi.to_pandas()
+    assert df["src"].dtype == "int64" and df["dst"].dtype == "int64", \
+        df.dtypes
+    assert sorted(df["dst"]) == [10, 30]
+
+    # and through CC (single-task regime): int64 in → int64 out
+    pairs = semi.map_batches(
+        lambda b: pa.table({"id_a": b["src"], "id_b": b["dst"]}),
+        batch_format="pyarrow")
+    labels = dedup.connected_components_pairs(pairs).to_pandas()
+    assert labels["id"].dtype == "int64" and labels["label"].dtype == "int64"
+
+    # anti side too
+    anti = anti_semi_join(ds, keys, on="dst", keys_on="key").to_pandas()
+    assert anti["src"].dtype == "int64" and anti["dst"].dtype == "int64"
+    assert sorted(anti["dst"]) == [20, 40]
+
+
+def test_grid_dbscan_window_order_dtypes(ray_session, tmp_path):
+    """The window-order repro distilled: the full grid-DBSCAN label stage
+    (cell counts → core filter → neighbor explode → semi-join →
+    CC → broadcast attach → extent aggregate) must emit an all-int64
+    frame at ANY parallelism — this is the stage whose cluster_id raced
+    to float64 in the round-4 driver artifact."""
+    from wrangle_openstreetmap_data_ray.pipelines import registry
+
+    q = registry.queries()["grid_dbscan_clusters"]
+    df = q("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    for c in df.columns:
+        assert df[c].dtype == "int64", (c, df[c].dtype)
+
+
 def test_simhash_pairs(ray_session):
     import ray.data as rd
     ds = rd.from_arrow(_dup_docs())

@@ -394,8 +394,12 @@ def connected_components_pairs(pairs, id_a: str = "id_a", id_b: str = "id_b",
         def local_cc(b: pa.Table) -> pa.Table:
             lab = _unionfind_labels(b[id_a].to_pylist(), b[id_b].to_pylist())
             ids = sorted(lab)
-            return pa.table({"id": pa.array(ids),
-                             "label": pa.array([lab[i] for i in ids])})
+            # type the output from the INPUT id column — python-inferred
+            # pa.array() would promote a mixed int/float dict-key set
+            # (hash(123.0)==hash(123)) to double, insertion-order-racily
+            typ = b[id_a].type
+            return pa.table({"id": pa.array(ids, typ),
+                             "label": pa.array([lab[i] for i in ids], typ)})
         return pairs.repartition(1).map_batches(
             local_cc, batch_format="pyarrow", batch_size=None)
 

@@ -179,13 +179,29 @@ def anti_semi_join(ds, keys, on: str, keys_on: str | None = None,
     u = ds.map_batches(left_rows, batch_format="pyarrow").union(
         keys.map_batches(key_rows, batch_format="pyarrow"))
 
+    # The null-padded key rows force pandas to upcast int64 columns to
+    # float64 (int-with-NaN) inside the bucket frames; surviving rows are
+    # all non-null ``ds`` rows, so cast each column back to its source
+    # dtype — without this the join output silently carries float64 ids
+    # downstream (the grid_dbscan_clusters driver-hash root cause: the
+    # value 211247191 printed as 211247191.0 at the driver only).
+    _pd_dtype = {}
+    for name, typ in fields:
+        if pa.types.is_integer(typ):
+            _pd_dtype[name] = typ.to_pandas_dtype()
+        elif pa.types.is_boolean(typ):
+            _pd_dtype[name] = bool
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         has_key = g.groupby(on, sort=False)["_aj"].transform("max") == 1
         # pandas groupby drops NaN keys → transform yields NaN → ~(NaN==1)
         # is True, which would KEEP null-key probe rows in the anti-join;
         # drop them explicitly (SQL NOT IN three-valued logic)
         m = (has_key if semi else ~has_key) & (g["_aj"] == 0) & g[on].notna()
-        return g[m].drop(columns=["_aj", "_bucket"])
+        out = g[m].drop(columns=["_aj", "_bucket"])
+        fix = {c: t for c, t in _pd_dtype.items()
+               if c in out.columns and out[c].dtype != t}
+        return out.astype(fix) if fix else out
 
     return bucketed_group_apply(u, [on], fn, n_buckets)
 
