@@ -1875,6 +1875,51 @@ def test_snap_to_segments_ties_and_exactness(ray_session):
         pip_join.snap_to_segments(rd.from_arrow(pts), bad)
 
 
+def test_snap_bucketed_matches_broadcast(ray_session):
+    """The cell-bucketed snap (beyond-broadcast-cap path) must equal the
+    broadcast snap EXACTLY — values AND smallest-way_id ties — on a
+    fixture that exercises every phase: dense cluster (pass A resolves),
+    duplicate-geometry tie pairs, and far stragglers that need the
+    coarse-occupancy bound + definitive rectangle pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import pip_join
+
+    rng = np.random.default_rng(11)
+    S = 400
+    x1 = 103.8 + rng.standard_normal(S) * 0.04
+    y1 = 1.35 + rng.standard_normal(S) * 0.04
+    x2 = x1 + rng.standard_normal(S) * 0.002
+    y2 = y1 + rng.standard_normal(S) * 0.002
+    ok = (x2 - x1) ** 2 + (y2 - y1) ** 2 > 0
+    w = rng.integers(1, 300, S)[ok]
+    # exact ties: first 30 segments duplicated under larger way ids
+    segs = pa.table({
+        "way_id": pa.array(np.concatenate([w, w[:30] + 5000]), pa.int64()),
+        "x1": pa.array(np.concatenate([x1[ok], x1[ok][:30]]), pa.float64()),
+        "y1": pa.array(np.concatenate([y1[ok], y1[ok][:30]]), pa.float64()),
+        "x2": pa.array(np.concatenate([x2[ok], x2[ok][:30]]), pa.float64()),
+        "y2": pa.array(np.concatenate([y2[ok], y2[ok][:30]]), pa.float64())})
+    P = 700
+    plon = 103.8 + rng.standard_normal(P) * 0.05
+    plat = 1.35 + rng.standard_normal(P) * 0.05
+    plon[:3], plat[:3] = 104.9, 2.7          # no-candidate stragglers
+    pts = pa.table({
+        "image_id": pa.array([f"p{i}" for i in range(P)], pa.string()),
+        "lon": pa.array(plon, pa.float64()),
+        "lat": pa.array(plat, pa.float64())})
+    bc = pip_join.snap_to_segments(rd.from_arrow(pts), segs) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    bu = pip_join.snap_to_segments_bucketed(
+        rd.from_arrow(pts), rd.from_arrow(segs), res=13) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    assert len(bu) == len(bc) == P
+    assert (bu["way_id"].to_numpy() == bc["way_id"].to_numpy()).all()
+    assert (bu["d9"].to_numpy() == bc["d9"].to_numpy()).all()
+    assert bu["way_id"].dtype == "int64" and bu["d9"].dtype == "int64"
+
+
 def test_cms_and_kmv_sketch_properties(ray_session):
     """CMS never under-estimates (min over rows >= exact count); KMV's
     distinct estimate lands within the ~1/sqrt(k) band; both sketches

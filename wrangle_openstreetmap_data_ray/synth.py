@@ -423,6 +423,38 @@ def synth_points_dataset(n: int, block_rows: int = 500_000):
             .map_batches(gen, batch_format="pyarrow", batch_size=block_rows))
 
 
+def gen_segments_table(start: int, count: int) -> pa.Table:
+    """Country-scale road-segment rows (way_id, x1, y1, x2, y2):
+    SHORT segments (30–250 m-ish in degrees) anchored by the same
+    skewed _lonlat distribution as the points — the beyond-broadcast
+    snap fixture (a real network is many short segments, unlike the
+    OSM fixture's long synthetic chords). Pure function of index."""
+    idx = np.arange(start, start + count, dtype=np.int64)
+    # decorrelate from the points fixture (same _lonlat streams keyed by
+    # index would pin every point exactly onto a segment endpoint)
+    x1, y1 = _lonlat(idx + np.int64(777_000_003))
+    ang = _u(idx, 61) * 2.0 * np.pi
+    ln = 0.0003 + _u(idx, 62) * 0.0022
+    x2 = x1 + np.cos(ang) * ln
+    y2 = y1 + np.sin(ang) * ln
+    return pa.table({"way_id": pa.array(idx, pa.int64()),
+                     "x1": pa.array(x1, pa.float64()),
+                     "y1": pa.array(y1, pa.float64()),
+                     "x2": pa.array(x2, pa.float64()),
+                     "y2": pa.array(y2, pa.float64())})
+
+
+def synth_segments_dataset(n: int, block_rows: int = 500_000):
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        return gen_segments_table(int(ids[0]), len(ids))
+
+    return (rd.range(n, override_num_blocks=max(1, n // block_rows))
+            .map_batches(gen, batch_format="pyarrow", batch_size=block_rows))
+
+
 def materialize_fixture(kind: str, n: int, root: str = "/tmp/graft_synth") -> str:
     """Generate-and-cache a fixture as partitioned parquet under /tmp;
     returns the directory. Skips generation when the cache exists
@@ -436,7 +468,8 @@ def materialize_fixture(kind: str, n: int, root: str = "/tmp/graft_synth") -> st
         shutil.rmtree(tmp)
     ds = {"images": synth_images_dataset,
           "geo": synth_geo_dataset,
-          "points": synth_points_dataset}[kind](n)
+          "points": synth_points_dataset,
+          "segments": synth_segments_dataset}[kind](n)
     ds.write_parquet(tmp)
     os.rename(tmp, out)
     return out
