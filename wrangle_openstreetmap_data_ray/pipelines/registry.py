@@ -6665,8 +6665,8 @@ def queries():
                         x, y = (a, b) if a < b else (b, a)
                         out_a.append(x)
                         out_b.append(y)
-        return pd.DataFrame({"name_a": pd.Series(out_a, dtype="string"),
-                             "name_b": pd.Series(out_b, dtype="string")})
+        return pd.DataFrame({"name_a": pd.Series(out_a, dtype=object),
+                             "name_b": pd.Series(out_b, dtype=object)})
     q["fuzzy_street_pairs"] = fuzzy_street_pairs
 
     def way_self_intersections(sf_dir):
@@ -7227,7 +7227,9 @@ def queries():
                     "cusum_scaled": pd.Series([], dtype="int64")})
             return pd.concat(outs, ignore_index=True)
 
-        return bucketed_group_apply(dc, ["pri"], cusum, n_buckets=8)
+        from ..util import arrow_retype
+        return arrow_retype(
+            bucketed_group_apply(dc, ["pri"], cusum, n_buckets=8))
     q["orders_cusum_days"] = orders_cusum_days
 
     def knn_link_prediction(sf_dir):
@@ -7315,7 +7317,9 @@ def queries():
                 "n_common": b["n_common"].astype("int64"),
                 "n_union": un.astype("int64")})
 
-        return cand.map_batches(score, batch_format="pandas")
+        from ..util import arrow_retype
+        return arrow_retype(
+            cand.map_batches(score, batch_format="pandas"))
     q["knn_link_prediction"] = knn_link_prediction
 
     def doc_langid_confusion(sf_dir):
@@ -7392,8 +7396,9 @@ def queries():
                     "sum24": pd.Series([], dtype="int64")})
             return pd.concat(outs, ignore_index=True)
 
-        return bucketed_group_apply(hc, ["event_type"], burst,
-                                    n_buckets=8)
+        from ..util import arrow_retype
+        return arrow_retype(bucketed_group_apply(hc, ["event_type"], burst,
+                                                 n_buckets=8))
     q["hourly_burst_hours"] = hourly_burst_hours
 
     def chunk_dedup_counts(sf_dir):
@@ -7817,8 +7822,8 @@ def queries():
             "n": [int(fine["n"].sum())],
             "cents": [int(fine["cents"].sum())]}))
         out = pd.concat(outs, ignore_index=True)
-        out["priority"] = out["priority"].astype("string")
-        out["status"] = out["status"].astype("string")
+        out["priority"] = out["priority"].astype(object)
+        out["status"] = out["status"].astype(object)
         return out[["priority", "status", "n", "cents"]]
     q["orders_cube_agg"] = orders_cube_agg
 
@@ -7907,7 +7912,9 @@ def queries():
                 "n_symdiff": (sa + sb - 2 * b["n_common"])
                 .astype("int64")})
 
-        return inter.map_batches(finish, batch_format="pandas")
+        from ..util import arrow_retype
+        return arrow_retype(
+            inter.map_batches(finish, batch_format="pandas"))
     q["polygon_symdiff_cells"] = polygon_symdiff_cells
 
     def user_home_cells(sf_dir):
@@ -8131,7 +8138,7 @@ def queries():
         if set(st) != set(cols):
             raise AssertionError("analyze commit missing column stats")
         return pd.DataFrame({
-            "col_name": pd.Series(cols, dtype="string"),
+            "col_name": pd.Series(cols, dtype=object),
             "n_rows": pd.Series([st[c]["n_rows"] for c in cols],
                                 dtype="int64"),
             "n_null": pd.Series([st[c]["n_null"] for c in cols],
@@ -8835,8 +8842,9 @@ def queries():
                     "qy": pd.Series([], dtype="int64")})
             return pd.concat(outs, ignore_index=True)
 
-        return bucketed_group_apply(edges, ["polygon_id"], fill,
-                                    n_buckets=32)
+        from ..util import arrow_retype
+        return arrow_retype(bucketed_group_apply(edges, ["polygon_id"],
+                                                 fill, n_buckets=32))
     q["polygon_polyfill_cells"] = polygon_polyfill_cells
 
     def lancelike_bloom_point_get(sf_dir):
@@ -9133,6 +9141,8 @@ def queries():
                               {"cnt": "cnt"}, n_buckets=16).to_pandas()
         tot = merged.groupby("prev_type")["cnt"].transform("sum")
         merged["p_permille"] = (1000 * merged["cnt"]) // tot
+        merged["prev_type"] = merged["prev_type"].astype(object)
+        merged["next_type"] = merged["next_type"].astype(object)
         return merged.reset_index(drop=True)
     q["event_type_transitions"] = event_type_transitions
 
@@ -9181,8 +9191,9 @@ def queries():
                 "cx_e7": pd.Series(cxs, dtype="int64"),
                 "cy_e7": pd.Series(cys, dtype="int64")})
 
-        return bucketed_group_apply(edges, ["polygon_id"], cent,
-                                    n_buckets=16)
+        from ..util import arrow_retype
+        return arrow_retype(bucketed_group_apply(edges, ["polygon_id"],
+                                                 cent, n_buckets=16))
     q["polygon_centroids"] = polygon_centroids
 
     def polyfill_compact_cells(sf_dir):
@@ -9227,8 +9238,9 @@ def queries():
                     "res": z, "qx": z, "qy": z})
             return pd.concat(outs, ignore_index=True)
 
-        return bucketed_group_apply(cells, ["polygon_id"], compact,
-                                    n_buckets=16)
+        from ..util import arrow_retype
+        return arrow_retype(bucketed_group_apply(cells, ["polygon_id"],
+                                                 compact, n_buckets=16))
     q["polyfill_compact_cells"] = polyfill_compact_cells
 
     def way_buffer_cells(sf_dir):
@@ -9292,7 +9304,9 @@ def queries():
                 "keeper_id": keeper.to_numpy()[m]}).astype(
                 {"dropped_id": "string", "keeper_id": "string"})
 
-        return bucketed_group_apply(imgs, ["phash"], keep, n_buckets=32)
+        from ..util import arrow_retype
+        return arrow_retype(
+            bucketed_group_apply(imgs, ["phash"], keep, n_buckets=32))
     q["image_dedup_keep_list"] = image_dedup_keep_list
 
     def image_phash_clusters(sf_dir):
@@ -11958,10 +11972,11 @@ def oracle_sql():
             GROUP BY 1, 2, 3""",
         "tpch_q12_shape": """
             SELECT o_orderpriority, COUNT(*) AS n_lines,
-                   SUM(CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) >
-                            CAST(epoch_us(o_orderdate) AS BIGINT)
-                            + 5184000000000
-                        THEN 1 ELSE 0 END) AS n_late
+                   CAST(SUM(CASE
+                        WHEN CAST(epoch_us(l_shipdate) AS BIGINT) >
+                             CAST(epoch_us(o_orderdate) AS BIGINT)
+                             + 5184000000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1""",
         "tpch_q17_small_quantity_revenue": """

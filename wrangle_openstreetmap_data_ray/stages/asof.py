@@ -62,6 +62,18 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
     l = left.map_batches(left_rows, batch_format="pyarrow")
     r = right.map_batches(right_rows, batch_format="pyarrow")
 
+    # the null-padded right rows upcast int64 left_keep columns to
+    # float64 inside the pandas bucket frames; surviving (left) rows are
+    # all non-null, so restore the source dtypes (same class as the
+    # anti_semi_join / grid_dbscan driver-hash root cause)
+    _pd_fix = {}
+    for c in left_keep:
+        t = ltypes[c]
+        if pa.types.is_integer(t):
+            _pd_fix[c] = t.to_pandas_dtype()
+        elif pa.types.is_boolean(t):
+            _pd_fix[c] = bool
+
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         # right rows first at equal (key, ts): backward-inclusive semantics
         g = g.sort_values(["_aj_k", "_aj_t", "_aj_s"], kind="mergesort")
@@ -77,6 +89,9 @@ def asof_join_last(left, right, key_col: str, left_ts: str, right_ts: str,
         run_max = pd.Series(rts).groupby(seg).cummax().to_numpy()
         lmask = side == 1
         out = g.loc[lmask, left_keep].copy()
+        fix = {c: t for c, t in _pd_fix.items() if out[c].dtype != t}
+        if fix:
+            out = out.astype(fix)
         vals = run_max[lmask]
         col = pd.array(np.where(vals == _NEG, 0, vals), dtype="Int64")
         col[vals == _NEG] = pd.NA

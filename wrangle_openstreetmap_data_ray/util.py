@@ -92,6 +92,24 @@ def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
                                                   batch_format="pandas")
 
 
+def arrow_retype(ds):
+    """Re-type a Dataset's blocks through pyarrow (identity map). Use at
+    a query boundary when the tail stage emits PANDAS blocks (e.g. any
+    ``bucketed_group_apply``): pandas 'string'-dtype columns otherwise
+    survive ``Dataset.to_pandas()`` as the extension dtype while the
+    DuckDB oracle's ``.df()`` yields object — a needless engine-vs-
+    oracle dtype skew in the driver's comparator (round-5 dtype audit)."""
+    import pyarrow as pa
+
+    def ident(b: pa.Table) -> pa.Table:
+        # drop the pandas-metadata the pandas→arrow conversion stashes in
+        # the schema — Table.to_pandas honors it and would resurrect the
+        # extension dtype
+        return b.replace_schema_metadata(None)
+
+    return ds.map_batches(ident, batch_format="pyarrow")
+
+
 def typed_empty_series(sample):
     """Zero-row pandas Series typed from a sample array/Series. An empty
     OBJECT column infers Arrow null type and drifts the unified block
