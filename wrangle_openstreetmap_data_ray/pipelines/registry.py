@@ -10547,6 +10547,12 @@ def queries():
 # render_tile_stats is the one rows-only entry (pixel bytes have no SQL
 # twin); everything else here is oracle-paired.
 _DRIVER_WINDOW = [
+    # failure-first (VERDICT r4 item 4): the one row the r4 driver
+    # artifact recorded red leads the window post-fix (float64
+    # cluster_id contamination — see anti_semi_join's dtype restore),
+    # followed by the round-5 beyond-broadcast snap path
+    "grid_dbscan_clusters",
+    "snap_points_to_ways_bucketed",
     "flagship_full_summary", "tpch_q3_topk",
     "render_tile_stats", "knn_pairs", "pip_join_pairs",
     "way_node_resolution", "normalize_streets",
@@ -10576,7 +10582,6 @@ _DRIVER_WINDOW = [
     # way_polyline_length, doc_fingerprint_cluster_sizes, bigram_pmi_top,
     # event_value_histogram_quantiles — still paired in the full sweep)
     "hll_group_registers_check",
-    "grid_dbscan_clusters",
     "way_segment_intersections",
     # round-4 session-3 additions — one row per new family (demoted, all
     # still paired in the full sweep: tag_key_classification,
@@ -10596,7 +10601,8 @@ _DRIVER_WINDOW = [
     # decode→transform→encode path)
     "way_simplify_onepass", "doc_dup_ngram_counts",
     "graph_degree_assortativity", "lancelike_vacuum_check",
-    "nn_distance_stats",
+    # (nn_distance_stats demoted for the round-5 failure-first rotation:
+    # knn_pairs keeps the kNN family seat; still paired in the sweep)
     # round-4 session-6 additions — one row per NEW operator family
     # (demoted to keep the 50-window, all still paired in the full
     # sweep: audit_street_types — normalize_streets keeps the M4/M5

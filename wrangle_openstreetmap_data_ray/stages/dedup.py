@@ -30,26 +30,39 @@ from ..util import pool_spec
 
 def exact_dedup(ds, key_col: str, tie_col: str, n_buckets: int = 1024):
     """D1 — keep exactly one row per ``key_col``: the row with the smallest
-    ``tie_col`` (deterministic tie-break; oracle twin =
-    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY tie) = 1``).
+    ``tie_col`` (deterministic tie-break — ``tie_col`` must be unique per
+    key, e.g. a row id; oracle twin = ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY tie) = 1``).
 
-    Two-level: per-batch pre-reduce (vectorized pandas groupby — shrinks
-    the shuffle to ≤1 row per key per block), then a bucketed hash shuffle
-    with a bounded group count and one more vectorized reduce per bucket.
-    """
+    Two-level: per-batch pre-reduce (shrinks the shuffle to ≤1 row per key
+    per block), then a bucketed hash shuffle with a bounded group count and
+    one more reduce per bucket. BOTH levels are Arrow-native (C++
+    sort_indices on the two narrow columns + ``Table.take``) so rows
+    carrying binary payloads (image bytes) are never copied into pandas
+    object arrays (VERDICT r4 item 6)."""
     from ..util import bucketed_group_apply
 
-    def local_first(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(tie_col, kind="mergesort")
-        return b[~b.duplicated(key_col, keep="first")]
+    def _first_per_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(b.select([key_col, tie_col]),
+                              sort_keys=[(key_col, "ascending"),
+                                         (tie_col, "ascending")])
+        # adjacent-diff mask on the narrow key column only; the full
+        # rows (incl. binary payloads) move via ONE C++ take
+        kn = b[key_col].take(idx).to_numpy(zero_copy_only=False)
+        first = np.ones(len(kn), bool)
+        first[1:] = kn[1:] != kn[:-1]
+        return b.take(idx.filter(pa.array(first)))
 
-    pre = ds.map_batches(local_first, batch_format="pandas")
+    pre = ds.map_batches(_first_per_key, batch_format="pyarrow")
 
-    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(tie_col, kind="mergesort")
-        return g[~g.duplicated(key_col, keep="first")].drop(columns=["_bucket"])
+    def bucket_first(g: pa.Table) -> pa.Table:
+        return _first_per_key(g.drop_columns(["_bucket"]))
 
-    return bucketed_group_apply(pre, [key_col], bucket_first, n_buckets)
+    return bucketed_group_apply(pre, [key_col], bucket_first, n_buckets,
+                                batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- minhash + lsh

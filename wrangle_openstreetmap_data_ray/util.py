@@ -64,7 +64,8 @@ def stable_bucket(values, n_buckets: int):
 
 
 def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
-                         n_buckets: int = 1024):
+                         n_buckets: int = 1024,
+                         batch_format: str = "pandas"):
     """groupby-shuffle with a BOUNDED number of groups.
 
     ``groupby(keys).map_groups(fn)`` pays per-distinct-key Python overhead
@@ -88,8 +89,11 @@ def bucketed_group_apply(ds, key_cols: list[str], bucket_fn,
             "_bucket", pa.array(stable_bucket(vals, n_buckets)))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # batch_format="pyarrow" hands the bucket to ``bucket_fn`` as a
+    # pa.Table — use it when rows carry binary payloads (image bytes)
+    # that a pandas conversion would copy into object arrays
     return bucketed.groupby("_bucket").map_groups(bucket_fn,
-                                                  batch_format="pandas")
+                                                  batch_format=batch_format)
 
 
 def arrow_retype(ds):
