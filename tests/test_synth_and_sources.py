@@ -317,6 +317,57 @@ def test_lancelike_mor_tombstones(ray_session, tmp_path):
     assert not os.path.isdir(tdir) or not os.listdir(tdir)
 
 
+def test_lancelike_mor_upsert_sequence_scoping(ray_session, tmp_path):
+    """merge_upsert_mor: zero-rewrite commit; the tombstone masks only
+    OLDER fragments (an MoR delete then an MoR re-insert of the same key
+    must show the new row); stacked generations; scoped apply_tombstones
+    never eats re-inserted rows and matches the pre-apply scan."""
+    import pyarrow as pa
+    import ray.data as rd
+    root = str(tmp_path / "mor_up")
+    base = pa.table({"k": pa.array(range(1000), pa.int64()),
+                     "v": pa.array([f"old{i}" for i in range(1000)])})
+    man1 = lancelike.write_dataset(rd.from_arrow(base).repartition(4),
+                                   root, stage="base")
+    # MoR delete keys 0..99, then MoR-upsert 50..149 with new values:
+    # 0..49 stay deleted, 50..149 show NEW values, 150.. show old
+    lancelike.delete_by_keys_mor(pa.array(range(100), pa.int64()), root,
+                                 "k", stage="d1")
+    upd = pa.table({"k": pa.array(range(50, 150), pa.int64()),
+                    "v": pa.array([f"new{i}" for i in range(50, 150)])})
+    man3 = lancelike.merge_upsert_mor(rd.from_arrow(upd), root, "k",
+                                      stage="u1")
+    assert man3["metrics"]["new_fragments"] >= 1
+    assert len(man3["tombstones"]) == 2
+    # every base fragment carried by reference — the MoR property
+    assert {f["path"] for f in man1["fragments"]} \
+        <= {f["path"] for f in man3["fragments"]}
+
+    def snapshot():
+        rows = lancelike.read_dataset(root).take_all()
+        assert len({r["k"] for r in rows}) == len(rows), "dup keys"
+        return {r["k"]: r["v"] for r in rows}
+
+    want = {i: f"old{i}" for i in range(150, 1000)}
+    want.update({i: f"new{i}" for i in range(50, 150)})
+    got_mor = snapshot()
+    assert got_mor == want
+    # second stacked upsert generation overrides the first
+    upd2 = pa.table({"k": pa.array([50, 60], pa.int64()),
+                     "v": pa.array(["newer50", "newer60"])})
+    lancelike.merge_upsert_mor(rd.from_arrow(upd2), root, "k", stage="u2")
+    want[50], want[60] = "newer50", "newer60"
+    assert snapshot() == want
+    # one-pass scoped materialization: same content, tombstones cleared,
+    # re-inserted rows intact
+    man5 = lancelike.apply_tombstones(root, stage="mat")
+    assert not man5.get("tombstones")
+    assert snapshot() == want
+    assert man5["total_rows"] == len(want)
+    # and the metadata row count is exact again after materialization
+    assert lancelike.dataset_row_count(root) == len(want)
+
+
 def test_lancelike_tags_pin_versions_through_vacuum(ray_session, tmp_path):
     import pytest
     import ray.data as rd

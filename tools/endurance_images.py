@@ -97,6 +97,35 @@ def main() -> None:
     lancelike.merge_upsert(imgs.map_batches(mk_upd, batch_format="pyarrow"),
                            out_root, key_col="image_id", stage="upsert")
     rec["upsert_sec"] = round(time.time() - t0, 1)
+
+    # ---- phase 3b: the SAME recaption shape via merge-on-read (round-5
+    # VERDICT item 3): keys uniform over phash-sorted fragments is CoW's
+    # worst case (every fragment rewrites); MoR commits delta fragments +
+    # a sequence-scoped tombstone with zero existing-fragment I/O, reads
+    # pay a scan-time anti-join until apply_tombstones materializes.
+    def mk_upd2(b: pa.Table) -> pa.Table:
+        ph = b["phash"].to_numpy().astype(np.uint64)
+        f = b.filter(pa.array((ph % np.uint64(64)) == np.uint64(1)))
+        cap = pc.binary_join_element_wise(
+            pa.array(["recaption2:"] * f.num_rows, pa.string()),
+            f["caption"], "")
+        return f.set_column(f.schema.get_field_index("caption"),
+                            "caption", cap)
+
+    t0 = time.time()
+    lancelike.merge_upsert_mor(
+        imgs.map_batches(mk_upd2, batch_format="pyarrow"),
+        out_root, key_col="image_id", stage="mor_upsert")
+    rec["mor_upsert_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    n_through_ts = lancelike.read_dataset(
+        out_root, columns=["image_id"]).count()
+    rec["mor_scan_sec"] = round(time.time() - t0, 1)
+    assert n_through_ts == args.n_images, n_through_ts
+    t0 = time.time()
+    lancelike.apply_tombstones(out_root, stage="materialize")
+    rec["apply_ts_sec"] = round(time.time() - t0, 1)
+
     t0 = time.time()
     lancelike.compact(out_root, stage="compact", zonemap_cols=["phash"])
     rec["compact_sec"] = round(time.time() - t0, 1)

@@ -4077,6 +4077,62 @@ def queries():
             .rename_columns({"count()": "n", "sum(cents)": "cents"})
     q["lancelike_merge_upsert_check"] = lancelike_merge_upsert_check
 
+    def lancelike_merge_upsert_mor_check(sf_dir):
+        """Merge-on-READ upsert, value-pinned against the SAME relational
+        twin as the copy-on-write check (identical update batch, so the
+        two verbs are pinned result-equivalent): the update stream
+        commits as new fragments + a sequence-scoped tombstone with ZERO
+        existing-fragment I/O; the store is aggregated once THROUGH the
+        pending tombstone (scan-time anti-join, scoped so the
+        re-inserted rows survive) and once after ``apply_tombstones``
+        materializes the mask — both must match the oracle, and each
+        other."""
+        import shutil
+
+        from ray.data.aggregate import Count, Sum
+        from ..sources import lancelike
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/graft_merge_mor/{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        orders = fx.driver_table(sf_dir, "orders")
+        lancelike.write_dataset(orders, root, stage="base", resume=False)
+
+        upd = orders.map_batches(_orders_merge_update,
+                                 batch_format="pyarrow")
+        man = lancelike.merge_upsert_mor(upd, root, "o_orderkey",
+                                         stage="mor_merge")
+        assert man["metrics"]["new_fragments"] >= 1, man["metrics"]
+        assert man.get("tombstones"), "MoR upsert must commit a tombstone"
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+            return pa.table({"o_orderpriority": b["o_orderpriority"],
+                             "cents": pa.array(c, pa.int64())})
+
+        def agg(ds):
+            return ds.map_batches(cents, batch_format="pyarrow") \
+                .groupby("o_orderpriority") \
+                .aggregate(Count(), Sum("cents")) \
+                .rename_columns({"count()": "n", "sum(cents)": "cents"})
+
+        mor = agg(lancelike.read_dataset(
+            root, columns=["o_orderpriority", "o_totalprice"])).take_all()
+        man2 = lancelike.apply_tombstones(root, stage="materialize")
+        assert not man2.get("tombstones")
+        applied = agg(lancelike.read_dataset(
+            root, columns=["o_orderpriority", "o_totalprice"]))
+        got = {r["o_orderpriority"]: (r["n"], r["cents"])
+               for r in mor}
+        out = applied.take_all()
+        assert {r["o_orderpriority"]: (r["n"], r["cents"])
+                for r in out} == got, \
+            "tombstone-scan vs materialized read diverged"
+        import ray.data as rd
+        return rd.from_items(out)
+    q["lancelike_merge_upsert_mor_check"] = lancelike_merge_upsert_mor_check
+
     def bigram_pmi_top(sf_dir):
         """Collocation mining: top-20 adjacent-token bigrams by PMI
         (ln(c_ab·T / (c_a·c_b)), T = total bigrams, count ≥ 5).
@@ -10600,7 +10656,10 @@ _DRIVER_WINDOW = [
     # family; resize_images_thumb — image_augment_manifest covers the
     # decode→transform→encode path)
     "way_simplify_onepass", "doc_dup_ngram_counts",
-    "graph_degree_assortativity", "lancelike_vacuum_check",
+    "graph_degree_assortativity",
+    # round-5: merge-on-read upsert (lancelike_vacuum_check demoted —
+    # driver-green in r4, same oracle family, still paired in the sweep)
+    "lancelike_merge_upsert_mor_check",
     # (nn_distance_stats demoted for the round-5 failure-first rotation:
     # knn_pairs keeps the kNN family seat; still paired in the sweep)
     # round-4 session-6 additions — one row per NEW operator family
@@ -12950,6 +13009,9 @@ def oracle_sql():
                     * 1000000 + 0.5) AS BIGINT) AS r_e6
         FROM f WHERE dena > 0 AND denb > 0"""
     o["lancelike_vacuum_check"] = o["lancelike_merge_upsert_check"]
+    # MoR upsert is pinned result-equivalent to the CoW merge: same
+    # update batch, same relational twin
+    o["lancelike_merge_upsert_mor_check"] = o["lancelike_merge_upsert_check"]
     o["nn_distance_stats"] = f"""
         WITH nn AS (SELECT a.image_id AS id,
                            CAST(floor({hav} * 1000.0 + 0.5) AS BIGINT) AS mm,

@@ -579,13 +579,29 @@ def write_dataset_partitioned(ds, root: str, stage: str, partition_col: str,
                    schema_edits=None)   # full overwrite — see write_dataset
 
 
+def _ts_applies(frag: dict, ts: dict) -> bool:
+    """Iceberg sequence-number scoping: a merge-on-read tombstone masks
+    only fragments COMMITTED BEFORE it. ``born`` records the manifest
+    version a fragment/tombstone first appeared in; a fragment with no
+    stamp is legacy data (born 0, maskable by everything), a tombstone
+    with no stamp is a legacy delete (applies to everything). This is
+    what lets ``merge_upsert_mor`` tombstone a key AND insert its
+    replacement row in the same commit without the scan-time anti-join
+    eating the new row."""
+    return frag.get("born", 0) < ts.get("born", float("inf"))
+
+
 def _read_fragments(root: str, man: dict, paths: list[str],
                     columns: list[str] | None):
     """Parquet read of selected fragments WITH merge-on-read tombstone
     anti-joins applied — the one scan path every reader (full, range,
     point-get) goes through, so no read verb can resurrect MoR-deleted
     rows. Pruned reads that dropped a tombstoned key column read it
-    back in and drop it after the join."""
+    back in and drop it after the join. Tombstones are sequence-scoped
+    (``_ts_applies``): fragments are grouped by WHICH tombstones mask
+    them (at most a handful of distinct groups — one per MoR commit
+    generation) and each group pays only its own anti-joins; fragments
+    newer than every tombstone stream through join-free."""
     import ray.data as rd
 
     renames, dropped = _schema_state(man)
@@ -597,24 +613,38 @@ def _read_fragments(root: str, man: dict, paths: list[str],
     if not ts:
         ds = rd.read_parquet(paths, columns=disk_cols)
     else:
-        key_cols = sorted({t["key_col"] for t in ts})   # disk names
-        read_cols = disk_cols
-        added = []
-        if disk_cols is not None:
-            read_cols = list(disk_cols)
-            for kc in key_cols:
-                if kc not in read_cols:
-                    read_cols.append(kc)
-                    added.append(kc)
-        ds = rd.read_parquet(paths, columns=read_cols)
         from ..util import anti_semi_join
-        for kc in key_cols:
-            tpaths = [os.path.join(root, t["path"]) for t in ts
-                      if t["key_col"] == kc]
-            ds = anti_semi_join(ds, rd.read_parquet(tpaths), on=kc,
-                                n_buckets=64)
-        if added:
-            ds = ds.drop_columns(added)
+        born_by_path = {f["path"]: f for f in man["fragments"]}
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            frag = born_by_path.get(os.path.relpath(p, root), {})
+            sig = tuple(i for i, t in enumerate(ts)
+                        if _ts_applies(frag, t))
+            groups.setdefault(sig, []).append(p)
+        parts = []
+        for sig, gpaths in groups.items():
+            app = [ts[i] for i in sig]
+            key_cols = sorted({t["key_col"] for t in app})  # disk names
+            read_cols = disk_cols
+            added = []
+            if disk_cols is not None:
+                read_cols = list(disk_cols)
+                for kc in key_cols:
+                    if kc not in read_cols:
+                        read_cols.append(kc)
+                        added.append(kc)
+            d = rd.read_parquet(gpaths, columns=read_cols)
+            for kc in key_cols:
+                tpaths = [os.path.join(root, t["path"]) for t in app
+                          if t["key_col"] == kc]
+                d = anti_semi_join(d, rd.read_parquet(tpaths), on=kc,
+                                   n_buckets=64)
+            if added:
+                d = d.drop_columns(added)
+            parts.append(d)
+        ds = parts[0]
+        for d in parts[1:]:
+            ds = ds.union(d)
     if renames or dropped:
         def project(b: pa.Table) -> pa.Table:
             keep = [c for c in b.column_names if c not in dropped]
@@ -835,6 +865,96 @@ def merge_upsert(updates, root: str, key_col: str, stage: str,
                "rewritten_or_new_fragments": len(frags) - carried}
     return _commit(root, stage, parent=man["stage"], fragments=frags,
                    metrics=metrics, fingerprint=None)
+
+
+def merge_upsert_mor(updates, root: str, key_col: str, stage: str,
+                     key_broadcast_cap: int = 2_000_000) -> dict:
+    """Merge-on-read MERGE (upsert by key) — the Hudi/Iceberg MoR
+    strategy next to ``merge_upsert``'s copy-on-write: the updates
+    stream in as NEW fragments and their key set is committed as a
+    sequence-scoped TOMBSTONE that masks only OLDER fragments at scan
+    time (``_ts_applies``). ZERO existing data is read or rewritten —
+    upsert cost is O(updates) regardless of how many fragments the
+    touched keys span, vs CoW's O(touched fragments). The worst case
+    for CoW (keys uniformly spread so EVERY fragment takes a rewrite —
+    a 1/64 recaption of a phash-sorted image table rewrote the whole
+    2M-image store, 126–143 s) is exactly the case MoR turns into
+    seconds. Reads pay a scan-time anti-join until
+    ``apply_tombstones`` (or routine compaction windows) materializes
+    the masks; successive MoR upserts/deletes stack.
+
+    Same contract as ``merge_upsert``: unique keys (checked), at most
+    ``key_broadcast_cap`` of them, schema edits materialized first.
+    Result-equivalent to ``merge_upsert`` — matched keys replaced,
+    unmatched inserted — pinned by the oracle-paired
+    ``lancelike_merge_upsert_mor_check``."""
+    import pyarrow.compute as pc
+    import ray
+
+    man = latest_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    _require_schema_clean(man, 'merge_upsert_mor')
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+
+    ktabs = [t for t in
+             ray.get(updates.select_columns([key_col]).to_arrow_refs())
+             if t.num_rows and t.num_columns]
+    keys = (pa.concat_tables(ktabs)[key_col].combine_chunks()
+            if ktabs else pa.array([]))
+    if len(keys) > key_broadcast_cap:
+        raise ValueError("update batch exceeds key_broadcast_cap — "
+                         "split it into smaller merges")
+    if len(keys) != pc.count_distinct(keys).as_py():
+        raise ValueError(f"duplicate {key_col!r} in updates — replace "
+                         "semantics are ambiguous")
+
+    # single-writer model (manifest-last everywhere): the version this
+    # commit WILL get stamps the new fragments and the tombstone so the
+    # tombstone masks strictly-older data only
+    next_version = man["version"] + 1
+
+    zm_cols, bl_cols, cs_cols = _manifest_pruning_cols(man)
+    upd_cols = set(updates.schema().names)
+    new = updates.map_batches(
+        _FragmentWriter(frag_dir,
+                        [c for c in zm_cols or [] if c in upd_cols],
+                        [c for c in bl_cols or [] if c in upd_cols],
+                        [c for c in cs_cols or [] if c in upd_cols]),
+        batch_format="pyarrow", batch_size=None)
+    frags = [dict(f) for f in man["fragments"]]   # ALL carried, zero I/O
+    n_new = 0
+    for r in new.take_all():
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"]), "born": next_version}
+        for field, col in (("zonemap", "zonemap"), ("bloom", "bloom"),
+                           ("vcounts", "vcounts")):
+            v = json.loads(r.get(col) or "{}")
+            if v:
+                f[field] = v
+        frags.append(f)
+        n_new += 1
+
+    ts = list(man.get("tombstones") or [])
+    if len(keys):
+        tdir = os.path.join(root, _TOMBSTONE_DIR)
+        os.makedirs(tdir, exist_ok=True)
+        name = f"ts-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(tdir, f".{name}.tmp")
+        pq.write_table(pa.table({key_col: keys}), tmp, compression="zstd")
+        os.replace(tmp, os.path.join(tdir, name))
+        ts.append({"path": os.path.join(_TOMBSTONE_DIR, name),
+                   "key_col": key_col, "keys": len(keys),
+                   "born": next_version})
+    metrics = {"mor_merge_key": key_col, "updates": len(keys),
+               "carried_fragments": len(man["fragments"]),
+               "new_fragments": n_new, "tombstone_files": len(ts)}
+    out = _commit(root, stage, parent=man["stage"], fragments=frags,
+                  metrics=metrics, fingerprint=None,
+                  tombstones=ts or None)
+    assert out["version"] == next_version, \
+        "concurrent commit raced merge_upsert_mor (single-writer model)"
+    return out
 
 
 def delete_by_keys(keys, root: str, key_col: str, stage: str,
@@ -1344,7 +1464,11 @@ def delete_by_keys_mor(keys, root: str, key_col: str, stage: str,
     os.replace(tmp, final)
     ts = list(man.get("tombstones") or [])
     ts.append({"path": os.path.join(_TOMBSTONE_DIR, name),
-               "key_col": key_col, "keys": len(karr)})
+               "key_col": key_col, "keys": len(karr),
+               # sequence scope: masks fragments born strictly before
+               # this commit — i.e. everything currently in the store,
+               # but NOT rows a later merge_upsert_mor re-inserts
+               "born": man["version"] + 1})
     metrics = {"mor_delete_key": key_col, "keys": len(karr),
                "tombstone_files": len(ts)}
     return _commit(root, stage, parent=man["stage"],
@@ -1353,26 +1477,118 @@ def delete_by_keys_mor(keys, root: str, key_col: str, stage: str,
 
 
 def apply_tombstones(root: str, stage: str) -> dict:
-    """Materialize pending merge-on-read tombstones through the
-    copy-on-write delete (per tombstoned key column), committing a
+    """Materialize pending merge-on-read tombstones, committing ONE
     version with NO tombstones — after this, CoW mutators are unblocked
-    and scans stop paying the read-time anti-join."""
+    and scans stop paying the read-time anti-join.
+
+    Sequence-scoped and single-pass: each fragment is probed in
+    parallel against ONLY the tombstones that mask it (``_ts_applies``
+    — a row a ``merge_upsert_mor`` re-inserted is never eaten by the
+    tombstone committed alongside it), unmasked/unhit fragments are
+    carried by manifest reference, hit fragments are rewritten once
+    against the UNION of their applicable key sets. Total I/O is
+    O(masked fragments), never O(table)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
     man = latest_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
     ts = man.get("tombstones") or []
     if not ts:
         return man
-    key_cols = sorted({t["key_col"] for t in ts})
-    for i, kc in enumerate(key_cols):
-        karr = pa.concat_tables(
-            [pq.read_table(os.path.join(root, t["path"]))
-             for t in ts if t["key_col"] == kc])[kc].combine_chunks()
-        man = delete_by_keys(karr, root, kc,
-                             stage=stage if i == len(key_cols) - 1
-                             else f"{stage}-{kc}",
-                             _materializing=True)
-    return man
+    next_version = man["version"] + 1
+    frag_dir = os.path.join(root, _FRAGMENT_DIR)
+    tslist = [{"born": t.get("born", float("inf")),
+               "key_col": t["key_col"],
+               "keys": pq.read_table(os.path.join(root, t["path"]))
+               [t["key_col"]].combine_chunks()} for t in ts]
+    kref = ray.put(tslist)
+    zm_cols, bl_cols, cs_cols = _manifest_pruning_cols(man)
+
+    frag_meta = pa.table({
+        "path": pa.array([f["path"] for f in man["fragments"]]),
+        "rows": pa.array([int(f["rows"]) for f in man["fragments"]],
+                         pa.int64()),
+        "bytes": pa.array([int(f["bytes"]) for f in man["fragments"]],
+                          pa.int64()),
+        "born": pa.array([int(f.get("born", 0))
+                          for f in man["fragments"]], pa.int64())})
+
+    def probe(b: pa.Table) -> pa.Table:
+        from ..util import _bcast_get
+        tl = _bcast_get(kref)
+        paths, rows, sizes, zms, bls, vcs = [], [], [], [], [], []
+        for path, nrows, nbytes, born in zip(
+                b["path"].to_pylist(), b["rows"].to_pylist(),
+                b["bytes"].to_pylist(), b["born"].to_pylist()):
+            app = [t for t in tl if born < t["born"]]
+            mask = None
+            if app:
+                t = pq.read_table(os.path.join(root, path))
+                for a in app:
+                    if a["key_col"] not in t.column_names:
+                        continue
+                    m = pc.is_in(t[a["key_col"]], a["keys"])
+                    mask = m if mask is None else pc.or_(mask, m)
+            n_hit = (pc.sum(mask).as_py() or 0) if mask is not None else 0
+            if not n_hit:                     # unmasked or no key hit
+                paths.append(path)
+                rows.append(nrows)
+                sizes.append(nbytes)
+                zms.append("")                # caller keeps old metadata
+                bls.append("")
+                vcs.append("")
+                continue
+            kept = t.filter(pc.invert(mask))
+            if not kept.num_rows:             # fully masked
+                continue
+            name = f"frag-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(frag_dir, f".{name}.tmp")
+            pq.write_table(kept, tmp, compression="zstd")
+            final = os.path.join(frag_dir, name)
+            os.replace(tmp, final)
+            zm, bl, vc = _fragment_meta(kept, zm_cols, bl_cols, cs_cols)
+            paths.append(os.path.join(_FRAGMENT_DIR, name))
+            rows.append(kept.num_rows)
+            sizes.append(os.path.getsize(final))
+            zms.append(json.dumps(zm, default=str))
+            bls.append(json.dumps(bl))
+            vcs.append(json.dumps(vc))
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "rows": pa.array(rows, pa.int64()),
+                         "bytes": pa.array(sizes, pa.int64()),
+                         "zonemap": pa.array(zms, pa.string()),
+                         "bloom": pa.array(bls, pa.string()),
+                         "vcounts": pa.array(vcs, pa.string())})
+
+    surv = rd.from_arrow(frag_meta).map_batches(
+        probe, batch_format="pyarrow", batch_size=4)
+    old_by_path = {f["path"]: f for f in man["fragments"]}
+    frags = []
+    for r in surv.take_all():
+        old = old_by_path.get(r["path"])
+        if old is not None and not r.get("zonemap"):
+            frags.append(dict(old))           # carried: keep metadata
+            continue
+        f = {"path": r["path"], "rows": int(r["rows"]),
+             "bytes": int(r["bytes"]), "born": next_version}
+        for field in ("zonemap", "bloom", "vcounts"):
+            v = json.loads(r.get(field) or "{}")
+            if v:
+                f[field] = v
+        frags.append(f)
+    carried = sum(1 for f in frags if f["path"] in old_by_path)
+    removed = (sum(int(f["rows"]) for f in man["fragments"])
+               - sum(f["rows"] for f in frags))
+    metrics = {"applied_tombstones": len(ts), "rows_removed": removed,
+               "carried_fragments": carried,
+               "rewritten_fragments": len(frags) - carried}
+    out = _commit(root, stage, parent=man["stage"], fragments=frags,
+                  metrics=metrics, fingerprint=None, tombstones=None)
+    assert out["version"] == next_version
+    return out
 
 
 def version_diff(root: str, v_old: int, v_new: int, key_col: str,
