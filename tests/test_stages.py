@@ -341,6 +341,16 @@ def test_exact_dedup(ray_session):
     assert sorted(r["image_id"] for r in out) == sorted(expect.values())
 
 
+def test_exact_dedup_key_equals_tie(ray_session):
+    """key_col == tie_col (pure global distinct, registry
+    uids_in_both_nodes_and_ways shape) — the Arrow pre-reduce must not
+    build a duplicate-named select() (ambiguous FieldRef regression)."""
+    import ray.data as rd
+    tbl = pa.table({"uid": pa.array([7, 3, 7, 1, 3, 3, 9], pa.int64())})
+    out = dedup.exact_dedup(rd.from_arrow(tbl), "uid", "uid").take_all()
+    assert sorted(r["uid"] for r in out) == [1, 3, 7, 9]
+
+
 def _dup_docs():
     base = ("the quick brown fox jumps over the lazy dog and runs far away "
             "into the deep green forest near the river bank every morning")

@@ -46,9 +46,11 @@ def exact_dedup(ds, key_col: str, tie_col: str, n_buckets: int = 1024):
         import pyarrow.compute as pc
         if b.num_rows == 0:
             return b
-        idx = pc.sort_indices(b.select([key_col, tie_col]),
-                              sort_keys=[(key_col, "ascending"),
-                                         (tie_col, "ascending")])
+        # key_col == tie_col (pure distinct) would duplicate the name in
+        # select() and make the FieldRef ambiguous — sort the one column
+        narrow = ([key_col] if tie_col == key_col else [key_col, tie_col])
+        idx = pc.sort_indices(b.select(narrow),
+                              sort_keys=[(c, "ascending") for c in narrow])
         # adjacent-diff mask on the narrow key column only; the full
         # rows (incl. binary payloads) move via ONE C++ take
         kn = b[key_col].take(idx).to_numpy(zero_copy_only=False)
