@@ -2081,3 +2081,37 @@ def test_kmv_grouped_jaccard_bounds(ray_session):
     assert out.loc[("x", "y"), "jaccard_e6"] == 1_000_000
     assert out.loc[("x", "z"), "jaccard_e6"] == 0
     assert out.loc[("y", "z"), "jaccard_e6"] == 0
+
+
+def test_union_schema_divergence_nullfills(ray_session):
+    """Pin the Ray 2.49 behavior behind NOTES_r4's null-group-key
+    anomaly (root-caused round 5): union of branches whose column-name
+    sets differ does NOT raise — it silently null-fills the missing
+    column at execution while schema() reports only one branch. If this
+    test starts failing on a Ray upgrade, union grew validation and
+    util.checked_union's rationale should be revisited."""
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray import util
+
+    base = rd.range(200).map_batches(
+        lambda b: pa.table({"id": b["id"], "n": b["id"]}),
+        batch_format="pyarrow")
+    narrow = rd.range(50).map_batches(
+        lambda b: pa.table({"id": b["id"]}), batch_format="pyarrow")
+
+    # the raw union silently null-fills 'n' for the narrow branch
+    df = base.union(narrow).to_pandas()
+    assert len(df) == 250
+    assert int(df["n"].isna().sum()) == 50
+
+    # checked_union refuses the divergent union up front
+    with pytest.raises(ValueError, match="schemas diverge"):
+        util.checked_union(base, narrow)
+
+    # and passes through a consistent one untouched
+    ok = util.checked_union(
+        base, rd.range(50).map_batches(
+            lambda b: pa.table({"id": b["id"], "n": b["id"]}),
+            batch_format="pyarrow"))
+    assert ok.count() == 250

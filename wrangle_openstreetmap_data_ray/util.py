@@ -114,6 +114,41 @@ def arrow_retype(ds):
     return ds.map_batches(ident, batch_format="pyarrow")
 
 
+def checked_union(first, *rest, strict: bool = True):
+    """``Dataset.union`` with schema validation (round-5 root cause of
+    NOTES_r4's null-group-key anomaly). Ray 2.49's ``union`` performs NO
+    schema check: unioning branches whose column-name sets differ
+    *silently null-fills* the missing columns at execution (arrow field
+    promotion inside the block bundler) while ``Dataset.schema()``
+    reports just ONE branch's schema — whichever block answers first,
+    which varies with block layout/parallelism. A name mismatch between
+    branches therefore surfaces as layout-dependent NULL group keys in a
+    downstream groupby — failing at the driver's parallelism but not in
+    isolated repros. Pinned by test_union_schema_divergence_nullfills.
+
+    Validates that every branch exposes the same column-name set before
+    unioning. ``strict=True`` fetches schemas (may execute each branch's
+    first block — fine at build time for correctness-critical unions);
+    ``strict=False`` only checks the schemas already known."""
+    sets = []
+    for ds in (first, *rest):
+        sch = ds.schema(fetch_if_missing=strict)
+        sets.append(None if sch is None else (ds, set(sch.names)))
+    known = [s for s in sets if s is not None]
+    if known:
+        base = known[0][1]
+        for _, names in known[1:]:
+            if names != base:
+                raise ValueError(
+                    "checked_union: branch schemas diverge — "
+                    f"{sorted(base)} vs {sorted(names)}; Ray union would "
+                    "silently null-fill the difference")
+    out = first
+    for ds in rest:
+        out = out.union(ds)
+    return out
+
+
 def typed_empty_series(sample):
     """Zero-row pandas Series typed from a sample array/Series. An empty
     OBJECT column infers Arrow null type and drifts the unified block
