@@ -2115,3 +2115,29 @@ def test_union_schema_divergence_nullfills(ray_session):
             lambda b: pa.table({"id": b["id"], "n": b["id"]}),
             batch_format="pyarrow"))
     assert ok.count() == 250
+
+
+def test_scrub_pii_redaction(ray_session):
+    import ray.data as rd
+
+    from wrangle_openstreetmap_data_ray.stages import textstage
+
+    rows = [
+        {"doc_id": 1, "text": "mail a.b+c@ex-1.org then 10.0.0.1 x 555-0199"},
+        {"doc_id": 2, "text": "no pii at all"},
+        {"doc_id": 3, "text": "two mails p@q.io r@s.co and 999-1234"},
+    ]
+    out = textstage.scrub_pii(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "mail <EMAIL> then <IP> x <PHONE>"
+    assert (out.loc[1, ["n_email", "n_ip", "n_phone"]] == [1, 1, 1]).all()
+    assert out.loc[2, "clean_text"] == "no pii at all"
+    assert (out.loc[2, ["n_email", "n_ip", "n_phone"]] == [0, 0, 0]).all()
+    assert out.loc[3, "clean_text"] == "two mails <EMAIL> <EMAIL> and <PHONE>"
+    assert out.loc[3, "n_email"] == 2
+    # idempotent: scrubbing already-scrubbed text changes nothing
+    again = textstage.scrub_pii(
+        rd.from_items([{"doc_id": int(i), "text": t}
+                       for i, t in out["clean_text"].items()])).to_pandas()
+    assert (again["n_email"] + again["n_ip"] + again["n_phone"]).sum() == 0
+    assert sorted(again["clean_text"]) == sorted(out["clean_text"])

@@ -29,6 +29,18 @@ STOPWORDS = {
 }
 _PUNCT = set(".,;:!?'\"()[]{}<>-")
 
+# PII scrub patterns, shared VERBATIM with the DuckDB twin — both
+# engines are RE2 (pyarrow.compute string_regex kernels; DuckDB
+# regexp_*), so identical pattern strings behave identically. Applied
+# in list order; the categories are disjoint by construction (an IPv4
+# can't match the email pattern — its TLD class is alphabetic — and
+# the phone shape has a dash).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+]
+
 
 def token_count_ws(texts) -> np.ndarray:
     """Whitespace token count (SQL twin: len(str_split_regex(t,'\\s+')))."""

@@ -5809,6 +5809,36 @@ def queries():
                                          stride=CHUNK_STRIDE)
     q["doc_chunk_windows"] = doc_chunk_windows
 
+    def doc_pii_scrub(sf_dir):
+        """PII scrubbing (LLM-corpus prep): every document gets a
+        deterministic synthetic contact line (the fixture corpus
+        carries no PII of its own), then the Arrow-RE2 scrub stage
+        redacts emails / IPv4s / phone-shaped numbers and counts each
+        category on the pre-redaction text. The scrubbed TEXT itself is
+        oracle-pinned: both engines build the identical input
+        expression and share the PII_PATTERNS regex strings verbatim
+        (both are RE2). The per-row formatting below is injection
+        scaffolding for the contract query only — the operator
+        (stages/textstage.scrub_pii) is pure Arrow C++ kernels."""
+        ds = fx.driver_table(sf_dir, "documents",
+                             columns=["doc_id", "text"])
+
+        def inject(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            sfx = [(" Contact user%d@example.com or call 555-%04d"
+                    " from 10.%d.%d.%d."
+                    % (i, (i * 7919) % 10000, i % 256, (i * 3) % 256,
+                       (i * 5) % 256))
+                   + (" cc user%db@example.org" % i if i % 3 == 0 else "")
+                   for i in ids]
+            joined = pc.binary_join_element_wise(
+                b["text"], pa.array(sfx, pa.string()), "")
+            return pa.table({"doc_id": b["doc_id"], "text": joined})
+
+        return textstage.scrub_pii(
+            ds.map_batches(inject, batch_format="pyarrow"))
+    q["doc_pii_scrub"] = doc_pii_scrub
+
     def user_retention_cohorts(sf_dir):
         """Cohort retention triangle: users grouped by first-active epoch
         week, counted per week offset they return in. Active (user,
@@ -10688,6 +10718,9 @@ def oracle_sql():
     import os
     fx.materialize(f"/root/testdata/{_SQL_ORACLE_TAG}")
 
+    from ..functions.text import PII_PATTERNS as _pii_patterns
+    _PII_RE = {name: pat for name, pat, _ in _pii_patterns}
+
     geo_p = f"read_parquet('{_fxp('geo')}')"
     images_p = f"read_parquet('{_fxp('images')}')"
     edges_p = f"read_parquet('{_fxp('edges')}')"
@@ -12856,6 +12889,34 @@ def oracle_sql():
             FROM n GROUP BY user, isl""",
         # RAG chunking: DuckDB list_slice is 1-based/inclusive; the
         # engine's Arrow list_slice is 0-based/exclusive — same window
+        # PII patterns spliced verbatim from functions.text.PII_PATTERNS
+        # (both sides RE2); input expression mirrors the engine's inject
+        "doc_pii_scrub": """
+            WITH inp AS (SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-'
+                        || lpad(CAST((doc_id*7919)%10000 AS VARCHAR),4,'0')
+                        || ' from 10.' || CAST(doc_id%256 AS VARCHAR) || '.'
+                        || CAST((doc_id*3)%256 AS VARCHAR) || '.'
+                        || CAST((doc_id*5)%256 AS VARCHAR) || '.'
+                        || CASE WHEN doc_id%3=0 THEN ' cc user' ||
+                             CAST(doc_id AS VARCHAR) || 'b@example.org'
+                           ELSE '' END AS t
+                  FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '@EMAIL@')) AS BIGINT)
+                       AS n_email,
+                   CAST(len(regexp_extract_all(t, '@IP@')) AS BIGINT)
+                       AS n_ip,
+                   CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT)
+                       AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '@EMAIL@', '<EMAIL>', 'g'),
+                       '@IP@', '<IP>', 'g'),
+                       '@PHONE@', '<PHONE>', 'g') AS clean_text
+            FROM inp"""
+        .replace("@EMAIL@", _PII_RE["email"]).replace("@IP@", _PII_RE["ip"])
+        .replace("@PHONE@", _PII_RE["phone"]),
         "doc_chunk_windows": f"""
             WITH toks AS (SELECT doc_id,
                                  regexp_extract_all(text, '\\S+') AS tk

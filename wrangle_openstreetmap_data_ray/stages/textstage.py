@@ -302,3 +302,28 @@ def chunk_documents(ds, size: int = 64, stride: int = 48,
     return ds.select_columns([id_col, text_col]) \
              .map_batches(chunks, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def scrub_pii(ds, text_col: str = "text", out_col: str = "clean_text"):
+    """PII redaction over a documents table: emails, IPv4 addresses and
+    phone-shaped numbers are replaced with typed placeholder tokens and
+    counted per row (counts taken on the ORIGINAL text, so they are
+    independent of replacement order). Entirely Arrow C++ RE2 kernels
+    (``count_substring_regex`` / ``replace_substring_regex``) — no
+    Python per-row work, streams at data volume. The pattern strings
+    (``functions.text.PII_PATTERNS``) are shared verbatim with the
+    DuckDB oracle twin, which is also RE2."""
+    import pyarrow.compute as pcc
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        cols = {c: b[c] for c in b.column_names if c != text_col}
+        cleaned = t
+        for name, pat, repl in tx.PII_PATTERNS:
+            cols[f"n_{name}"] = pcc.cast(
+                pcc.count_substring_regex(t, pat), pa.int64())
+            cleaned = pcc.replace_substring_regex(cleaned, pat, repl)
+        cols[out_col] = cleaned
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
